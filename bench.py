@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline (bench-tagged) catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + a count-style consume) after
+one warm-up pass of the flagship to amortize JVM/session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+from nrg_etl_airflow_spark_emr_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="engine-bench")
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # Warm up session + parquet footer caches with the flagship query.
+    warm = specs.get("flagship_revenue_by_month") or next(iter(specs.values()))
+    warm.builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        start = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
+        # Consume fully without driver-side materialization of wide rows.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

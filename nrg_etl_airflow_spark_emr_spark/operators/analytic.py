@@ -1,0 +1,227 @@
+"""Analytic operators: window functions, set operations, grouping sets.
+
+All *absent* in the reference (SURVEY.md §2.5-2.7) — it has no OVER clause,
+no UNION/INTERSECT/EXCEPT, no cube/rollup. These are the standard-surface
+gap-fills (§7 M3), each a Catalyst built-in: zero custom code, full
+whole-stage-codegen, and window evaluation is a single sort within
+partitions (no shuffle beyond the partitionBy exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ._util import dsum, sql_dsum, t
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_row_number_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    doc="Top-k per group via row_number (SURVEY.md §2.5/§2.6): 3 biggest "
+    "orders per customer. One shuffle on the partition key; the sort is "
+    "per-partition. Unique-key tiebreak → deterministic.",
+)
+def w1_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    tags=("window", "datetime"),
+    doc="lag/lead analytic (SURVEY.md §2.5 — the hour-over-hour demand-delta "
+    "shape on the reference's time dim, nrg_sql_queries.py:34-44). First "
+    "row per user has NULL delta in both engines.",
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "w3_rolling_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000 AS rolling_value
+    FROM events
+    """,
+    tags=("window",),
+    doc="Frame-spec rolling aggregate (SURVEY.md §2.5): 3-row rolling sum "
+    "per user, fixed-point-exact inside the frame so engines agree "
+    "bit-for-bit (see _util.fixed).",
+)
+def w3_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    from ._util import fixed
+
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.sum(fixed("value")).over(w).cast("double") / 10000).alias("rolling_value"),
+    )
+
+
+@register(
+    "w4_rank_dense_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS INTEGER) AS price_rank,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS INTEGER) AS price_dense_rank
+    FROM orders
+    """,
+    tags=("window",),
+    doc="rank vs dense_rank with real ties (SURVEY.md §2.5): ordering by a "
+    "low-cardinality column exercises gap vs no-gap numbering; tied rows "
+    "get identical ranks in both engines so the result is deterministic.",
+)
+def w4_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set1_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    tags=("setop",),
+    doc="UNION ALL multiset concat (SURVEY.md §2.7 gap-fill). Zero shuffle: "
+    "pure partition concatenation.",
+)
+def set1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return cust.unionAll(supp)
+
+
+@register(
+    "set2_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="INTERSECT (distinct) — nations having both customers and suppliers.",
+)
+def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "set3_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="EXCEPT (distinct) — nations with customers but no suppliers.",
+)
+def set3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (SURVEY.md §2.4 gap-fill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g1_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "grouping"),
+    doc="ROLLUP hierarchy totals (absent in reference). Spark expands "
+    "grouping sets in a single Expand+Aggregate — one pass over the fact.",
+)
+def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "g2_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "grouping"),
+    doc="CUBE over two dims (absent in reference).",
+)
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )

@@ -1,0 +1,1 @@
+"""Dedup operators (SURVEY.md §7 M5) — filled in incrementally."""

@@ -1,0 +1,154 @@
+"""Scalar-function surface (SURVEY.md §2.8 + gap-fills).
+
+The reference uses only TO_DATE / TO_TIMESTAMP / EXTRACT / arithmetic /
+IS NULL / IN (nrg_sql_queries.py:19-42,53,67-71). The gap-fills here add the
+string / JSON / conditional / datetime-arithmetic functions the extensions
+need (events.props JSON, documents.text) — all JVM-side built-ins inside
+whole-stage codegen, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ._util import t
+
+
+@register(
+    "f1_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+    tags=("function", "json"),
+    doc="JSON field extraction over events.props (SURVEY.md §2.8 gap-fill "
+    "— needed for the events fixture; get_json_object is a codegen'd "
+    "JVM path, no UDF).",
+)
+def f1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "f2_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS segment_lower,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           REPLACE(c_name, '#', '-') AS name_dash,
+           TRIM(c_name) AS name_trim
+    FROM customer
+    """,
+    tags=("function", "string"),
+    doc="String-function surface (absent in reference — SURVEY.md §2.8): "
+    "upper/lower/substr/length/concat/replace/trim.",
+)
+def f2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.trim("c_name").alias("name_trim"),
+    )
+
+
+@register(
+    "f3_conditionals",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CAST(o_totalprice > 200000 AS INTEGER) AS is_big
+    FROM orders
+    """,
+    tags=("function", "conditional"),
+    doc="CASE WHEN / COALESCE / NULLIF surface (absent in reference — "
+    "SURVEY.md §2.8).",
+)
+def f3_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        (F.col("o_totalprice") > 200000).cast("int").alias("is_big"),
+    )
+
+
+@register(
+    "f4_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_ref,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+    tags=("function", "datetime"),
+    doc="Datetime arithmetic (SURVEY.md §2.8 gap-fill): interval add, "
+    "day diff, month truncation, formatting. Oracle uses DuckDB spellings "
+    "(date_diff/strftime) of the identical semantics.",
+)
+def f4_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_ref"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@register(
+    "f5_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS DOUBLE) / 100 AS net_price,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           ABS(l_discount - l_tax) AS rate_gap,
+           CAST(FLOOR(SQRT(l_extendedprice) * 10000) AS DOUBLE) / 10000 AS price_sqrt,
+           CAST(l_quantity AS BIGINT) % 10 AS qty_mod
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+    doc="Math-function surface (reference has only `+` over strings, "
+    "nrg_sql_queries.py:67-69 — SURVEY.md §2.8): floor/ceil/abs/sqrt/"
+    "modulo with explicit casts. Truncation (floor) rather than ROUND for "
+    "the fixed-decimal outputs: ROUND tie-breaking diverges between "
+    "engines on scaled doubles (see _util).",
+)
+def f5_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("double") / 100)
+        .alias("net_price"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("rate_gap"),
+        (F.floor(F.sqrt("l_extendedprice") * 10000).cast("double") / 10000).alias("price_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 10).alias("qty_mod"),
+    )
