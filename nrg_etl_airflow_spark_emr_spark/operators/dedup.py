@@ -1,1 +1,355 @@
-"""Dedup operators (SURVEY.md §7 M5) — filled in incrementally."""
+"""Deduplication operators over the ``documents`` table (SURVEY.md §7 M5).
+
+Beyond-reference capability for LLM training-data pipelines: exact dedup,
+shingle-Jaccard near-dup, MinHash signatures + LSH banding, and SimHash.
+Everything is expressed relationally (explode → join → aggregate) so the
+same algorithm runs as ANSI SQL in the DuckDB oracle, and every hash goes
+through the engine-portable ``hash60`` (functions/hashing.py).
+
+Scale design (100 TB): the inverted-index self-join (dedup_jaccard_pairs)
+is quadratic in the worst case — it is the *verify* stage. The scale path
+is MinHash→LSH banding (dedup_minhash_lsh): candidate generation touches
+only docs sharing a band key, i.e. the shuffle is keyed on band hashes
+whose fan-in is bounded, then exact Jaccard runs on candidates only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hash60,
+    seeded_hash60,
+    sql_seeded_hash60,
+    sql_word_shingles,
+    word_shingles,
+)
+from ..plans.catalog import register
+from ._util import t
+
+# MinHash configuration: 16 hashes in 4 bands of 4.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 32
+JACCARD_THRESHOLD = 0.5
+
+# Shared SQL fragments --------------------------------------------------------
+
+_SQL_SHINGLES_CTE = f"""
+    sh AS (
+        SELECT doc_id, {sql_word_shingles(3)} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+"""
+
+_SQL_SIG_CTE = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN({sql_seeded_hash60(j, 'shingle')}) AS mh{j}" for j in range(MINHASH_K)
+    )
+    + " FROM ex GROUP BY doc_id)"
+)
+
+
+def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _shingle_exploded(spark, sf_dir)
+    return ex.groupBy("doc_id").agg(
+        *[F.min(seeded_hash60(j, "shingle")).alias(f"mh{j}") for j in range(MINHASH_K)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+    doc="Exact dedup: hash-groupBy on content digest, keep lowest doc_id "
+    "per group. Hashing the text (not grouping by the raw string) keeps "
+    "shuffle rows narrow — at 100 TB you shuffle 16-byte digests, not "
+    "documents.",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup",),
+    doc="Exact 3-token-shingle Jaccard near-dup pairs via inverted-index "
+    "self-join. Integer intersection/union then one double division → "
+    "bit-identical across engines. This is the verify stage of the dedup "
+    "pipeline; candidate pruning at scale is dedup_minhash_lsh.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", 3).alias("shingles")
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
+    ex = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("s1.sz") + F.col("s2.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CTE},
+    {_SQL_SIG_CTE}
+    SELECT * FROM sig
+    """,
+    tags=("dedup", "sketch"),
+    doc=f"MinHash signatures ({MINHASH_K} seeded hash60 permutations over "
+    "3-token shingles). One explode + one groupBy: linear, map-side "
+    "combinable, shuffle carries only (doc_id, 16×int64).",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+def _sql_lsh_oracle() -> str:
+    band_arms = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_arms.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_arms)
+    matches = " + ".join(
+        f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES_CTE},
+    {_SQL_SIG_CTE},
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT d1, d2, ({matches}) / {MINHASH_K}.0 AS est_jaccard
+        FROM cand
+        JOIN sig s1 ON d1 = s1.doc_id
+        JOIN sig s2 ON d2 = s2.doc_id
+    )
+    SELECT d1, d2, est_jaccard FROM scored WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_lsh_oracle(),
+    tags=("dedup", "sketch"),
+    bench=True,
+    doc=f"MinHash-LSH near-dup pairs: {LSH_BANDS} bands × {LSH_ROWS} rows; "
+    "candidates share a band key, scored by signature agreement. This is "
+    "the 100 TB dedup path: the only shuffle wider than (id, signature) "
+    "is keyed on band hashes, so matching cost tracks the number of true "
+    "near-dup candidates, not n².",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signatures(spark, sf_dir).cache()
+    band_frames = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws(",", *cols).alias("band_key"),
+            )
+        )
+    bands = reduce(lambda x, y: x.unionAll(y), band_frames)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    matches = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
+            for j in range(MINHASH_K)
+        ],
+    )
+    return (
+        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", (matches / float(MINHASH_K)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _sql_simhash_cte() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fold = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    from ..functions.hashing import sql_hash60
+
+    return f"""
+    sh0 AS (
+        SELECT doc_id, {sql_word_shingles(3)} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shingles) AS token FROM sh0),
+    th AS (SELECT doc_id, {sql_hash60("token")} AS h FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+    simhashes AS (SELECT doc_id, {fold} AS simhash FROM bits)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT doc_id, simhash FROM simhashes
+    """,
+    tags=("dedup", "sketch"),
+    doc=f"{SIMHASH_BITS}-bit SimHash per document over 3-token-shingle "
+    "hash60s: per-bit ±1 vote, sign fold. Linear, one groupBy. Shingles "
+    "rather than unigrams: with a small shared vocabulary the unigram "
+    "sketch collapses (every doc contains most of the vocabulary).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhashes(spark, sf_dir)
+
+
+def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("token")
+    )
+    th = tok.select("doc_id", hash60("token").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*bit_aggs)
+    fold = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    return bits.select("doc_id", fold.alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    """,
+    tags=("dedup", "sketch"),
+    doc="SimHash near-dup pairs: Hamming distance ≤ 5 over the 32-bit "
+    "sketches. All-pairs here (documents is a fixed-size fixture); the "
+    "scale path buckets by simhash prefix bands so only same-bucket pairs "
+    "are compared (same LSH argument as MinHash banding).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhashes(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+    )
