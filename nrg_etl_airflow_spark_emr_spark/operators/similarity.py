@@ -1,1 +1,237 @@
-"""Similarity operators (SURVEY.md §7 M5) — filled in incrementally."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §7 M5).
+
+Approximate-nearest-neighbor building blocks for an LLM data pipeline:
+all-pairs cosine (near-dup detection), brute-force top-k (the correctness
+baseline), and an IVF (inverted-file) variant — assign vectors to their
+nearest centroid cell, probe only the closest cells at query time — as the
+scale path.
+
+Numeric portability: cosine goes through *fixed-point integer* dot
+products — components are floored to 1e-7 resolution (embeddings are
+unit-norm, so scaled values stay < 6e6 and 64-term sums stay < 2^53, i.e.
+exact in both engines' arithmetic). One final double division/sqrt per
+pair is IEEE-deterministic, so Spark and DuckDB produce bit-identical
+cosines and therefore identical top-k rankings.
+
+Scale design (100 TB): brute force is O(n·q) — kept as the oracle/verify
+stage. The IVF path is the real layout: vectors partitioned (bucketed) by
+cell id, queries shuffled only to their nprobe cells, centroids broadcast.
+Recall tuning = nprobe; re-ranking on exact cosine happens inside cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.catalog import register
+from ._util import t
+
+FP_SCALE = 10_000_000  # 1e-7 resolution; exact for unit-norm float32 vectors
+N_QUERIES = 5          # fixture queries: vec_id < 5
+CENTROID_MOD = 100     # fixture centroids: vec_id % 100 == 0 (5 cells)
+NPROBE = 2
+PAIR_THRESHOLD = 0.4
+
+
+def _fixed(emb: Column) -> Column:
+    return F.transform(emb, lambda x: F.floor(x.cast("double") * float(FP_SCALE)))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, label, fe: array<bigint>, nrm: double)."""
+    emb = t(spark, sf_dir, "embeddings")
+    fe = _fixed(F.col("embedding")).alias("fe")
+    df = emb.select("vec_id", "label", fe)
+    return df.select(
+        "vec_id", "label", "fe", F.sqrt(_dot(F.col("fe"), F.col("fe")).cast("double")).alias("nrm")
+    )
+
+
+_SQL_VEC_CTE = f"""
+    fx AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT) for x in embedding] AS fe
+        FROM embeddings
+    ),
+    vecs AS (
+        SELECT vec_id, label, fe, sqrt(list_dot_product(fe, fe)) AS nrm FROM fx
+    )
+"""
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE}
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) >= {PAIR_THRESHOLD}
+    """,
+    tags=("similarity",),
+    doc="Embedding-cosine near-dup pairs (all-pairs ≥ threshold). The "
+    "fixture has no true near-dups (max cosine ≈ 0.51), so the 0.4 "
+    "threshold exercises the tail; production near-dup would use ≥0.95 "
+    "behind an LSH/IVF candidate filter rather than all-pairs.",
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    cosine = _dot(F.col("a.fe"), F.col("b.fe")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+    )
+
+
+@register(
+    "sim_knn_brute",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS cosine
+        FROM q JOIN vecs v ON v.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 10
+    """,
+    tags=("similarity", "topk"),
+    bench=True,
+    doc="Brute-force cosine top-10 for 5 fixed query vectors — the exact "
+    "baseline every ANN variant is measured against. Queries broadcast "
+    "against the vector table; per-query ranking via row_number.",
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"), F.col("nrm").alias("qnrm")
+    )
+    cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "sim_knn_ivf",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    cent AS (
+        SELECT vec_id AS cid, fe, nrm FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    assign_scored AS (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.fe, c.fe) / (v.nrm * c.nrm) DESC, c.cid
+               ) AS crn
+        FROM vecs v CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, cid FROM assign_scored WHERE crn = 1),
+    q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    probe_scored AS (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.fe, c.fe) / (q.nrm * c.nrm) DESC, c.cid
+               ) AS prn
+        FROM q CROSS JOIN cent c
+    ),
+    probes AS (SELECT query_id, cid FROM probe_scored WHERE prn <= {NPROBE}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS cosine
+        FROM probes p
+        JOIN q ON q.vec_id = p.query_id
+        JOIN assigned a ON a.cid = p.cid
+        JOIN vecs v ON v.vec_id = a.vec_id AND v.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "topk"),
+    doc="IVF top-5: vectors assigned to nearest-centroid cells, queries "
+    f"probe their {NPROBE} closest cells, exact cosine re-ranks inside. "
+    "Fixture centroids are the vec_id%100==0 vectors (KMeans at scale). "
+    "100 TB layout: bucket vectors by cid so a query touches nprobe "
+    "buckets; centroids broadcast; no all-pairs shuffle.",
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
+    )
+    # Assign every vector to its nearest centroid cell (centroids broadcast).
+    c_cos = _dot(F.col("fe"), F.col("cfe")).cast("double") / (F.col("nrm") * F.col("cnrm"))
+    aw = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", c_cos.alias("c_cos"))
+        .select("vec_id", "cid", F.row_number().over(aw).alias("crn"))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cid")
+    )
+    # Queries probe their NPROBE closest cells.
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"), F.col("nrm").alias("qnrm")
+    )
+    p_cos = _dot(F.col("qfe"), F.col("cfe")).cast("double") / (F.col("qnrm") * F.col("cnrm"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", p_cos.alias("p_cos"))
+        .select("query_id", "cid", F.row_number().over(pw).alias("prn"))
+        .filter(F.col("prn") <= NPROBE)
+        .select("query_id", "cid")
+    )
+    # Exact cosine inside the probed cells only.
+    cand = (
+        probes.join(assigned, "cid")
+        .join(q, "query_id")
+        .join(v, "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (F.col("qnrm") * F.col("nrm"))
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .select("query_id", "vec_id", "cosine", F.row_number().over(rw).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )

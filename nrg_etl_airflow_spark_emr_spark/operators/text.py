@@ -1,1 +1,192 @@
-"""Text operators (SURVEY.md §7 M5) — filled in incrementally."""
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §7 M5).
+
+Training-data text hygiene: token statistics, quality scoring, heuristic
+language ID, and document fingerprinting. Everything is built-in column
+expressions (split/filter/aggregate/regexp) — no Python UDFs — so the
+whole module runs inside whole-stage codegen and has an exact ANSI twin.
+
+All ratio outputs are int/int (or exact-int) divisions → one IEEE double
+op, bit-identical across engines; weighted sums are written with the same
+association order in both expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, sql_hash60
+from ..plans.catalog import register
+from ._util import t
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker tokens per language for the n-gram/keyword language-ID heuristic.
+# Real corpora would use character n-gram profiles; the fixture vocabulary
+# is English-flavored word salad, so this demonstrates the mechanical shape
+# (per-language evidence counts → deterministic argmax) on what exists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "les", "et", "une", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+LANG_ORDER = tuple(sorted(LANG_MARKERS))  # fixed argmax precedence
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_word_chars,
+           CAST(FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / len(string_split(text, ' ')) * 10000) AS DOUBLE) / 10000 AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Whitespace token counting + lexical stats (SURVEY.md §7 M5): "
+    "token count, vocabulary size, non-space chars, mean token length.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split("text", " ")
+    n_word_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    avg_len = (
+        F.floor(n_word_chars.cast("double") / F.size(w) * 10000).cast("double") / 10000
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        n_word_chars.alias("n_word_chars"),
+        avg_len.alias("avg_token_len"),
+    )
+
+
+def _sql_stopword_count() -> str:
+    lits = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"len(list_filter(string_split(text, ' '), x -> list_contains([{lits}], x)))"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_sql_stopword_count()} AS INTEGER) AS n_stopwords,
+           CAST({_sql_stopword_count()} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(FLOOR((
+               CAST({_sql_stopword_count()} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 0.7
+           ) * 10000) AS DOUBLE) / 10000 AS quality_score
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Document quality heuristics: stopword ratio (fluency signal) and "
+    "type-token ratio (repetition signal), folded into one score. The "
+    "shape of a C4/Gopher-style quality filter, as pure column algebra.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split("text", " ")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_tok = F.size(w)
+    stop_ratio = n_stop.cast("double") / n_tok
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok
+    score = (F.floor((stop_ratio * 0.3 + ttr * 0.7) * 10000).cast("double") / 10000)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    lits = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> list_contains([{lits}], x)))"
+
+
+def _sql_langid_oracle() -> str:
+    scores = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in LANG_ORDER)
+    greatest = "GREATEST(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+    argmax = "CASE WHEN " + greatest + " = 0 THEN 'en' " + " ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in LANG_ORDER
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+    SELECT doc_id, lang, {argmax} AS predicted_lang,
+           CAST({argmax} = lang AS INTEGER) AS is_match
+    FROM scored
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_sql_langid_oracle(),
+    tags=("text",),
+    doc="Keyword-evidence language ID: per-language marker-token counts, "
+    "deterministic argmax (fixed precedence, 'en' fallback on zero "
+    "evidence). The fixture text is same-vocabulary word salad, so this "
+    "exercises the mechanical path; swap LANG_MARKERS for character "
+    "n-gram profiles on real corpora.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split("text", " ")
+
+    def marker_pred(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(w, marker_pred(LANG_MARKERS[lg]))).alias(f"s_{lg}")
+            for lg in LANG_ORDER
+        ],
+    )
+    greatest = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_ORDER])
+    pred = F.when(greatest == 0, F.lit("en"))
+    for lg in LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lg}") == greatest, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           MIN({sql_hash60("token")}) AS fp_min,
+           CAST(SUM({sql_hash60("token")} % 1000000007) % 1000000007 AS BIGINT) AS fp_modsum
+    FROM tok
+    GROUP BY doc_id
+    """,
+    tags=("text", "sketch"),
+    doc="Order-insensitive document fingerprint over the distinct-token "
+    "set: 1-permutation MinHash (fp_min) + modular token-hash sum "
+    "(fp_modsum). Pairs with dedup_exact for fast same-content checks "
+    "when byte equality is too strict (whitespace-normalized dedup).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    h = hash60("token")
+    return tok.groupBy("doc_id").agg(
+        F.min(h).alias("fp_min"),
+        (F.sum(h % 1000000007) % 1000000007).alias("fp_modsum"),
+    )
