@@ -1,0 +1,189 @@
+"""Declarative data-quality framework (SURVEY.md §7 M2).
+
+Re-expression of the reference's QC job (reference:
+dags/scripts/spark/nrg_qc.py:27-55) with its latent bugs fixed:
+
+- B1: check builders return SQL/expressions, never function objects
+  (reference nrg_sql_queries.py:61 returned the function itself).
+- B2: comparisons are scalar vs scalar, not int vs Row
+  (reference nrg_qc.py:44,49 compared 0 != Row(...) — always True).
+- B3: no trailing semicolons inside templated SQL
+  (reference nrg_sql_queries.py:53).
+- B4/B7: the report is plain JSON-serializable dicts written through an
+  engine-agnostic writer, not Python open() on an hdfs:// URI with Row
+  objects in the payload (reference nrg_qc.py:46,51,54-55).
+
+Execution model fixes the reference's one-collect()-per-check loop
+(nrg_qc.py:38-52): all checks against a table are fused into a single
+aggregate pass (one job per table, each check one aggregate column), so a
+100 TB fact table is scanned once regardless of how many checks it has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = {
+    "==": lambda a, e: a == e,
+    "!=": lambda a, e: a != e,
+    "<=": lambda a, e: a <= e,
+    ">=": lambda a, e: a >= e,
+}
+
+
+@dataclass(frozen=True)
+class Check:
+    """One data-quality assertion: aggregate ``agg`` over ``table`` must
+    satisfy ``actual <op> expected``."""
+
+    name: str
+    table: str
+    agg: Column
+    op: str
+    expected: int
+
+    def __post_init__(self) -> None:
+        if self.op not in _OPS:
+            raise ValueError(f"unsupported op {self.op!r}; use one of {sorted(_OPS)}")
+
+
+# --- Check constructors (the reference's check taxonomy, nrg_qc.py:27-34) ---
+
+
+def row_count_min(table: str, minimum: int = 1, name: str | None = None) -> Check:
+    """Non-empty / minimum-cardinality check (reference rows_count, fixed B1)."""
+    return Check(
+        name=name or f"{table}_row_count_min_{minimum}",
+        table=table,
+        agg=F.count(F.lit(1)),
+        op=">=",
+        expected=minimum,
+    )
+
+
+def null_count(table: str, column: str, expected: int = 0, name: str | None = None) -> Check:
+    """NULL audit on a key column (reference nulls_count, fixed B3)."""
+    return Check(
+        name=name or f"{table}_{column}_nulls",
+        table=table,
+        agg=F.count_if(F.col(column).isNull()),
+        op="==",
+        expected=expected,
+    )
+
+
+def duplicate_count(table: str, columns: list[str], expected: int = 0, name: str | None = None) -> Check:
+    """Duplicate-key audit: rows beyond the first per key (absent in
+    reference; standard warehouse check)."""
+    return Check(
+        name=name or f"{table}_{'_'.join(columns)}_dupes",
+        table=table,
+        agg=F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in columns]),
+        op="==",
+        expected=expected,
+    )
+
+
+def violation_count(
+    table: str, predicate: Column, expected: int = 0, op: str = "==", name: str | None = None
+) -> Check:
+    """Rows violating a business rule (reference net_gen_qc consistency
+    check, nrg_sql_queries.py:63-72: total != sum of parts)."""
+    return Check(
+        name=name or f"{table}_violations",
+        table=table,
+        agg=F.count_if(predicate),
+        op=op,
+        expected=expected,
+    )
+
+
+# --- Evaluation: one aggregate pass per table -------------------------------
+
+
+def evaluate(tables: dict[str, DataFrame], checks: list[Check]) -> list[dict[str, Any]]:
+    """Run all checks, fused per table, and return JSON-safe result dicts.
+
+    One Spark job per distinct table; each check is one aggregate column
+    in that job. Results are plain Python scalars (B2/B7 fixed).
+    """
+    unknown = sorted({c.table for c in checks} - set(tables))
+    if unknown:
+        raise KeyError(f"checks reference unknown tables: {unknown}")
+
+    results: list[dict[str, Any]] = []
+    for table in sorted({c.table for c in checks}):
+        tchecks = [c for c in checks if c.table == table]
+        row = (
+            tables[table]
+            .agg(*[c.agg.cast("long").alias(f"c{i}") for i, c in enumerate(tchecks)])
+            .collect()[0]
+        )
+        for i, c in enumerate(tchecks):
+            actual = int(row[i])
+            passed = bool(_OPS[c.op](actual, c.expected))
+            results.append(
+                {
+                    "check": c.name,
+                    "table": c.table,
+                    "op": c.op,
+                    "expected": c.expected,
+                    "actual": actual,
+                    "passed": passed,
+                }
+            )
+    return results
+
+
+def write_report(results: list[dict[str, Any]], path: str) -> dict[str, Any]:
+    """Write the QC report as one JSON document; returns the summary.
+
+    Local filesystem writer with parent-dir creation (B4 fixed). For
+    object stores, write the same payload via
+    ``spark.createDataFrame(results).coalesce(1).write.json(path)``.
+    """
+    summary = {
+        "n_checks": len(results),
+        "n_failed": sum(1 for r in results if not r["passed"]),
+        "failures": [r for r in results if not r["passed"]],
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fout:
+        json.dump(summary, fout, indent=2)
+    return summary
+
+
+# --- Seed corpus: the reference's checks, re-targeted at the fixtures -------
+
+
+def fixture_checks() -> list[Check]:
+    """The reference's check table (nrg_qc.py:27-34) shape on the fixture
+    star schema: non-empty tables, null-free keys, consistency rule."""
+    return [
+        row_count_min("lineitem"),
+        row_count_min("orders"),
+        row_count_min("customer"),
+        null_count("lineitem", "l_orderkey"),
+        null_count("orders", "o_orderkey"),
+        null_count("orders", "o_orderdate"),
+        null_count("customer", "c_custkey"),
+        duplicate_count("orders", ["o_orderkey"]),
+        duplicate_count("customer", ["c_custkey"]),
+        violation_count(
+            "lineitem",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            name="lineitem_discount_range",
+        ),
+        violation_count(
+            "lineitem",
+            F.col("l_extendedprice") <= 0,
+            name="lineitem_price_positive",
+        ),
+    ]

@@ -1,1 +1,158 @@
-"""Batch-equivalent forms of the streaming windows — filled in incrementally."""
+"""Batch-equivalent forms of the streaming windows (SURVEY.md §2.11, §7 M4).
+
+The reference has no streaming at all (daily Airflow batch,
+dags/spark_submit_airflow.py:176). The engine adds Structured Streaming
+over ``events`` (streaming/jobs.py); each stateful shape here is the
+*batch twin* of a streaming job, registered in the oracle catalog so the
+window/session/dedup semantics themselves are correctness-gated. The
+streaming tests then assert stream-vs-batch equality, closing the loop:
+oracle ⇔ batch twin ⇔ streaming job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators._util import dsum, sql_dsum, t
+from ..plans.catalog import register
+
+SESSION_GAP = "30 minutes"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "st_tumbling_daily",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "agg"),
+    bench=True,
+    doc="Tumbling 1-day window aggregate (batch twin of the streaming "
+    "job). In streaming this runs with a watermark and incremental state; "
+    "the grouping semantics are identical, which is what the oracle pins.",
+)
+def st_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("win.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "st_sliding_2d_1d",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, value FROM events
+        UNION ALL
+        SELECT CAST(date_trunc('day', ts) AS DATE) - 1 AS window_start, value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum("value", "total_value")}
+    FROM assigned GROUP BY 1
+    """,
+    tags=("streaming", "agg"),
+    doc="Sliding window (2-day length, 1-day slide): every event lands in "
+    "two windows. Spark expands via its window() generator; the oracle "
+    "expands explicitly with a UNION ALL of the two window starts.",
+)
+def st_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("win.start").cast("date").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "st_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{SQL_TS_FMT}') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "agg"),
+    doc="Session windows (30-min gap) per user — batch twin of "
+    "session_window(). The oracle derives sessions via the classic "
+    "lag+cumsum assignment; a new session starts when the gap to the "
+    "previous event is ≥ 30 min, matching Spark's strict-< merge rule.",
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "st_dedup_first",
+    oracle=f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{SQL_TS_FMT}') AS first_ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+    doc="Keep-earliest dedup on (user_id, event_type) — batch twin of "
+    "streaming dropDuplicates with watermark under ordered replay. "
+    "Expressed as row_number=1 (deterministic) rather than batch "
+    "dropDuplicates (which keeps an arbitrary row).",
+)
+def st_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,131 @@
+"""Structured Streaming jobs over the ``events`` table (SURVEY.md §7 M4).
+
+Real ``readStream`` pipelines: file-source replay of the events parquet →
+watermarked stateful operators → any sink. Each job is the streaming form
+of a batch twin in ``batch_equiv.py``; tests drive them with
+``trigger(availableNow=True)`` into a memory sink and assert equality
+with the batch result, which the DuckDB oracle has already pinned.
+
+Scale notes: watermarks bound state (without one, windowed aggregation
+state grows forever); ``availableNow`` gives batch-like backfill with
+streaming semantics; sinks should be idempotent (foreachBatch + MERGE, or
+exactly-once file sinks) — at 100 TB the checkpoint, not the data, is the
+recovery contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .batch_equiv import SESSION_GAP, TS_FMT
+from ..operators._util import dsum
+
+# Physical schema of the events parquet (ts is TIMESTAMP(NANOS) on disk,
+# surfaced as long under nanosAsLong — see sources/tables.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source streaming read of the events fixture.
+
+    A directory of arriving parquet files is the classic replay source;
+    the fixture is one file, which the source handles as a single batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(_staged_replay_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _staged_replay_dir(sf_dir: str) -> str:
+    """The file source requires a *directory* of arriving files; stage the
+    single-file fixture into a per-sf temp dir (the replay 'landing zone')."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"events_replay_{key}")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir}/events.parquet", dst)
+    return d
+
+
+def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of st_tumbling_daily (same grouping, plus watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("win.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of st_session_windows (session_window + watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "40 days") -> DataFrame:
+    """Streaming dedup on (user_id, event_type): first arrival wins.
+
+    With the fixture replayed in one availableNow batch, "first arrival"
+    is resolved by dropDuplicates state insert order; the batch twin
+    (st_dedup_first) pins earliest-by-ts, which matches when files arrive
+    in ts order. The watermark bounds dedup state retention.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("first_ts"),
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink; return the
+    materialized result table (test/bench helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,77 @@
+"""QC framework tests (SURVEY.md §5.3): checks must pass on clean fixture
+data and *fail* on seeded-corrupt data — both directions property-tested,
+unlike the reference whose comparisons could never fail correctly
+(nrg_qc.py:44,49, bug B2)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nrg_etl_airflow_spark_emr_spark import qc
+from nrg_etl_airflow_spark_emr_spark.sources import load_tables
+
+
+def test_fixture_checks_pass(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    results = qc.evaluate(tables, qc.fixture_checks())
+    failed = [r for r in results if not r["passed"]]
+    assert failed == []
+    assert len(results) == len(qc.fixture_checks())
+
+
+def test_corrupt_data_fails_checks(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    # Seed corruption: null out keys, duplicate rows, break the rule.
+    corrupt_orders = tables["orders"].withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, None).otherwise(F.col("o_orderkey")),
+    )
+    dup_customer = tables["customer"].unionAll(tables["customer"].limit(5))
+    bad_lineitem = tables["lineitem"].withColumn(
+        "l_discount", F.when(F.col("l_orderkey") % 50 == 0, F.lit(2.0)).otherwise(F.col("l_discount"))
+    )
+    results = qc.evaluate(
+        {"orders": corrupt_orders, "customer": dup_customer, "lineitem": bad_lineitem},
+        [
+            qc.null_count("orders", "o_orderkey"),
+            qc.duplicate_count("customer", ["c_custkey"]),
+            qc.violation_count(
+                "lineitem", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+        ],
+    )
+    assert all(not r["passed"] for r in results), results
+    # Seeded magnitudes are reported exactly.
+    by_name = {r["check"]: r for r in results}
+    assert by_name["customer_c_custkey_dupes"]["actual"] == 5
+
+
+def test_report_is_json_serializable(spark, sf_dir, tmp_path):
+    tables = load_tables(spark, sf_dir, ("orders",))
+    results = qc.evaluate(tables, [qc.row_count_min("orders")])
+    path = str(tmp_path / "nested" / "data_quality.json")
+    summary = qc.write_report(results, path)
+    with open(path) as f:
+        loaded = json.load(f)
+    assert loaded["n_failed"] == 0
+    assert loaded == summary
+
+
+def test_unknown_table_raises(spark, sf_dir):
+    try:
+        qc.evaluate({}, [qc.row_count_min("nope")])
+    except KeyError as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("expected KeyError")
+
+
+def test_bad_op_raises():
+    try:
+        qc.Check(name="x", table="t", agg=F.count(F.lit(1)), op="~", expected=0)
+    except ValueError as e:
+        assert "unsupported op" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
