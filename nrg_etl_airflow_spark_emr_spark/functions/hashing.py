@@ -31,8 +31,8 @@ def sql_hash60(expr: str) -> str:
 def seeded_hash60(seed: int, col: Column | str) -> Column:
     """Seed-parameterized hash family: hash60(seed || ':' || s).
 
-    Used as the MinHash permutation family — portable to SQL, unlike
-    (a*h+b) mod p which overflows 64-bit multiplication.
+    Portable but costs one md5 per seed; prefer :func:`hash_pair` +
+    :func:`combined_hash` for k-permutation families (one md5 total).
     """
     c = F.col(col) if isinstance(col, str) else col
     return hash60(F.concat_ws(":", F.lit(str(seed)), c))
@@ -40,6 +40,41 @@ def seeded_hash60(seed: int, col: Column | str) -> Column:
 
 def sql_seeded_hash60(seed: int, expr: str) -> str:
     return sql_hash60(f"'{seed}:' || {expr}")
+
+
+# k-permutation hash family from ONE md5: split the 128-bit digest into two
+# independent 60-bit halves (h1, h2) and combine as (h1 + j*h2') mod P61 —
+# the standard one-hash MinHash construction. h2 is reduced mod a 57-bit
+# prime first so j*h2' + h1 stays < 2^63 (no signed-64 overflow in either
+# engine; Spark wraps silently, DuckDB would error — both are avoided).
+P61 = (1 << 61) - 1            # Mersenne prime 2^61-1
+P57 = 144115188075855859       # prime < 2^57
+
+
+def hash_pair(col: Column | str) -> tuple[Column, Column]:
+    """(h1, h2') — two independent 60-bit hashes from one md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(c)
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long") % P57
+    return h1, h2
+
+
+def combined_hash(h1: Column, h2: Column, j: int) -> Column:
+    """j-th permutation hash: (h1 + j*h2) mod P61."""
+    return (h1 + F.lit(j) * h2) % P61
+
+
+def sql_hash_pair(expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`hash_pair`."""
+    return (
+        f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)",
+        f"CAST('0x' || substr(md5({expr}), 16, 15) AS BIGINT) % {P57}",
+    )
+
+
+def sql_combined_hash(h1: str, h2: str, j: int) -> str:
+    return f"(({h1}) + {j} * ({h2})) % {P61}"
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

@@ -1,0 +1,213 @@
+"""Advanced query surface: SQL entry point, subqueries, regexp/JSON
+functions, approximate aggregates.
+
+The reference's primary entry point is ``spark.sql()`` over temp views
+(reference nrg_etl.py:29,33,67 — SURVEY.md §3.1); the subquery specs here
+run through that same path (register views → SQL text) so the engine's
+SQL surface is correctness-gated, not just the DataFrame API. Catalyst
+rewrites IN/EXISTS to semi/anti joins and decorrelates the correlated
+forms — visible in .explain() as BroadcastHashJoin(LeftSemi/LeftAnti).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..session import tune
+from ..sources import load_table
+from ._util import t
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], query: str) -> DataFrame:
+    """Reference-style SQL entry: temp views + spark.sql (nrg_etl.py:28-29)."""
+    tune(spark)
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
+@register(
+    "sub1_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 / COUNT(o_totalprice)
+        FROM orders
+    )
+    """,
+    tags=("subquery", "sql"),
+    doc="Scalar subquery: orders above the global average price (average "
+    "computed fixed-point so both engines agree bit-for-bit). Catalyst "
+    "evaluates the subquery once and folds it into the filter.",
+)
+def sub1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000 / COUNT(o_totalprice)
+            FROM orders
+        )
+        """,
+    )
+
+
+@register(
+    "sub2_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+    )
+    """,
+    tags=("subquery", "sql"),
+    doc="IN subquery → LeftSemi join rewrite: suppliers with any "
+    "high-quantity line item.",
+)
+def sub2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        ("supplier", "lineitem"),
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        )
+        """,
+    )
+
+
+@register(
+    "sub3_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    tags=("subquery", "sql"),
+    doc="Correlated EXISTS (decorrelated by Catalyst to a semi join): "
+    "customers with at least one very large order.",
+)
+def sub3_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        ("customer", "orders"),
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """,
+    )
+
+
+@register(
+    "sub4_correlated_agg",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 / COUNT(o2.o_totalprice)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery", "sql"),
+    doc="Correlated scalar aggregate subquery: orders more than 2× their "
+    "customer's average. Decorrelates to an aggregate + join.",
+)
+def sub4_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000 / COUNT(o2.o_totalprice)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """,
+    )
+
+
+@register(
+    "f6_regexp_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS cust_digits,
+           CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS n_zeros,
+           regexp_replace(c_name, '^Customer#0*', '') AS short_id,
+           CAST(regexp_matches(c_name, '^Customer#[0-9]{9}$') AS INTEGER) AS well_formed
+    FROM customer
+    """,
+    tags=("function", "string"),
+    doc="Regexp surface (absent in reference — SURVEY.md §2.8): extract, "
+    "count-matches, replace, full-match validation.",
+)
+def f6_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("cust_digits"),
+        F.size(F.regexp_extract_all("c_name", F.lit("0"), 0)).alias("n_zeros"),
+        F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
+        F.col("c_name").rlike(r"^Customer#[0-9]{9}$").cast("int").alias("well_formed"),
+    )
+
+
+@register(
+    "f7_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing
+    FROM events
+    """,
+    tags=("function", "json"),
+    doc="Schema-full JSON parsing: from_json with a declared struct "
+    "(vs f1's path extraction). Missing fields surface as typed NULLs.",
+)
+def f7_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = F.from_json("props", "k INT, missing INT")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("missing").alias("missing"),
+    )
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # approximate algorithms differ per engine → rows-only
+    tags=("agg", "sketch"),
+    doc="Approximate aggregates (HLL count-distinct, quantile sketch) per "
+    "return flag. No oracle: sketch internals are engine-specific; "
+    "tests/test_approx.py bounds the error against exact counts instead.",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
+    )

@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    combined_hash,
     hash60,
-    seeded_hash60,
-    sql_seeded_hash60,
+    hash_pair,
+    sql_combined_hash,
+    sql_hash_pair,
     sql_word_shingles,
     word_shingles,
 )
@@ -47,12 +49,14 @@ _SQL_SHINGLES_CTE = f"""
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
 """
 
+_SQL_H1, _SQL_H2 = sql_hash_pair("shingle")
 _SQL_SIG_CTE = (
-    "sig AS (SELECT doc_id, "
+    f"hh AS (SELECT doc_id, {_SQL_H1} AS h1, {_SQL_H2} AS h2 FROM ex),\n"
+    "    sig AS (SELECT doc_id, "
     + ", ".join(
-        f"MIN({sql_seeded_hash60(j, 'shingle')}) AS mh{j}" for j in range(MINHASH_K)
+        f"MIN({sql_combined_hash('h1', 'h2', j)}) AS mh{j}" for j in range(MINHASH_K)
     )
-    + " FROM ex GROUP BY doc_id)"
+    + " FROM hh GROUP BY doc_id)"
 )
 
 
@@ -64,9 +68,16 @@ def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One md5 per (doc, shingle); the k permutations are integer math
+    (combined_hash) — ~k× cheaper than k independent md5 passes."""
     ex = _shingle_exploded(spark, sf_dir)
-    return ex.groupBy("doc_id").agg(
-        *[F.min(seeded_hash60(j, "shingle")).alias(f"mh{j}") for j in range(MINHASH_K)]
+    h1, h2 = hash_pair("shingle")
+    hh = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hh.groupBy("doc_id").agg(
+        *[
+            F.min(combined_hash(F.col("h1"), F.col("h2"), j)).alias(f"mh{j}")
+            for j in range(MINHASH_K)
+        ]
     )
 
 
