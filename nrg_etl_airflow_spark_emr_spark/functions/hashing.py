@@ -51,13 +51,19 @@ P61 = (1 << 61) - 1            # Mersenne prime 2^61-1
 P57 = 144115188075855859       # prime < 2^57
 
 
+def digest_pair(digest: Column) -> tuple[Column, Column]:
+    """(h1, h2') from an md5 hex digest column. Split out from
+    :func:`hash_pair` so HOF-lambda callers can materialize the digest
+    once (lambdas get no common-subexpression elimination)."""
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 16, 15), 16, 10).cast("long") % P57
+    return h1, h2
+
+
 def hash_pair(col: Column | str) -> tuple[Column, Column]:
     """(h1, h2') — two independent 60-bit hashes from one md5."""
     c = F.col(col) if isinstance(col, str) else col
-    m = F.md5(c)
-    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long") % P57
-    return h1, h2
+    return digest_pair(F.md5(c))
 
 
 def combined_hash(h1: Column, h2: Column, j: int) -> Column:
@@ -77,21 +83,38 @@ def sql_combined_hash(h1: str, h2: str, j: int) -> str:
     return f"(({h1}) + {j} * ({h2})) % {P61}"
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-token word shingles of a whitespace-tokenized text.
+def shingles_from_words(words: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of an *already-materialized* words array.
+
+    ``words`` must be a bound column (e.g. projected as ``split(text, ' ')``
+    in a prior select), NOT an inline ``F.split(...)`` expression: the
+    element lambda below references it per shingle element, and Spark does
+    not eliminate common subexpressions inside higher-order-function
+    lambdas — an inline split would be re-evaluated O(tokens·k) times per
+    row (measured 5× slower on the documents fixture).
 
     Rows with fewer than k tokens yield an empty array (guarded: Spark's
     sequence() would otherwise produce a *descending* range).
     """
-    c = F.col(text) if isinstance(text, str) else text
-    w = F.split(c, " ")
-    idx = F.sequence(F.lit(0), F.size(w) - k)
+    idx = F.sequence(F.lit(0), F.size(words) - k)
     make = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)])
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
     )
-    return F.when(F.size(w) >= k, F.array_distinct(make)).otherwise(
+    return F.when(F.size(words) >= k, F.array_distinct(make)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token word shingles of a whitespace-tokenized text.
+
+    Convenience wrapper; hot paths should project ``split(text, ' ')`` to a
+    named column first and call :func:`shingles_from_words` (see its
+    docstring for the subexpression-elimination trap).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_from_words(F.split(c, " "), k)
 
 
 def sql_word_shingles(k: int = 3) -> str:

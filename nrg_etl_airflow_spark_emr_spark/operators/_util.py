@@ -19,6 +19,41 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan so CPU-heavy per-row stages use every core.
+
+    Small fixture tables arrive as 1-2 parquet splits, serializing
+    expression-heavy stages (shingling, hashing, mapInPandas) onto one
+    task. At 100 TB the scan already yields thousands of splits and this
+    is a no-op (guarded by partition count), so the round-robin shuffle
+    cost is only ever paid when the input is tiny relative to the compute.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def explode_unpushed(df: DataFrame, arr: Column, alias: str, *keep: str) -> DataFrame:
+    """``explode`` that defeats InferFiltersFromGenerate pushdown.
+
+    Plain ``explode(expr)`` makes Catalyst infer ``size(expr) > 0`` and
+    push it below any exchange with ``expr`` substituted in — for an
+    expensive array expression (shingling) that inlines the whole
+    construction into the narrow pre-``spread`` scan stage, serializing it
+    onto one core AND computing it twice (measured 8× slowdown on the
+    documents fixture). ``explode_outer`` infers no filter; the null
+    filter on the *generated* attribute cannot be pushed below the
+    Generate, so it runs post-exchange where it belongs.
+
+    Semantics match ``explode`` unless the array itself contains null
+    elements (explode emits them, this drops them) — fine for all callers
+    here (shingles/tokens are concat/split products, never null).
+    """
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
+
+
 # Fixed-point summation scale: 4 decimal digits.
 #
 # Why floor-based fixed point instead of DECIMAL casts: rounding a double to

@@ -21,16 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
-    combined_hash,
+    P61,
+    digest_pair,
     hash60,
-    hash_pair,
+    shingles_from_words,
     sql_combined_hash,
     sql_hash_pair,
     sql_word_shingles,
-    word_shingles,
 )
 from ..plans.catalog import register
-from ._util import t
+from ._util import explode_unpushed, spread, t
 
 # MinHash configuration: 16 hashes in 4 bands of 4.
 MINHASH_K = 16
@@ -60,24 +60,58 @@ _SQL_SIG_CTE = (
 )
 
 
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, require_shingles: bool = False
+) -> DataFrame:
+    """(doc_id, shingles array) — words pre-projected (see
+    shingles_from_words), scan spread across cores.
+
+    ``require_shingles`` drops docs that produce no shingles. It filters on
+    the equivalent cheap predicate ``size(split(text)) >= k`` — NEVER on
+    ``size(shingles) > 0``: Catalyst pushes filters below the spread()
+    exchange with the aliased expression substituted in, so a predicate on
+    the shingles column would inline the whole shingle construction into
+    the single-partition scan stage (measured: 8× slowdown).
+    """
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    if require_shingles:
+        words = words.filter(F.size("w") >= 3)
+    return words.select("doc_id", shingles_from_words(F.col("w"), 3).alias("shingles"))
+
+
 def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    return explode_unpushed(
+        _doc_shingles(spark, sf_dir), F.col("shingles"), "shingle", "doc_id"
     )
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One md5 per (doc, shingle); the k permutations are integer math
-    (combined_hash) — ~k× cheaper than k independent md5 passes."""
-    ex = _shingle_exploded(spark, sf_dir)
-    h1, h2 = hash_pair("shingle")
-    hh = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    return hh.groupBy("doc_id").agg(
+    """MinHash signatures with ZERO shuffle: the k permutations are
+    array_min over per-shingle (h1 + j·h2) mod P — entirely row-local, so
+    there is no exploded intermediate and no groupBy exchange. One md5 per
+    (doc, shingle); the k permutations are integer math (combined_hash),
+    ~k× cheaper than k independent md5 passes. Docs with no shingles drop
+    out (matching the oracle's unnest semantics)."""
+    sh = _doc_shingles(spark, sf_dir, require_shingles=True)
+    digs = sh.select("doc_id", F.transform("shingles", F.md5).alias("dig"))
+    pairs = digs.select(
+        "doc_id",
+        F.transform(
+            "dig",
+            lambda d: F.struct(
+                *(c.alias(n) for c, n in zip(digest_pair(d), ("h1", "h2")))
+            ),
+        ).alias("hp"),
+    )
+    return pairs.select(
+        "doc_id",
         *[
-            F.min(combined_hash(F.col("h1"), F.col("h2"), j)).alias(f"mh{j}")
+            F.array_min(
+                F.transform("hp", lambda p: (p["h1"] + F.lit(j) * p["h2"]) % P61)
+            ).alias(f"mh{j}")
             for j in range(MINHASH_K)
-        ]
+        ],
     )
 
 
@@ -137,11 +171,9 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline; candidate pruning at scale is dedup_minhash_lsh.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles("text", 3).alias("shingles")
-    )
+    docs = _doc_shingles(spark, sf_dir)
     sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
-    ex = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    ex = explode_unpushed(docs, F.col("shingles"), "shingle", "doc_id")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -228,17 +260,19 @@ def _sql_lsh_oracle() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir).cache()
-    band_frames = []
-    for b in range(LSH_BANDS):
-        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.concat_ws(",", *cols).alias("band_key"),
+    # One pass over sig (not a LSH_BANDS-way union): posexplode an array of
+    # per-band keys. Band id comes free as the array position.
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
             )
-        )
-    bands = reduce(lambda x, y: x.unionAll(y), band_frames)
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -313,10 +347,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("token")
-    )
+    tok = _shingle_exploded(spark, sf_dir).withColumnRenamed("shingle", "token")
     th = tok.select("doc_id", hash60("token").alias("h"))
     bit_aggs = [
         F.sum(
@@ -352,7 +383,12 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _simhashes(spark, sf_dir)
-    a = sh.alias("a")
+    # The theta-join below is a broadcast nested-loop whose parallelism is
+    # the STREAMED side's partition count — and AQE coalesces the tiny
+    # post-agg frame to 1 partition, serializing the O(n²) compare loop.
+    # Explicit repartition (REPARTITION_BY_NUM — exempt from AQE coalesce)
+    # spreads the compare across cores.
+    a = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism).alias("a")
     b = sh.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, sql_hash60
 from ..plans.catalog import register
-from ._util import t
+from ._util import explode_unpushed, spread, t
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -182,9 +182,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "when byte equality is too strict (whitespace-normalized dedup).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
+    tok = explode_unpushed(toks, F.col("tokens"), "token", "doc_id")
     h = hash60("token")
     return tok.groupBy("doc_id").agg(
         F.min(h).alias("fp_min"),
