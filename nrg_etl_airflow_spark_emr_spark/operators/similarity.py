@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.catalog import register
-from ._util import t
+from ._util import spread, t
 
 FP_SCALE = 10_000_000  # 1e-7 resolution; exact for unit-norm float32 vectors
 N_QUERIES = 5          # fixture queries: vec_id < 5
@@ -48,8 +48,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings → (vec_id, label, fe: array<bigint>, nrm: double)."""
-    emb = t(spark, sf_dir, "embeddings")
+    """embeddings → (vec_id, label, fe: array<bigint>, nrm: double).
+
+    spread() before the fixed-point transform + norm: HOF array math is
+    interpreted (not codegen'd), so it must run on every core, and the
+    single-file fixture scan would otherwise serialize it onto one task.
+    """
+    emb = spread(t(spark, sf_dir, "embeddings"))
     fe = _fixed(F.col("embedding")).alias("fe")
     df = emb.select("vec_id", "label", fe)
     return df.select(
