@@ -196,6 +196,30 @@ def f7_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "g3_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("agg", "sql"),
+    doc="Explicit GROUPING SETS (complements g1 rollup / g2 cube — "
+    "SURVEY.md §2.4 absent-in-reference list) with GROUPING() ids to "
+    "disambiguate NULL-as-total from NULL-as-value. Single Expand + "
+    "hash aggregate in Spark: one pass over lineitem, no re-scan per set.",
+)
+def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, ("lineitem",), _GROUPING_SETS_SQL)
+
+
 @register(
     "approx_sketches",
     oracle=None,  # approximate algorithms differ per engine → rows-only

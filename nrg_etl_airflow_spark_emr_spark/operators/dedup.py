@@ -303,6 +303,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+EMB_DUP_THRESHOLD = 0.4  # fixture max cosine ≈ 0.51; production near-dup ≥0.95
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH fx AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) for x in embedding] AS fe
+        FROM embeddings
+    ),
+    vecs AS (SELECT vec_id, fe, sqrt(list_dot_product(fe, fe)) AS nrm FROM fx)
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+           list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) >= {EMB_DUP_THRESHOLD}
+    """,
+    tags=("dedup", "similarity"),
+    doc="Embedding-cosine near-dup (SURVEY.md §7 M5 dedup list): pairs "
+    "above the cosine threshold, lower vec_id kept. All-pairs on the "
+    "fixture; the 100 TB path routes candidates through sim_knn_ivf's "
+    "cell assignment (same-cell pairs only) before the exact cosine.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _vectors
+
+    v = _vectors(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.fe"), F.col("b.fe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot.cast("double") / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

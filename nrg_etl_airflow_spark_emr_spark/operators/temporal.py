@@ -1,0 +1,221 @@
+"""Temporal join operators over the ``events`` table (SURVEY.md §2.3 gap
+list: as-of / range / interval joins are absent in the reference).
+
+These are the operators Spark lacks as built-ins, implemented as
+compositions of DataFrame ops (SURVEY.md §7: composition first, Pandas
+UDF only if semantics demand it — they don't here):
+
+- **As-of join** — sort-based union trick: tag both sides, one window
+  pass carries the latest left-side row forward. ONE shuffle (by key),
+  no join explosion, no per-row probe. This is how kdb/QuestDB-style
+  asof semantics map onto a shuffle engine.
+- **Range (interval) join** — banded bucket join: quantize time into
+  interval-width buckets, equi-join on (key, bucket) with each probe row
+  expanded to the two candidate buckets, then exact-filter. Turns an
+  O(n·m) theta join into an equi-join whose cost tracks true matches;
+  the per-bucket fan-in bounds skew.
+- **Sessionization (batch)** — gap-based session ids via lag + running
+  sum of session-break flags; the batch twin of streaming
+  ``session_window`` (streaming/jobs.py).
+
+All timestamps surface as epoch-microsecond BIGINTs so the DuckDB oracle
+compares integers, not engine-local timestamp renderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.catalog import register
+from ._util import t
+
+RANGE_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+SESSION_GAP_US = 30 * 60 * 1_000_000   # 30 minutes
+
+
+@register(
+    "j5_asof_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id AS src_id, 0 AS kind,
+               CAST(epoch_us(ts) AS BIGINT) AS vts, event_id AS vid
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1, NULL, NULL
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT user_id, ts, src_id, kind,
+               last_value(vid IGNORE NULLS) OVER w AS view_id,
+               last_value(vts IGNORE NULLS) OVER w AS view_ts_us
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, src_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT src_id AS purchase_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+           view_id, view_ts_us
+    FROM m WHERE kind = 1
+    """,
+    tags=("join", "temporal"),
+    doc="As-of join: each purchase matched to the same user's most recent "
+    "view at-or-before it (ties on ts: views sort first, then highest "
+    "event_id wins). Sort-based union+window — one shuffle on user_id, "
+    "no range probe, no explosion; at 100 TB this is a single exchange "
+    "+ per-partition sort, vs. the quadratic theta join it replaces.",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("src_id"),
+        F.lit(0).alias("kind"),
+        F.unix_micros("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("src_id"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vts"),
+        F.lit(None).cast("long").alias("vid"),
+    )
+    u = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "src_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.select(
+        "user_id",
+        "ts",
+        "src_id",
+        "kind",
+        F.last("vid", ignorenulls=True).over(w).alias("view_id"),
+        F.last("vts", ignorenulls=True).over(w).alias("view_ts_us"),
+    )
+    return m.filter(F.col("kind") == 1).select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "view_id",
+        "view_ts_us",
+    )
+
+
+@register(
+    "j6_range_join",
+    oracle=f"""
+    SELECT e.event_id AS error_id, f.event_id AS follow_id,
+           e.user_id,
+           f.event_type AS follow_type,
+           CAST(epoch_us(f.ts) - epoch_us(e.ts) AS BIGINT) AS delta_us
+    FROM events e
+    JOIN events f
+      ON f.user_id = e.user_id
+     AND epoch_us(f.ts) > epoch_us(e.ts)
+     AND epoch_us(f.ts) <= epoch_us(e.ts) + {RANGE_WINDOW_US}
+    WHERE e.event_type = 'error'
+    """,
+    tags=("join", "temporal"),
+    doc="Range join: every event by the same user in the 10 minutes after "
+    "an error. Banded-bucket strategy: quantize to window-width buckets, "
+    "probe side expands to (bucket, bucket+1), equi-join on (user_id, "
+    "bucket), exact range filter last. The oracle states the naive theta "
+    "join; the Spark plan is the equi-join Catalyst can hash-partition — "
+    "cost tracks matches, not |errors|·|events|.",
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    build = ev.select(
+        F.col("event_id").alias("follow_id"),
+        "user_id",
+        F.col("event_type").alias("follow_type"),
+        F.col("us").alias("fus"),
+        (F.col("us") / RANGE_WINDOW_US).cast("long").alias("bucket"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("us").alias("eus"),
+        (F.col("us") / RANGE_WINDOW_US).cast("long").alias("b0"),
+    )
+    probe = errors.select(
+        "error_id",
+        "user_id",
+        "eus",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+    )
+    joined = probe.join(build, ["user_id", "bucket"]).filter(
+        (F.col("fus") > F.col("eus"))
+        & (F.col("fus") <= F.col("eus") + RANGE_WINDOW_US)
+    )
+    return joined.select(
+        "error_id",
+        "follow_id",
+        "user_id",
+        "follow_type",
+        (F.col("fus") - F.col("eus")).alias("delta_us"),
+    )
+
+
+@register(
+    "w5_sessionize",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS session_end_us
+    FROM s
+    GROUP BY user_id, session_idx
+    """,
+    tags=("window", "temporal"),
+    doc="Batch sessionization: 30-min-gap session ids via lag + running "
+    "sum of break flags, then per-session aggregates. Batch twin of "
+    "streaming session_window (st_session_windows); same shuffle shape "
+    "as the as-of join — one exchange on user_id, windows and the final "
+    "groupBy reuse the partitioning.",
+)
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(ow))
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("is_new"),
+    )
+    sw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.select(
+        "user_id", "ts", F.sum("is_new").over(sw).alias("session_idx")
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+    )

@@ -33,6 +33,7 @@ _MODULES = (
     "nrg_etl_airflow_spark_emr_spark.operators.analytic",
     "nrg_etl_airflow_spark_emr_spark.operators.scalar_funcs",
     "nrg_etl_airflow_spark_emr_spark.operators.advanced",
+    "nrg_etl_airflow_spark_emr_spark.operators.temporal",
     "nrg_etl_airflow_spark_emr_spark.operators.dedup",
     "nrg_etl_airflow_spark_emr_spark.operators.similarity",
     "nrg_etl_airflow_spark_emr_spark.operators.text",
