@@ -39,6 +39,65 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan (gzip auto-detected). Absent in the reference
+    (SURVEY.md §2.1 'absent formats'); needed for events.props-shaped
+    feeds. Always pass a schema in production: schema inference runs an
+    extra full scan of the input.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (QC-report shape, SURVEY.md S7 done distributed —
+    the reference's local ``open()`` of an hdfs:// URI is bug B4)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same self-describing columnar contract as parquet (S4);
+    included so the engine reads both lake formats Spark ships natively."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned ORC sink (columnar alternative to S5/S6)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Gzipped-CSV sink — produces inputs shaped like the reference's raw
+    feeds (nrg_etl.py:20-24) for round-trip testing and interchange."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -156,3 +156,25 @@ def st_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "st_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "agg"),
+    doc="Per-user running totals — batch twin of the custom stateful "
+    "operator running_user_totals (applyInPandasWithState, "
+    "streaming/jobs.py). Value totals in exact integer cents so stream "
+    "and batch agree bit-for-bit regardless of accumulation order.",
+)
+def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )

