@@ -1,0 +1,116 @@
+"""Dedup clustering: connected components over near-dup pairs.
+
+Closes the dedup pipeline end-to-end: candidate pairs (MinHash-LSH or
+exact Jaccard) are an *edge list*; the keep/drop decision needs the
+transitive closure — if A≈B and B≈C, all three are one cluster even when
+A and C don't pair directly. Canonical doc = min doc_id per component.
+
+Spark-first implementation: iterative min-label propagation on the
+DataFrame API (small-star style). Each round joins labels to the edge
+list and takes the min over self + neighbors; converges in O(component
+diameter) rounds. The edge list after LSH candidate pruning is tiny
+relative to the corpus (that's the point of LSH), so at 100 TB the loop
+shuffles only near-dup docs, never the corpus. localCheckpoint() per
+round truncates the lineage so plans don't grow with iterations.
+
+Oracle: DuckDB recursive CTE computing min reachable id — genuinely
+iterative SQL, proving the Spark loop equals the fixpoint semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from .dedup import JACCARD_THRESHOLD, _SQL_SHINGLES_CTE, dedup_jaccard_pairs
+from ._util import t
+
+MAX_ITERATIONS = 20  # diameter bound; fixture components are chains of 2-3
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node) + (src, dst) undirected edges → (node, cluster_id=min id).
+
+    Pure DataFrame iteration — no RDDs, no driver-side graph. Rounds:
+    label(v) ← min(label(v), min over neighbors' labels); stop when no
+    label changed (count of changed rows == 0, one cheap action/round).
+    """
+    both = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    both = both.distinct().localCheckpoint()
+
+    labels = nodes.select(F.col("node"), F.col("node").alias("lbl"))
+    for _ in range(MAX_ITERATIONS):
+        neighbor_min = (
+            both.join(labels, both["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                F.col("lbl").alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+           CAST(node = MIN(lbl) AS INTEGER) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph"),
+    doc="Connected components over exact-Jaccard near-dup pairs "
+    "(transitive closure of dedup_jaccard_pairs): every document labeled "
+    "with its cluster's min doc_id; is_canonical marks the keeper. "
+    "Iterative min-label propagation in Spark vs a recursive CTE oracle.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    comp = connected_components(pairs, nodes)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

@@ -1,0 +1,91 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+engine's scale story depends on must be visible in the executed plan, not
+assumed. Each assertion pins a property that silently regressing would
+make a query orders-of-magnitude slower at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dimension_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_month")
+    assert "BroadcastHashJoin" in plan, "orders-side join should broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, "region/nation/supplier are broadcast-sized"
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = next(line for line in plan.splitlines() if "Scan parquet" in line)
+    assert "l_comment" not in scan and "l_partkey" not in scan, (
+        "lineitem scan must read only the aggregated columns"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
+        "PushedFilters:"
+    )[1][:4], "predicates must reach the parquet reader"
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w1_row_number_topk")
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k filter should push a per-group limit below the shuffle"
+    )
+
+
+def test_sort_limit_becomes_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_top_orders")
+    assert "TakeOrderedAndProject" in plan, "ORDER BY + LIMIT must not globally sort"
+
+
+def test_minhash_signatures_shuffle_once_no_regression(spark, sf_dir):
+    """The zero-shuffle signature formulation: one spread() exchange, no
+    groupBy aggregation, and no shingle work below that exchange (the
+    InferFiltersFromGenerate trap — see operators/_util.explode_unpushed)."""
+    # dedup_minhash_lsh (run earlier in the session) caches the signature
+    # frame; drop it so we inspect the real plan, not an InMemoryTableScan.
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "dedup_minhash_signatures")
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan
+    pre_exchange = plan.split("Exchange")[-1]  # tree prints top-down; scan side is last
+    assert "array_distinct" not in pre_exchange, (
+        "shingle construction leaked below the spread() exchange"
+    )
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir):
+    """Policy (SURVEY.md §2.10): no row-at-a-time Python UDFs in any
+    catalog query. Arrow-batched pandas ops (MapInPandas/FlatMapGroups)
+    are the sanctioned slow path."""
+    offenders = []
+    for name in sorted(SPECS):
+        plan = _plan(spark, sf_dir, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-python UDFs found in: {offenders}"
+
+
+def test_events_scan_prunes_for_asof(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j5_asof_join")
+    scans = [line for line in plan.splitlines() if "Scan parquet" in line]
+    assert scans and all("props" not in s for s in scans), (
+        "as-of join must not read the wide props column"
+    )
