@@ -170,3 +170,122 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return docs.mapInPandas(decode_image_batches, schema=DECODED_SCHEMA)
+
+
+# --- Resize stub ------------------------------------------------------------
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload to (width, height).
+
+    STUB: needs an image library (Pillow/libvips) not present here; the
+    deterministic fake below exercises the identical Spark-side contract.
+    """
+    raise NotImplementedError(
+        "image resizing requires an image library; use fake_resize_image"
+    )
+
+
+def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: returns a byte string whose length scales
+    with the target area, derived from the payload (so tests can assert
+    content-dependence and size-dependence without a codec)."""
+    area = max(width * height // 64, 1)
+    seed = payload[:16] or b"\0"
+    reps = area // len(seed) + 1
+    return (seed * reps)[:area]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_batches(
+    batches: Iterator[pd.DataFrame], width: int = 64, height: int = 64, resizer=fake_resize_image
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda p: resizer(p, width, height))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "resized": resized,
+                "n_bytes": resized.map(len).astype("int32"),
+            }
+        )
+
+
+@register(
+    "mm_resize",
+    oracle=None,  # stubbed codec; plumbing pinned by unit tests
+    tags=("multimodal", "udf"),
+    doc="Resize-stage plumbing: binary in → binary out via mapInPandas "
+    "(batch-shape identical to a real thumbnailer). Codec stubbed "
+    "(resize_image raises; fake_resize_image drives tests).",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+# --- Frame sampling (video-shaped payloads) ---------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+N_FRAMES = 4
+
+
+def sample_frames(payload: bytes, n_frames: int = N_FRAMES) -> list[bytes]:
+    """Deterministic frame sampler: treat the payload as a 'video' and cut
+    n equally-spaced fixed-width slices ('frames'). A real implementation
+    decodes containers + keyframes; the row-explosion shape (1 payload →
+    n typed frames) and batching are what the engine owns."""
+    if not payload:
+        return []
+    stride = max(len(payload) // n_frames, 1)
+    return [payload[i * stride : i * stride + 16] for i in range(min(n_frames, len(payload)))]
+
+
+def frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, frames = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i, fr in enumerate(sample_frames(payload)):
+                ids.append(doc_id)
+                idxs.append(i)
+                frames.append(fr)
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "frame_idx": pd.Series(idxs, dtype="int32"),
+             "frame": pd.Series(frames, dtype=object)}
+        )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # python-kernel fan-out; exactness pinned by unit tests
+    tags=("multimodal", "udf"),
+    doc="Frame sampling: one binary 'video' fans out to N typed frame "
+    "rows through mapInPandas (row-generating kernel — the multimodal "
+    "analogue of explode). Deterministic slicer stands in for a real "
+    "keyframe decoder.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)

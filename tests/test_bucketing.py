@@ -1,0 +1,62 @@
+"""Bucketed-table co-located join (SURVEY.md §7 'partitioning & shuffle'):
+pre-bucketing both join sides on the key eliminates the per-query shuffle
+entirely — at 100 TB this converts every repeated fact-fact join from a
+full-network exchange into a local merge. Verified structurally (no
+Exchange in the executed plan) and by result equality with the plain join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key, sub in (
+        ("b_lineitem", li, "l_orderkey", "li"),
+        ("b_orders", od, "o_orderkey", "od"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / sub))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    yield "b_lineitem", "b_orders"
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    t1, t2 = bucketed_tables
+    joined = spark.table(t1).join(
+        spark.table(t2), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        "both sides bucketed on the join key: the join must be shuffle-free"
+    )
+    # and it computes the same thing as the plain (shuffling) join
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    expected = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert joined.count() == expected
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    t1, _ = bucketed_tables
+    agg = spark.table(t1).groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        "aggregation on the bucket key reuses the bucketing, no shuffle"
+    )
