@@ -225,3 +225,128 @@ def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
     )
+
+
+@register(
+    "w6_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS DOUBLE) / 10000 AS pct_rank,
+           CAST(FLOOR(CUME_DIST() OVER w * 10000) AS DOUBLE) / 10000 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+    doc="Distribution window functions (ntile / percent_rank / cume_dist) "
+    "per order priority. Ratios floored to 1e-4 fixed point so the one "
+    "double division compares bit-identically across engines.",
+)
+def w6_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    fp = lambda c: (F.floor(c * 10000).cast("double") / 10000)  # noqa: E731
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        fp(F.percent_rank().over(w)).alias("pct_rank"),
+        fp(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "w7_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_extendedprice,
+           COUNT(*) OVER (
+               PARTITION BY l_suppkey ORDER BY l_extendedprice
+               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS n_similar_priced
+    FROM lineitem
+    """,
+    tags=("window",),
+    doc="RANGE-frame window (value-based, not row-based): for each line "
+    "item, how many same-supplier items are priced within ±1000. "
+    "Complements w3's ROWS frame; counts only (no float aggregation) so "
+    "the comparison is exact.",
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+    )
+
+
+@register(
+    "f8_array_agg_funcs",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority)) AS priorities,
+           CAST(len(list_distinct(list(o_orderpriority))) AS INTEGER) AS n_distinct,
+           list_sort(list(o_orderpriority))[1] AS first_priority,
+           CAST(list_contains(list(o_orderpriority), '1-URGENT') AS INTEGER) AS has_urgent
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("function", "array"),
+    doc="Array aggregation + array functions (absent in reference — "
+    "SURVEY.md §2.8): collect per-customer priority list (sorted, so the "
+    "nondeterministic collect order cancels out), distinct count, "
+    "element access, membership.",
+)
+def f8_array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.array_sort(F.collect_list("o_orderpriority"))
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            arr.alias("priorities"),
+            F.size(F.array_distinct(F.collect_list("o_orderpriority"))).alias(
+                "n_distinct"
+            ),
+            arr.getItem(0).alias("first_priority"),
+            F.array_contains(F.collect_list("o_orderpriority"), "1-URGENT")
+            .cast("int")
+            .alias("has_urgent"),
+        )
+    )
+
+
+@register(
+    "f9_map_funcs",
+    oracle="""
+    SELECT o_custkey,
+           CAST(map_extract(m, '1-URGENT')[1] AS BIGINT) AS n_urgent,
+           CAST(len(map_keys(m)) AS INTEGER) AS n_priorities
+    FROM (
+        SELECT o_custkey,
+               map_from_entries(list(ROW(o_orderpriority, cnt))) AS m
+        FROM (
+            SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY o_custkey, o_orderpriority
+        )
+        GROUP BY o_custkey
+    )
+    """,
+    tags=("function", "map"),
+    doc="Map construction + access (absent in reference): per-customer "
+    "priority→count map via map_from_entries, keyed lookup and key "
+    "cardinality. NULL when the customer has no urgent orders.",
+)
+def f9_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("o_orderpriority", "cnt")))
+    return counts.groupBy("o_custkey").agg(
+        m.getItem("1-URGENT").alias("n_urgent"),
+        F.size(F.map_keys(m)).alias("n_priorities"),
+    )

@@ -60,6 +60,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000   # 30 minutes
     FROM m WHERE kind = 1
     """,
     tags=("join", "temporal"),
+    bench=True,
     doc="As-of join: each purchase matched to the same user's most recent "
     "view at-or-before it (ties on ts: views sort first, then highest "
     "event_id wins). Sort-based union+window — one shuffle on user_id, "
@@ -190,6 +191,7 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_idx
     """,
     tags=("window", "temporal"),
+    bench=True,
     doc="Batch sessionization: 30-min-gap session ids via lag + running "
     "sum of break flags, then per-session aggregates. Batch twin of "
     "streaming session_window (st_session_windows); same shuffle shape "
