@@ -10,3 +10,16 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
         assert rel_err < 0.05, (r.l_returnflag, r.approx_orders, r.exact_orders)
         assert r.median_price_approx > 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """ANN quality gate: IVF top-5 must recover most of the brute-force
+    top-5 (nprobe=2 of 5 cells on the fixture → recall is high but not
+    necessarily 1.0; the bound catches broken cell assignment/probing)."""
+    brute = all_specs()["sim_knn_brute"].builder(spark, sf_dir).filter("rn <= 5")
+    ivf = all_specs()["sim_knn_ivf"].builder(spark, sf_dir)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    i = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert b, "brute-force baseline empty"
+    recall = len(b & i) / len(b)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} vs brute force"
