@@ -179,3 +179,29 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def foreach_batch_parquet_sink(events: DataFrame, path: str, checkpoint: str):
+    """Idempotent foreachBatch sink: each micro-batch lands in its own
+    batch_id partition via dynamic partition overwrite, so a replayed
+    batch (failure between write and checkpoint commit) overwrites its own
+    output instead of duplicating it. With the checkpoint this gives
+    effectively-exactly-once file output — the recovery contract that
+    matters at 100 TB (see module docstring).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

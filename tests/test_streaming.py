@@ -64,3 +64,26 @@ def test_stateful_user_totals_match_batch(spark, sf_dir, events_stream):
     )
     batch = SPECS["st_user_totals"].builder(spark, sf_dir)
     assert _rows(stream_out) == _rows(batch)
+
+
+def test_foreach_batch_sink_is_idempotent(spark, sf_dir, events_stream, tmp_path):
+    """foreachBatch + batch_id-partitioned dynamic overwrite: output equals
+    the source exactly once, and restarting from the same checkpoint does
+    not duplicate or rewrite anything."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = jobs.foreach_batch_parquet_sink(events_stream, out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    n_src = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+    assert first.count() == n_src
+    # restart: availableNow with nothing new to process → no change
+    q2 = jobs.foreach_batch_parquet_sink(events_stream, out, ckpt)
+    q2.awaitTermination()
+    again = spark.read.parquet(out)
+    assert again.count() == n_src
+    assert sorted(r.event_id for r in again.select("event_id").collect()) == sorted(
+        r.event_id for r in first.select("event_id").collect()
+    )
