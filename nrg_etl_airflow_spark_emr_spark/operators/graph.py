@@ -26,15 +26,23 @@ from ..plans.catalog import register
 from .dedup import JACCARD_THRESHOLD, _SQL_SHINGLES_CTE, dedup_jaccard_pairs
 from ._util import t
 
-MAX_ITERATIONS = 20  # diameter bound; fixture components are chains of 2-3
+MAX_ITERATIONS = 40  # 2^40 diameter headroom — pointer jumping is O(log d)
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """(node) + (src, dst) undirected edges → (node, cluster_id=min id).
 
-    Pure DataFrame iteration — no RDDs, no driver-side graph. Rounds:
-    label(v) ← min(label(v), min over neighbors' labels); stop when no
-    label changed (count of changed rows == 0, one cheap action/round).
+    Pure DataFrame iteration — no RDDs, no driver-side graph. Each round:
+
+    1. label(v) ← min(label(v), min over neighbors' labels) — 1-hop spread;
+    2. pointer jump: label(v) ← label(label(v)) — labels always point to a
+       smaller node, so the label table doubles as a pointer forest and
+       one self-join halves its depth. Neighbor-min alone moves a label 1
+       hop per round (a diameter-d chain needs d rounds); with jumping
+       convergence is O(log d).
+
+    Stops when no label changed (one cheap count per round); raises if the
+    iteration cap is hit rather than silently returning partial clusters.
     """
     both = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
@@ -48,22 +56,34 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["a"], "left"
+        ).select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("slbl"),
+            F.col("lbl").alias("old_lbl"),
+        )
+        # pointer jump: slbl(v) → slbl(slbl(v)); every label is a node id,
+        # so the inner self-join always finds its target.
+        tgt = stepped.select(
+            F.col("node").alias("tnode"), F.col("slbl").alias("tlbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            stepped.join(tgt, stepped["slbl"] == tgt["tnode"])
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                F.col("lbl").alias("old_lbl"),
+                F.least(F.col("slbl"), F.col("tlbl")).alias("new_lbl"),
+                "old_lbl",
             )
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
-            break
-    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {MAX_ITERATIONS} rounds"
+    )
 
 
 @register(

@@ -1,0 +1,72 @@
+"""Hash/shingle expression builders vs pure-Python references on random
+inputs — one Spark job per test, not per example."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from nrg_etl_airflow_spark_emr_spark.functions.hashing import (
+    P57,
+    P61,
+    hash60,
+    hash_pair,
+    shingles_from_words,
+)
+
+
+def _py_shingles(text: str, k: int = 3) -> list[str]:
+    w = text.split(" ")
+    if len(w) < k:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(w) - k + 1):
+        seen.setdefault(" ".join(w[i : i + k]), None)
+    return list(seen)
+
+
+def _random_texts(rng: random.Random, n: int) -> list[str]:
+    texts = []
+    for _ in range(n):
+        n_words = rng.randrange(0, 12)
+        words = [
+            "".join(rng.choices(string.ascii_lowercase, k=rng.randrange(1, 6)))
+            for _ in range(n_words)
+        ]
+        texts.append(" ".join(words))
+    return texts
+
+
+def test_shingles_match_python_reference(spark):
+    rng = random.Random(7)
+    texts = _random_texts(rng, 300) + ["", "one", "one two", "a a a a a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    out = df.select(
+        "id", shingles_from_words(F.split("text", " "), 3).alias("sh")
+    ).collect()
+    got = {r.id: list(r.sh) for r in out}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t), (i, t)
+
+
+def test_hash_pair_ranges_and_determinism(spark):
+    rng = random.Random(11)
+    vals = ["".join(rng.choices(string.printable[:80], k=rng.randrange(1, 30))) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    h1, h2 = hash_pair("s")
+    rows = df.select(hash60("s").alias("h"), h1.alias("h1"), h2.alias("h2")).collect()
+    for r in rows:
+        assert 0 <= r.h < 1 << 60
+        assert 0 <= r.h1 < 1 << 60
+        assert 0 <= r.h2 < P57
+        # the j-th permutation stays within signed-64 for all j used
+        assert r.h1 + 31 * r.h2 < 1 << 63
+    # determinism: same inputs → same hashes on a re-run
+    again = df.select(hash60("s").alias("h")).collect()
+    assert [r.h for r in rows] == [r.h for r in again]
+
+
+def test_p61_is_mersenne():
+    assert P61 == (1 << 61) - 1
