@@ -192,3 +192,76 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(h).alias("fp_min"),
         (F.sum(h % 1000000007) % 1000000007).alias("fp_modsum"),
     )
+
+
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alphanumeric marks (the shape GPT-2's pre-tokenizer regex carves
+# before byte-pair merges).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(FLOOR(CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                / len(string_split(text, ' ')) * 10000) AS DOUBLE) / 10000
+               AS bpe_per_word
+    FROM documents
+    """,
+    tags=("text",),
+    doc="BPE-ish token counting (SURVEY.md §7 M5): regex pre-tokenizer "
+    "classes (letter runs / digit runs / punctuation marks) vs whitespace "
+    "tokens, plus the tokens-per-word ratio LLM data budgets use. Pure "
+    "regexp column expressions — JVM-side, no UDF.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    n_ws = F.size(F.split("text", " "))
+    ratio = F.floor(n_bpe.cast("double") / n_ws * 10000).cast("double") / 10000
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        ratio.alias("bpe_per_word"),
+    )
+
+
+ROLL_K = 8  # character window width for the rolling fingerprint
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= {ROLL_K} THEN
+               list_min([{sql_hash60(f"substr(text, i, {ROLL_K})")}
+                         for i in range(1, length(text) - {ROLL_K - 2})])
+           END AS roll_min,
+           CASE WHEN length(text) >= {ROLL_K} THEN
+               list_max([{sql_hash60(f"substr(text, i, {ROLL_K})")}
+                         for i in range(1, length(text) - {ROLL_K - 2})])
+           END AS roll_max
+    FROM documents
+    """,
+    tags=("text", "sketch"),
+    doc=f"Rolling-hash document fingerprint: hash every {ROLL_K}-char "
+    "window (the Rabin-Karp/winnowing position set) and keep min+max — "
+    "robust to token reordering at whitespace granularity, the "
+    "character-level complement of text_fingerprint. Windows are "
+    "generated as an index array (sequence→transform→array_min), the "
+    "same zero-shuffle pattern as the MinHash signatures.",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    idx = F.sequence(F.lit(1), F.length("text") - (ROLL_K - 1))
+    hashes = F.transform(idx, lambda i: hash60(F.col("text").substr(i, F.lit(ROLL_K))))
+    guarded = F.when(F.length("text") >= ROLL_K, hashes)
+    return docs.select(
+        "doc_id",
+        F.array_min(guarded).alias("roll_min"),
+        F.array_max(guarded).alias("roll_max"),
+    )
