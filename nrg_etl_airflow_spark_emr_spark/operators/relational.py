@@ -538,3 +538,63 @@ def s1_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+    doc="TPC-H Q6 shape: pure filter + scalar aggregate — the canonical "
+    "pushdown showcase (all three predicates reach the parquet reader; "
+    "row-group stats skip non-1994 data entirely at scale).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT p_type,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "type_revenue")}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q14 shape: fact-to-part join + per-type revenue. part is "
+    "dimension-sized → broadcast hash join, no fact shuffle; the groupBy "
+    "shuffles only (p_type, partial sums).",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("net", "type_revenue"))
+    )
