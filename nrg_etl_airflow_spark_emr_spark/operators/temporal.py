@@ -34,6 +34,128 @@ from ._util import t
 RANGE_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
 SESSION_GAP_US = 30 * 60 * 1_000_000   # 30 minutes
 
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    probe_id: str = "event_id",
+    ref_id: str = "event_id",
+) -> DataFrame:
+    """Generic sort-based as-of join: each probe row gets the ref row with
+    the greatest ts <= probe ts for the same key (ties: ref rows sort
+    before probe rows at equal ts; among equal-ts ref rows the highest id
+    wins). One shuffle on the key, no range probe, no explosion.
+
+    Returns (probe_id, key, probe_ts_us, ref_id -> view_id, ref_ts_us).
+    """
+    r = ref.select(
+        F.col(key).alias("user_id"),
+        F.col(ts).alias("ts"),
+        F.col(ref_id).alias("src_id"),
+        F.lit(0).alias("kind"),
+        F.unix_micros(ts).alias("vts"),
+        F.col(ref_id).alias("vid"),
+    )
+    p_ = probe.select(
+        F.col(key).alias("user_id"),
+        F.col(ts).alias("ts"),
+        F.col(probe_id).alias("src_id"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vts"),
+        F.lit(None).cast("long").alias("vid"),
+    )
+    u = r.unionByName(p_)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "src_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.select(
+        "user_id",
+        "ts",
+        "src_id",
+        "kind",
+        F.last("vid", ignorenulls=True).over(w).alias("view_id"),
+        F.last("vts", ignorenulls=True).over(w).alias("view_ts_us"),
+    )
+    return m.filter(F.col("kind") == 1).select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "view_id",
+        "view_ts_us",
+    )
+
+
+def range_join(
+    anchors: DataFrame,
+    follows: DataFrame,
+    window_us: int = RANGE_WINDOW_US,
+    key: str = "user_id",
+) -> DataFrame:
+    """Generic banded range join: (anchor, follow) pairs with the same key
+    and follow ts in (anchor ts, anchor ts + window_us]. Bucket-quantized
+    equi-join (probe expands to bucket and bucket+1), exact filter last —
+    cost tracks matches, not |anchors|x|follows|.
+
+    anchors: (event_id, key, us); follows: (event_id, key, event_type, us).
+    """
+    build = follows.select(
+        F.col("event_id").alias("follow_id"),
+        key,
+        F.col("event_type").alias("follow_type"),
+        F.col("us").alias("fus"),
+        (F.col("us") / window_us).cast("long").alias("bucket"),
+    )
+    probe = anchors.select(
+        F.col("event_id").alias("error_id"),
+        key,
+        F.col("us").alias("eus"),
+        F.explode(
+            F.array((F.col("us") / window_us).cast("long"),
+                    (F.col("us") / window_us).cast("long") + 1)
+        ).alias("bucket"),
+    )
+    joined = probe.join(build, [key, "bucket"]).filter(
+        (F.col("fus") > F.col("eus")) & (F.col("fus") <= F.col("eus") + window_us)
+    )
+    return joined.select(
+        "error_id",
+        "follow_id",
+        key,
+        "follow_type",
+        (F.col("fus") - F.col("eus")).alias("delta_us"),
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_us: int = SESSION_GAP_US, key: str = "user_id"
+) -> DataFrame:
+    """Generic gap-based sessionization: (key, session_idx, n_events,
+    session_start_us, session_end_us) with a new session whenever the gap
+    to the previous event (by ts, event_id) exceeds gap_us."""
+    ow = Window.partitionBy(key).orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(ow))
+    g = events.select(
+        key,
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0).alias("is_new"),
+    )
+    sw = (
+        Window.partitionBy(key)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.select(key, "ts", F.sum("is_new").over(sw).alias("session_idx"))
+    return s.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+    )
+
+
 
 @register(
     "j5_asof_join",
@@ -69,42 +191,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000   # 30 minutes
 )
 def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("src_id"),
-        F.lit(0).alias("kind"),
-        F.unix_micros("ts").alias("vts"),
-        F.col("event_id").alias("vid"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("src_id"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("long").alias("vts"),
-        F.lit(None).cast("long").alias("vid"),
-    )
-    u = views.unionByName(purchases)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "src_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = u.select(
-        "user_id",
-        "ts",
-        "src_id",
-        "kind",
-        F.last("vid", ignorenulls=True).over(w).alias("view_id"),
-        F.last("vts", ignorenulls=True).over(w).alias("view_ts_us"),
-    )
-    return m.filter(F.col("kind") == 1).select(
-        F.col("src_id").alias("purchase_id"),
-        "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
-        "view_id",
-        "view_ts_us",
+    return asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
     )
 
 
@@ -134,36 +223,7 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    build = ev.select(
-        F.col("event_id").alias("follow_id"),
-        "user_id",
-        F.col("event_type").alias("follow_type"),
-        F.col("us").alias("fus"),
-        (F.col("us") / RANGE_WINDOW_US).cast("long").alias("bucket"),
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("error_id"),
-        "user_id",
-        F.col("us").alias("eus"),
-        (F.col("us") / RANGE_WINDOW_US).cast("long").alias("b0"),
-    )
-    probe = errors.select(
-        "error_id",
-        "user_id",
-        "eus",
-        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
-    )
-    joined = probe.join(build, ["user_id", "bucket"]).filter(
-        (F.col("fus") > F.col("eus"))
-        & (F.col("fus") <= F.col("eus") + RANGE_WINDOW_US)
-    )
-    return joined.select(
-        "error_id",
-        "follow_id",
-        "user_id",
-        "follow_type",
-        (F.col("fus") - F.col("eus")).alias("delta_us"),
-    )
+    return range_join(ev.filter(F.col("event_type") == "error"), ev)
 
 
 @register(
@@ -199,25 +259,5 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupBy reuse the partitioning.",
 )
 def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(ow))
-    g = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("is_new"),
-    )
-    sw = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s = g.select(
-        "user_id", "ts", F.sum("is_new").over(sw).alias("session_idx")
-    )
-    return s.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min(F.unix_micros("ts")).alias("session_start_us"),
-        F.max(F.unix_micros("ts")).alias("session_end_us"),
-    )
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize(ev)
