@@ -261,3 +261,81 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return sessionize(ev)
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(v.v_us AS BIGINT) AS v_us,
+           CAST(c.c_us AS BIGINT) AS c_us,
+           CAST(p.p_us AS BIGINT) AS p_us,
+           CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+                     WHEN c.c_us IS NOT NULL THEN 2
+                     WHEN v.v_us IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    tags=("temporal", "agg"),
+    doc="Ordered funnel (view -> later click -> later purchase): earliest "
+    "strictly-increasing completion time per stage and the deepest stage "
+    "reached per user. Three keyed aggregations + left joins — every "
+    "shuffle is on user_id, so at scale one exchange partitioning is "
+    "reused across all four steps.",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    stage = (
+        F.when(F.col("p_us").isNotNull(), 3)
+        .when(F.col("c_us").isNotNull(), 2)
+        .when(F.col("v_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_us", "c_us", "p_us", stage.alias("funnel_stage"))
+    )
