@@ -1,0 +1,116 @@
+"""End-to-end training-corpus cleaning pipeline (SURVEY.md §7 M5 capstone).
+
+Composes the LLM-data operators into the standard corpus-hygiene flow:
+
+    documents
+      → quality filter   (text_quality_score ≥ threshold)
+      → language filter  (text_langid ∈ allowed set)
+      → near-dup dedup   (dedup_clusters: keep each cluster's canonical)
+      → cleaned corpus + per-stage survival stats
+
+Each stage is the SAME oracle-gated operator from the catalog (joined on
+doc_id), so the composed pipeline inherits their verified semantics; the
+catalog entry `corpus_clean` re-states the composition as one DuckDB
+query over the operators' own oracle SQL, gating the composition itself.
+
+Scale: every stage is keyed on doc_id — the joins reuse one hash
+partitioning; the only non-doc_id shuffle is inside dedup_clusters
+(bounded by the near-dup candidate set, see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import dedup_clusters
+from ..operators.text import text_langid, text_quality_score
+from ..operators._util import t
+from ..plans.catalog import register
+
+QUALITY_THRESHOLD = 0.55
+ALLOWED_LANGS = ("en",)
+
+
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_threshold: float = QUALITY_THRESHOLD,
+    allowed_langs: tuple[str, ...] = ALLOWED_LANGS,
+) -> DataFrame:
+    """Cleaned corpus: doc_id + text + the per-stage signals that kept it."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lang = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    return (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(
+            (F.col("quality_score") >= quality_threshold)
+            & F.col("predicted_lang").isin(*allowed_langs)
+            & (F.col("is_canonical") == 1)
+        )
+    )
+
+
+def survival_stats(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Per-stage survivor counts (one job per stage; diagnostic helper)."""
+    docs = t(spark, sf_dir, "documents")
+    quality = text_quality_score(spark, sf_dir).filter(
+        F.col("quality_score") >= QUALITY_THRESHOLD
+    )
+    lang = text_langid(spark, sf_dir).filter(
+        F.col("predicted_lang").isin(*ALLOWED_LANGS)
+    )
+    return {
+        "input": docs.count(),
+        "pass_quality": quality.count(),
+        "pass_lang": lang.count(),
+        "cleaned": clean_corpus(spark, sf_dir).count(),
+    }
+
+
+def _compose_oracle() -> str:
+    """One DuckDB query re-stating the composition from the stage oracles."""
+    from ..plans.catalog import all_specs
+
+    specs = all_specs()
+    q = specs["text_quality_score"].oracle
+    lg = specs["text_langid"].oracle
+    cl = specs["dedup_clusters"].oracle
+    langs = ", ".join(f"'{x}'" for x in ALLOWED_LANGS)
+    return f"""
+    SELECT d.doc_id, d.text, q.quality_score, l.predicted_lang,
+           c.cluster_id, c.is_canonical
+    FROM documents d
+    JOIN ({q}) q ON q.doc_id = d.doc_id
+    JOIN ({lg}) l ON l.doc_id = d.doc_id
+    JOIN ({cl}) c ON c.doc_id = d.doc_id
+    WHERE q.quality_score >= {QUALITY_THRESHOLD}
+      AND l.predicted_lang IN ({langs})
+      AND c.is_canonical = 1
+    """
+
+
+@register(
+    "corpus_clean",
+    oracle=_compose_oracle(),
+    tags=("pipeline", "dedup", "text"),
+    doc="Composed corpus-cleaning pipeline: quality filter + language "
+    "filter + canonical-only dedup, every stage the already-oracle-gated "
+    "operator, the composition itself gated by nesting the stage oracles "
+    "into one DuckDB query.",
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_corpus(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "quality_score",
+        "predicted_lang",
+        "cluster_id",
+        "is_canonical",
+    )

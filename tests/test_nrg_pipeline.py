@@ -90,3 +90,19 @@ def test_qc_catches_corruption(spark, tmp_path):
     failed = {r["check"] for r in report["failures"]}
     assert "bal_auth_net_generation_consistency" in failed
     assert "weather_TMIN_nulls" in failed
+
+
+def test_corpus_pipeline_stats_coherent(spark, sf_dir):
+    """Each cleaning stage can only shrink the corpus, and the cleaned set
+    is exactly the canonical docs passing both filters."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import (
+        clean_corpus,
+        survival_stats,
+    )
+
+    stats = survival_stats(spark, sf_dir)
+    assert stats["cleaned"] <= min(stats["pass_quality"], stats["pass_lang"])
+    assert stats["input"] >= stats["pass_quality"]
+    cleaned = clean_corpus(spark, sf_dir)
+    assert cleaned.filter("is_canonical != 1").count() == 0
+    assert cleaned.count() == stats["cleaned"]
