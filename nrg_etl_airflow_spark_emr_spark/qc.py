@@ -187,3 +187,46 @@ def fixture_checks() -> list[Check]:
             name="lineitem_price_positive",
         ),
     ]
+
+
+# --- Zero-extra-pass QC: Observation metrics on the main action -------------
+
+
+def evaluate_observed(
+    df: DataFrame, checks: list[Check], action=None
+) -> list[dict[str, Any]]:
+    """Evaluate checks against ONE DataFrame as Observation metrics
+    collected during a single action — zero additional Spark jobs.
+
+    The per-table `evaluate()` runs one aggregate job per table; at 100 TB
+    even that re-scan is money. This variant piggybacks the same aggregate
+    expressions on an action the pipeline already performs (default: a
+    noop-format write, i.e. one pass), so QC costs nothing beyond the
+    write that was happening anyway. Checks must all target the same
+    logical table (the `table` field is informational here).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(
+        obs, *[c.agg.cast("long").alias(f"c{i}") for i, c in enumerate(checks)]
+    )
+    if action is None:
+        observed.write.format("noop").mode("overwrite").save()
+    else:
+        action(observed)
+    got = obs.get
+    results = []
+    for i, c in enumerate(checks):
+        actual = int(got[f"c{i}"])
+        results.append(
+            {
+                "check": c.name,
+                "table": c.table,
+                "op": c.op,
+                "expected": c.expected,
+                "actual": actual,
+                "passed": bool(_OPS[c.op](actual, c.expected)),
+            }
+        )
+    return results

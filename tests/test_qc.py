@@ -75,3 +75,24 @@ def test_bad_op_raises():
         assert "unsupported op" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_observed_checks_match_evaluate(spark, sf_dir):
+    """Observation-based QC (metrics on the main action, zero extra jobs)
+    returns the same results as the per-table aggregate job."""
+    from nrg_etl_airflow_spark_emr_spark.qc import evaluate, evaluate_observed
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+    import nrg_etl_airflow_spark_emr_spark.qc as qc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        qc.row_count_min("lineitem", 1),
+        qc.null_count("lineitem", "l_orderkey", 0),
+        qc.violation_count("lineitem", F.col("l_quantity") < 0, 0,
+                           name="no_negative_quantity"),
+    ]
+    direct = evaluate({"lineitem": li}, checks)
+    observed = evaluate_observed(li, checks)
+    strip = lambda rs: [{k: r[k] for k in ("check", "actual", "passed")} for r in rs]
+    assert strip(observed) == strip(direct)
+    assert all(r["passed"] for r in observed)
