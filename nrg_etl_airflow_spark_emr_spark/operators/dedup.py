@@ -207,9 +207,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM sig
     """,
     tags=("dedup", "sketch"),
-    doc=f"MinHash signatures ({MINHASH_K} seeded hash60 permutations over "
-    "3-token shingles). One explode + one groupBy: linear, map-side "
-    "combinable, shuffle carries only (doc_id, 16×int64).",
+    doc=f"MinHash signatures: {MINHASH_K} permutations from ONE md5 per "
+    "3-token shingle ((h1 + j*h2) mod 2^61-1), computed as row-local "
+    "array expressions — zero shuffle, no exploded intermediate.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir)
