@@ -87,3 +87,108 @@ def test_foreach_batch_sink_is_idempotent(spark, sf_dir, events_stream, tmp_path
     assert sorted(r.event_id for r in again.select("event_id").collect()) == sorted(
         r.event_id for r in first.select("event_id").collect()
     )
+
+
+def test_multi_batch_replay_matches_batch(spark, sf_dir, tmp_path):
+    """Replay the events fixture as TWO files (split by ts) with
+    maxFilesPerTrigger=1 — two micro-batches through the stateful window —
+    and still match the batch twin (no in-order data is late for the
+    1-day watermark when files arrive in ts order)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    mid = int(src.approxQuantile("ts", [0.5], 0.001)[0])
+    d = str(tmp_path / "replay2")
+    os.makedirs(d)
+    # The file source wants plain files in the listed dir; stage each split's
+    # part file as a flat file, mtimes enforcing a->b processing order.
+    for i, (name, frag) in enumerate(
+        [("a", src.filter(f"ts <= {mid}")), ("b", src.filter(f"ts > {mid}"))]
+    ):
+        tmp = str(tmp_path / f"stage_{name}")
+        frag.coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = jobs.run_to_memory(jobs.tumbling_daily(stream), "t_twobatch")
+    batch = SPECS["st_tumbling_daily"].builder(spark, sf_dir)
+    assert _rows(out) == _rows(batch)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A late row (older than max event time - watermark) must be dropped
+    once the watermark has evicted its window's state. Spark evicts state
+    at the END of the batch where the watermark advances, so the drop
+    engages one batch later — hence THREE micro-batches here: (0) seeds
+    day-1 and day-10, advancing the watermark to day-9 at its end; (1) an
+    on-time row, after which day-1's state is evicted; (2) the late day-1
+    row, which is now dropped (numRowsDroppedByWatermark=1)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def us(day):  # epoch nanos for the raw schema
+        return int(
+            datetime.datetime(2024, 1, day, tzinfo=datetime.timezone.utc).timestamp()
+            * 1e9
+        )
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    batches = [
+        ("a", [(1, us(1), 1, "click", 1.0, "{}"), (2, us(10), 1, "click", 1.0, "{}")]),
+        ("b", [(3, us(10), 1, "click", 1.0, "{}")]),
+        ("c", [(4, us(1), 1, "click", 1.0, "{}")]),  # late: day1 < wm day9
+    ]
+    for i, (name, rows) in enumerate(batches):
+        tmp = str(tmp_path / f"late_stage_{name}")
+        spark.createDataFrame(rows, jobs.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("date").alias("day"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, "exactly the late day-1 row is dropped"
+    latest = {}
+    for r in spark.table("t_late").collect():
+        latest[str(r.day)] = r.n  # update mode: last emit per window wins
+    assert latest["2024-01-10"] == 2, "on-time rows merge across batches"
+    assert latest["2024-01-01"] == 1, "the late day-1 row must not merge"
