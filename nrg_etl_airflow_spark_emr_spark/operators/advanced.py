@@ -196,6 +196,32 @@ def f7_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sub5_parameterized_sql",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 500000 AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("sql",),
+    doc="Named-parameter SQL binding (spark.sql args) — replaces the "
+    "reference's injection-prone f-string templating "
+    "(nrg_sql_queries.py:52-54, SURVEY.md §3.1). Values bind as typed "
+    "literals, never string-concatenated into the query text.",
+)
+def sub5_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderpriority = :priority
+        """,
+        args={"min_price": 500000, "priority": "1-URGENT"},
+    )
+
+
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,

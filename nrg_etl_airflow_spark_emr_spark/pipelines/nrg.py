@@ -154,10 +154,21 @@ def weather_wide(weather: DataFrame, locations: DataFrame) -> DataFrame:
 # --- QC (reference nrg_qc.py:27-34, via the fixed framework) ----------------
 
 
-def nrg_checks() -> list[qc.Check]:
+def nrg_checks(max_unmatched_station_days: int = 0) -> list[qc.Check]:
     total = F.col("net_generation")
     parts = sum((F.col(c) for c in FUEL_COLUMNS.values()), F.lit(0.0))
     return [
+        # SURVEY.md §7 hard part (c): the left join's unmatched stations
+        # become NULL partition keys (bal_auth=__HIVE_DEFAULT_PARTITION__
+        # on disk — reference J1 semantics, kept). This check surfaces
+        # them; callers set the tolerated station-day budget.
+        qc.Check(
+            name="weather_null_partition_keys",
+            table="weather",
+            agg=F.count_if(F.col("bal_auth").isNull()),
+            op="<=",
+            expected=max_unmatched_station_days,
+        ),
         qc.row_count_min("bal_auth"),
         qc.row_count_min("weather"),
         qc.row_count_min("time"),
@@ -191,6 +202,7 @@ def run_pipeline(
     weather_csv: str,
     locations_csv: str,
     output_dir: str,
+    max_unmatched_station_days: int = 0,
 ) -> NrgOutputs:
     """Full reference pipeline: ingest → transform → partitioned parquet →
     read-back → QC report (reference DAG steps, spark_submit_airflow.py:
@@ -222,6 +234,6 @@ def run_pipeline(
         "time": spark.read.parquet(out.time_path),
         "weather": spark.read.parquet(out.weather_path),
     }
-    results = qc.evaluate(tables, nrg_checks())
+    results = qc.evaluate(tables, nrg_checks(max_unmatched_station_days))
     qc.write_report(results, out.qc_report_path)
     return out

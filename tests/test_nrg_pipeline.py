@@ -24,7 +24,14 @@ def pipeline_out(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("nrg")
     inputs = fx.generate_all(root / "in", corrupt=False)
     out = nrg.run_pipeline(
-        spark, inputs["bal_auth"], inputs["weather"], inputs["locations"], str(root / "out")
+        spark,
+        inputs["bal_auth"],
+        inputs["weather"],
+        inputs["locations"],
+        str(root / "out"),
+        # the fixture deliberately ships one station missing from
+        # locations.csv × 3 days → 3 NULL-partition rows are expected
+        max_unmatched_station_days=3,
     )
     return out
 
@@ -77,7 +84,7 @@ def test_qc_report_clean(pipeline_out):
     with open(pipeline_out.qc_report_path) as f:
         report = json.load(f)
     assert report["n_failed"] == 0
-    assert report["n_checks"] == 9
+    assert report["n_checks"] == 10
 
 
 def test_qc_catches_corruption(spark, tmp_path):
@@ -90,6 +97,8 @@ def test_qc_catches_corruption(spark, tmp_path):
     failed = {r["check"] for r in report["failures"]}
     assert "bal_auth_net_generation_consistency" in failed
     assert "weather_TMIN_nulls" in failed
+    # default tolerance 0: unmatched-station NULL partition keys surface
+    assert "weather_null_partition_keys" in failed
 
 
 def test_corpus_pipeline_stats_coherent(spark, sf_dir):
