@@ -265,3 +265,73 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(guarded).alias("roll_min"),
         F.array_max(guarded).alias("roll_max"),
     )
+
+
+# Character-trigram profiles per language (top distinctive trigrams —
+# derived from the marker vocabulary; real profiles come from corpus
+# frequency tables, the scoring mechanics below are unchanged).
+NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "er ", "ie ", "nd "),
+    "en": ("the", "and", "ing", " of", "is ", "he ", "nd ", " a "),
+    "es": ("el ", "la ", "que", "los", "es ", " de", "ue ", "os "),
+    "fr": ("le ", "les", "et ", "une", "est", " le", "es ", "nt "),
+    "zh": ("de5", "shi", "le5", "zai", "he2", "i4 ", "e5 ", "4 h"),
+}
+
+
+def _sql_ngram_score(lang: str) -> str:
+    lits = ", ".join(f"'{g}'" for g in NGRAM_PROFILES[lang])
+    return (
+        "len(list_filter("
+        "[substr(text, i, 3) for i in range(1, length(text) - 1)], "
+        f"t -> list_contains([{lits}], t)))"
+    )
+
+
+def _sql_ngram_langid_oracle() -> str:
+    order = tuple(sorted(NGRAM_PROFILES))
+    scores = ", ".join(f"{_sql_ngram_score(lg)} AS s_{lg}" for lg in order)
+    greatest = "GREATEST(" + ", ".join(f"s_{lg}" for lg in order) + ")"
+    argmax = "CASE WHEN " + greatest + " = 0 THEN 'en' " + " ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in order
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {argmax} AS predicted_lang
+    FROM scored
+    """
+
+
+@register(
+    "text_langid_ngram",
+    oracle=_sql_ngram_langid_oracle(),
+    tags=("text",),
+    doc="Character-trigram language ID (SURVEY.md §7 M5 'n-gram "
+    "heuristic'): slide a 3-char window over the text (same zero-shuffle "
+    "sequence->transform pattern as the rolling fingerprint), count hits "
+    "against per-language trigram profiles, deterministic argmax with "
+    "fixed precedence and 'en' fallback. Complements text_langid's "
+    "word-marker variant.",
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = tuple(sorted(NGRAM_PROFILES))
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    idx = F.sequence(F.lit(1), F.length("text") - 2)
+    grams = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))
+    with_grams = docs.select("doc_id", grams.alias("grams"))
+
+    def profile_pred(profile: tuple[str, ...]):
+        return lambda g: g.isin(*profile)
+
+    scored = with_grams.select(
+        "doc_id",
+        *[
+            F.size(F.filter("grams", profile_pred(NGRAM_PROFILES[lg]))).alias(f"s_{lg}")
+            for lg in order
+        ],
+    )
+    greatest = F.greatest(*[F.col(f"s_{lg}") for lg in order])
+    pred = F.when(greatest == 0, F.lit("en"))
+    for lg in order:
+        pred = pred.when(F.col(f"s_{lg}") == greatest, F.lit(lg))
+    return scored.select("doc_id", pred.alias("predicted_lang"))
