@@ -1,0 +1,231 @@
+"""Training-data pipeline operators: deterministic splits, sampling,
+sequence packing, and benchmark-contamination checks over ``documents``.
+
+These are the dataset-construction steps an LLM training pipeline runs at
+100 TB — all expressed as pure DataFrame plans over the engine-portable
+``hash60`` (functions/hashing.py), so every assignment is a deterministic
+function of the row's key: re-running on different cluster sizes,
+partitionings, or engines yields byte-identical splits/samples. No RNG
+state, no ``rand()`` (non-reproducible across retries), no driver-side
+shuffling.
+
+Scale notes:
+- Split/sample ops are map-only (no shuffle at all) — the filter sits
+  directly on the scan and composes with predicate pushdown.
+- Packing shuffles once on the bin key, then packs within each bin with a
+  partition-local running sum; no global ordering bottleneck.
+- The contamination join keys on shingle hash60; the benchmark side is a
+  tiny fraction (5%) of the corpus and is broadcast at any realistic
+  benchmark size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, sql_hash60, sql_word_shingles, shingles_from_words
+from ..operators._util import explode_unpushed, spread, t
+from ..plans.catalog import register
+
+# Salted key expressions — salting the hash input decorrelates each op's
+# buckets from every other op's (a doc's split bucket is independent of its
+# sample bucket), mirrored exactly in the oracle SQL. Functions, not module
+# constants: building a Column requires an active SparkContext.
+def _salted(salt: str):
+    return F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+
+
+_SQL_SPLIT_KEY = "'split:' || CAST(doc_id AS VARCHAR)"
+_SQL_SAMPLE_KEY = "'sample:42:' || CAST(doc_id AS VARCHAR)"
+_SQL_BENCH_KEY = "'bench:' || CAST(doc_id AS VARCHAR)"
+
+
+@register(
+    "train_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {sql_hash60(_SQL_SPLIT_KEY)} % 100 AS bucket
+          FROM documents)
+    """,
+    tags=("training", "split"),
+    doc="Deterministic 90/5/5 train/val/test assignment: bucket = "
+    "hash60('split:'||doc_id) mod 100. Map-only (zero shuffle); adding "
+    "documents never reassigns existing ones, unlike rand()-based or "
+    "row-number-based splits.",
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = hash60(_salted("split:")) % 100
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "train_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {sql_hash60(_SQL_SAMPLE_KEY)} % 10000 < 1000
+    """,
+    tags=("training", "sample"),
+    doc="Deterministic 10% Bernoulli sample: keep iff "
+    "hash60('sample:42:'||doc_id) mod 10000 < 1000. The '42' salt is the "
+    "seed — different salts give independent samples. Pushes down as an "
+    "ordinary filter; no shuffle, no RNG state.",
+)
+def train_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(hash60(_salted("sample:42:")) % 10000 < 1000)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# Per-language keep-rates for the mixture-rebalancing sample: downsample
+# the dominant language, keep the tail. Basis points out of 10000.
+_STRATA_BPS = {"en": 2500, "fr": 7500, "es": 7500, "de": 7500, "zh": 7500}
+
+
+@register(
+    "train_sample_stratified",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS sampled_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE {sql_hash60(_SQL_SAMPLE_KEY)} % 10000 <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_BPS.items())}
+               ELSE 10000 END
+    GROUP BY lang
+    """,
+    tags=("training", "sample"),
+    doc="Stratified mixture rebalancing: per-language keep-rates (en 25%, "
+    "others 75%) applied via the same hash-threshold trick, then audited "
+    "with per-stratum counts. One map-side filter + one tiny group-by — "
+    "the 100 TB cost is a single corpus scan.",
+)
+def train_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _STRATA_BPS.items() for x in kv])[F.col("lang")],
+        F.lit(10000),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(hash60(_salted("sample:42:")) % 10000 < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+_PACK_BUDGET = 512  # tokens per pack
+_PACK_BINS = 32     # parallel packing bins
+
+
+@register(
+    "train_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {sql_hash60(_SQL_SPLIT_KEY)} AS h
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_tokens, h % {_PACK_BINS} AS bin,
+               SUM(n_tokens) OVER (PARTITION BY h % {_PACK_BINS}
+                                   ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           bin * 1000000 + CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id
+    FROM binned
+    """,
+    tags=("training", "packing"),
+    doc=f"Greedy sequence packing into ~{_PACK_BUDGET}-token packs: docs "
+    f"are dealt into {_PACK_BINS} deterministic bins by hash, ordered "
+    "within each bin by the same hash (a deterministic shuffle), and "
+    "packed by running token count. One shuffle on the bin key; the "
+    "running sum is partition-local, so there is no global-order "
+    "bottleneck — at 100 TB raise the bin count to executor count.",
+)
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        hash60(_salted("split:")).alias("h"),
+    )
+    binned = docs.withColumn("bin", F.col("h") % _PACK_BINS)
+    w = Window.partitionBy("bin").orderBy("h", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return binned.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("bin") * 1000000
+            + F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        ).alias("pack_id"),
+    )
+
+
+_CONTAM_K = 3  # shingle width for contamination detection
+
+
+@register(
+    "train_contamination_check",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+               {sql_hash60(_SQL_BENCH_KEY)} % 20 = 0 AS is_bench
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, is_bench, {sql_word_shingles(_CONTAM_K)} AS shingles
+        FROM (SELECT doc_id, is_bench, string_split(text, ' ') AS w FROM tagged)
+    ),
+    ex AS (SELECT doc_id, is_bench, unnest(shingles) AS shingle FROM sh)
+    SELECT tr.doc_id,
+           COUNT(DISTINCT be.shingle) AS hit_shingles,
+           COUNT(DISTINCT be.doc_id) AS hit_bench_docs
+    FROM (SELECT doc_id, shingle FROM ex WHERE NOT is_bench) tr
+    JOIN (SELECT doc_id, shingle FROM ex WHERE is_bench) be
+      ON tr.shingle = be.shingle
+    GROUP BY tr.doc_id
+    """,
+    tags=("training", "dedup"),
+    doc=f"Benchmark-contamination scan: a held-out 5% 'benchmark' slice "
+    f"(hash-designated) is checked against the training slice for shared "
+    f"{_CONTAM_K}-gram shingles; reports, per contaminated training doc, "
+    "how many distinct shingles and benchmark docs it hits. The benchmark "
+    "shingle side is a small fraction of the corpus → broadcast; the "
+    "training side streams through map-side.",
+)
+def train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (hash60(_salted("bench:")) % 20 == 0).alias("is_bench"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    sh = docs.select(
+        "doc_id", "is_bench", shingles_from_words(F.col("w"), _CONTAM_K).alias("shingles")
+    )
+    ex = explode_unpushed(sh, F.col("shingles"), "shingle", "doc_id", "is_bench")
+    train = ex.filter(~F.col("is_bench")).select("doc_id", "shingle")
+    bench = ex.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("shingle").alias("bench_shingle")
+    )
+    return (
+        train.join(F.broadcast(bench), train.shingle == bench.bench_shingle)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("hit_shingles"),
+            F.count_distinct("bench_doc_id").alias("hit_bench_docs"),
+        )
+    )
