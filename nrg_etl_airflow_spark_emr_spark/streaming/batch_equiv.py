@@ -178,3 +178,63 @@ def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
+
+
+@register(
+    "st_click_purchase_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+    doc="Click→purchase attribution within 1 hour — batch twin of the "
+    "stream-stream self-join (streaming/jobs.py click_purchase_join). "
+    "The equi key is user_id; the time-range bound is exactly what lets "
+    "the streaming form expire join state past the watermark.",
+)
+def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
+@register(
+    "st_mktsegment_counts",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join", "agg"),
+    doc="Event counts per customer market segment — batch twin of the "
+    "stream-static enrichment join (streaming/jobs.py "
+    "enrich_with_customers). The static dimension is broadcast once and "
+    "re-used by every micro-batch.",
+)
+def st_mktsegment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -205,3 +205,55 @@ def foreach_batch_parquet_sink(events: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: attribute each purchase to the same user's
+    clicks in the preceding hour.
+
+    Both sides carry a watermark and the join condition bounds purchase_ts
+    to (click_ts, click_ts + 1h], so Spark can expire click state one hour
+    past the watermark instead of buffering the stream forever — the state
+    bound is what makes this viable on an unbounded 100 TB/day stream.
+    The purchase-side watermark is wider by the join range so no in-range
+    click is dropped before its purchase arrives.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join + aggregation: per-micro-batch broadcast of the
+    customer dimension, counts per market segment. The static side is
+    planned once; each micro-batch probes the same broadcast hash table.
+    """
+    return (
+        events.join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

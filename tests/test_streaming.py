@@ -192,3 +192,26 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         latest[str(r.day)] = r.n  # update mode: last emit per window wins
     assert latest["2024-01-10"] == 2, "on-time rows merge across batches"
     assert latest["2024-01-01"] == 1, "the late day-1 row must not merge"
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
+    """Stream-stream self-join (watermarks both sides + time-range bound)
+    equals the batch twin's click→purchase pairs."""
+    stream_out = jobs.run_to_memory(
+        jobs.click_purchase_join(events_stream), "t_ss_join", output_mode="append"
+    )
+    batch = SPECS["st_click_purchase_join"].builder(spark, sf_dir)
+    assert _rows(stream_out) == _rows(batch)
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream):
+    """Stream-static broadcast enrichment + aggregation equals the batch
+    twin's per-segment counts."""
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    customers = load_table(spark, sf_dir, "customer")
+    stream_out = jobs.run_to_memory(
+        jobs.enrich_with_customers(events_stream, customers), "t_st_static"
+    )
+    batch = SPECS["st_mktsegment_counts"].builder(spark, sf_dir)
+    assert _rows(stream_out) == _rows(batch)
