@@ -240,3 +240,114 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine", F.row_number().over(rw).alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# LSH (random-hyperplane / SRP) variant: the 5 centroid vectors double as
+# hyperplanes — data-derived but fixed and engine-portable (no RNG). A
+# vector's bucket is the 5-bit sign pattern of its hyperplane dot
+# products; queries multi-probe their own bucket plus the 5 buckets at
+# Hamming distance 1 (sign flips near a hyperplane are exactly the
+# boundary cases multi-probe exists to recover).
+LSH_PLANES = 5
+
+
+@register(
+    "sim_knn_lsh",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, fe
+        FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    sig AS (
+        SELECT v.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v.fe, p.fe) >= 0
+                             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+        FROM vecs v CROSS JOIN planes p
+        GROUP BY v.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, fe, nrm FROM vecs WHERE vec_id < {N_QUERIES}),
+    qprobe AS (
+        SELECT s.vec_id AS query_id,
+               CASE WHEN m.j < 0 THEN s.bucket ELSE xor(s.bucket, 1 << m.j) END AS bucket
+        FROM sig s CROSS JOIN (SELECT unnest(range(-1, {LSH_PLANES})) AS j) m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS cosine
+        FROM qprobe p
+        JOIN sig sv ON sv.bucket = p.bucket
+        JOIN vecs v ON v.vec_id = sv.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE v.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "topk"),
+    doc=f"LSH top-5 via sign-random-projection: {LSH_PLANES} hyperplanes "
+    "(the centroid vectors — fixed, portable, no RNG) give a 5-bit "
+    "bucket; queries probe their bucket plus all Hamming-1 neighbors, "
+    "exact cosine re-ranks candidates. 100 TB layout: vectors written "
+    "bucketed by signature, so a query reads 6 of 32 buckets; the "
+    "signature computation is one broadcast pass, no all-pairs shuffle.",
+)
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    planes = (
+        v.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("pid"), F.col("fe").alias("pfe"))
+        .withColumn(
+            "j",
+            (F.row_number().over(Window.orderBy("pid")) - 1).cast("long"),
+        )
+    )
+    # 5-bit signature per vector: one broadcast cross join + conditional sum.
+    sig = (
+        v.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    _dot(F.col("fe"), F.col("pfe")) >= 0,
+                    F.expr("shiftleft(1L, CAST(j AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"), F.col("nrm").alias("qnrm")
+    )
+    # Multi-probe: own bucket (j = -1) plus each 1-bit flip.
+    masks = F.array(*[F.lit(j) for j in range(-1, LSH_PLANES)])
+    qprobe = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "bucket", F.explode(masks).alias("j"))
+        .select(
+            "query_id",
+            F.when(F.col("j") < 0, F.col("bucket"))
+            .otherwise(
+                F.col("bucket").bitwiseXOR(F.expr("shiftleft(1L, CAST(j AS INT))"))
+            )
+            .alias("bucket"),
+        )
+    )
+    cand = (
+        qprobe.join(sig.withColumnRenamed("vec_id", "cand_id"), "bucket")
+        .join(v.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (F.col("qnrm") * F.col("nrm"))
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.select("query_id", F.col("cand_id").alias("vec_id"), cosine.alias("cosine"))
+        .select("query_id", "vec_id", "cosine", F.row_number().over(rw).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
