@@ -350,3 +350,44 @@ def f9_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("1-URGENT").alias("n_urgent"),
         F.size(F.map_keys(m)).alias("n_priorities"),
     )
+
+
+@register(
+    "w8_value_window_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price,
+           CAST(NTILE(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS quartile
+    FROM orders
+    """,
+    tags=("window",),
+    doc="Value window functions (first/last/nth_value over the full "
+    "partition frame, ntile quartiles) per customer order history, "
+    "ordered by (date, key) so every value is total-order deterministic. "
+    "Completes the window family: ranking (w1/w4), analytic lag (w2), "
+    "frames (w3/w7), distribution (w6).",
+)
+def w8_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.ntile(4).over(order).alias("quartile"),
+    )

@@ -114,3 +114,25 @@ def write_partitioned_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path_glob: str,
+    recursive: bool = False,
+) -> DataFrame:
+    """Binary-file source for multimodal ingestion: each matched file
+    becomes one row of (path, modificationTime, length, content: binary).
+
+    This is the ingestion edge for the opaque image/audio/video columns in
+    operators/multimodal.py — raw media lands as files, this scan turns
+    them into a binary column + metadata, and the mm_* operators take it
+    from there. At 100 TB: the source parallelizes per-file (no splitting
+    inside a file), so many small media files partition well; pair with
+    ``pathGlobFilter`` to avoid listing non-media siblings.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path_glob)
+    )

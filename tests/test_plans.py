@@ -89,3 +89,27 @@ def test_events_scan_prunes_for_asof(spark, sf_dir):
     assert scans and all("props" not in s for s in scans), (
         "as-of join must not read the wide props column"
     )
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+
+
+def test_q22_not_exists_becomes_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti" in plan, "NOT EXISTS must decorrelate to an anti join"
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY + LIMIT must not global-sort"
+    )
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "part/supplier/nation must broadcast, not shuffle"
+    )

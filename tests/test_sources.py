@@ -95,3 +95,21 @@ def test_dynamic_partition_overwrite(spark, nation, tmp_path):
     assert _rows(back.filter(F.col("n_regionkey") != 0)) == _rows(
         nation.filter(F.col("n_regionkey") != 0)
     )
+
+
+def test_binary_file_source_reads_content(spark, tmp_path):
+    """binaryFile source: one row per file with exact bytes + metadata —
+    the ingestion edge for the multimodal (mm_*) operators."""
+    from nrg_etl_airflow_spark_emr_spark.sources import read_binary_files
+
+    payloads = {f"img_{i}.bin": bytes([i] * (10 + i)) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "skip.txt").write_text("not matched by the glob")
+
+    df = read_binary_files(spark, str(tmp_path / "*.bin"))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert bytes(rows[name].content) == data
+        assert rows[name].length == len(data)
