@@ -113,3 +113,47 @@ def test_q9_dims_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, (
         "part/supplier/nation must broadcast, not shuffle"
     )
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Strategy hints override the optimizer's choice — the escape hatch
+    when statistics mislead it at scale (SURVEY.md §4 join selection)."""
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    merge = orders.hint("merge").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+
+    shuffle_hash = orders.hint("shuffle_hash").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    assert (
+        "ShuffledHashJoin"
+        in shuffle_hash._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """A filtered dim joined on the fact's partition column must inject a
+    runtime pruning subquery (DPP) into the fact scan — at 100 TB this is
+    the difference between scanning 3 partitions and all of them."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    fact_path = str(tmp_path / "lineitem_by_rf")
+    load_table(spark, sf_dir, "lineitem").write.partitionBy("l_returnflag").parquet(
+        fact_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], ["rf", "tag"]
+    ).filter(F.col("tag") == "keep")
+
+    joined = fact.join(dim, fact.l_returnflag == dim.rf)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from fact scan"
