@@ -335,3 +335,85 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lg in order:
         pred = pred.when(F.col(f"s_{lg}") == greatest, F.lit(lg))
     return scored.select("doc_id", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_gopher_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_words,
+               CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                   / len(w) AS mean_word_len,
+               CASE WHEN len(w) >= 2 THEN
+                   1.0 - CAST(len(list_distinct(
+                       [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                   )) AS DOUBLE) / (len(w) - 1)
+               ELSE 0.0 END AS dup_bigram_frac,
+               CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / len(text) AS alpha_frac
+        FROM toks WHERE len(text) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, dup_bigram_frac, alpha_frac,
+           CAST(n_words BETWEEN 5 AND 10000
+                AND mean_word_len BETWEEN 2 AND 12
+                AND dup_bigram_frac < 0.3
+                AND alpha_frac > 0.6 AS INTEGER) AS keep
+    FROM m
+    """,
+    tags=("text",),
+    doc="Gopher-style composite quality filter: word count bounds, mean "
+    "word length, duplicate-bigram fraction (the repetition rule), and "
+    "alphabetic-character fraction, composed into one keep flag. All "
+    "ratios are exact-integer divisions, so both engines compute "
+    "identical doubles. Complements text_quality_score (stopword/TTR) "
+    "with the repetition + charset half of the published rule set.",
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # w materialized as a named column first: HOF lambdas get no common-
+    # subexpression elimination (see functions/hashing.py docstring).
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text")).filter(
+        F.length("text") > 0
+    )
+    toks = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    n_words = F.size("w")
+    word_len_sum = F.aggregate(
+        F.transform("w", F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    )
+    dup_frac = F.when(
+        n_words >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / (n_words - 1),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    m = toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (word_len_sum.cast("double") / n_words).alias("mean_word_len"),
+        dup_frac.alias("dup_bigram_frac"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    keep = (
+        F.col("n_words").between(5, 10000)
+        & F.col("mean_word_len").between(2, 12)
+        & (F.col("dup_bigram_frac") < 0.3)
+        & (F.col("alpha_frac") > 0.6)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "dup_bigram_frac",
+        "alpha_frac",
+        keep.cast("int").alias("keep"),
+    )
