@@ -391,3 +391,35 @@ def w8_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
         F.ntile(4).over(order).alias("quartile"),
     )
+
+
+@register(
+    "a6_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+    doc="Exact continuous percentiles (quartiles of quantity per return "
+    "flag) — the exact counterpart to the approx_sketches quantile "
+    "sketch. Both engines use the same p·(n-1) linear interpolation, and "
+    "l_quantity is integer-valued, so the interpolated doubles are "
+    "bit-identical. At 100 TB prefer the sketch: exact percentile "
+    "materializes the sorted group.",
+)
+def a6_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+                "qty_quartiles"
+            ),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )

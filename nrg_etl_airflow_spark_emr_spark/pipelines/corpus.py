@@ -114,3 +114,41 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "is_canonical",
     )
+
+
+def corpus_checks(min_docs: int = 1, max_empty_docs: int = 0) -> list:
+    """Declarative QC seed for the documents corpus — the reference's
+    check taxonomy (row counts, null audits, consistency) applied to the
+    training-data side of the house. Evaluated single-pass by qc.evaluate
+    like the nrg pipeline's checks."""
+    from pyspark.sql import functions as F
+
+    from .. import qc
+
+    return [
+        qc.row_count_min("documents", min_docs),
+        qc.null_count("documents", "doc_id"),
+        qc.null_count("documents", "text"),
+        qc.null_count("documents", "lang"),
+        qc.Check(
+            name="documents_empty_text",
+            table="documents",
+            agg=F.count_if(F.length("text") == 0),
+            op="<=",
+            expected=max_empty_docs,
+        ),
+        qc.Check(
+            name="documents_n_chars_consistent",
+            table="documents",
+            agg=F.count_if(F.length("text") != F.col("n_chars")),
+            op="==",
+            expected=0,
+        ),
+        qc.Check(
+            name="documents_doc_id_unique",
+            table="documents",
+            agg=F.count(F.lit(1)) - F.count_distinct(F.col("doc_id")),
+            op="==",
+            expected=0,
+        ),
+    ]

@@ -96,3 +96,25 @@ def test_observed_checks_match_evaluate(spark, sf_dir):
     strip = lambda rs: [{k: r[k] for k in ("check", "actual", "passed")} for r in rs]
     assert strip(observed) == strip(direct)
     assert all(r["passed"] for r in observed)
+
+
+def test_corpus_checks_pass_on_fixture(spark, sf_dir):
+    """The documents corpus passes its declarative QC seed (and the
+    n_chars consistency rule actually binds: corrupting it fails)."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark import qc
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import corpus_checks
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = qc.evaluate({"documents": docs}, corpus_checks())
+    failed = [r for r in results if not r["passed"]]
+    assert failed == []
+
+    corrupted = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id") == 0, F.lit(-1)).otherwise(F.col("n_chars"))
+    )
+    results = qc.evaluate({"documents": corrupted}, corpus_checks())
+    bad = {r["check"] for r in results if not r["passed"]}
+    assert bad == {"documents_n_chars_consistent"}

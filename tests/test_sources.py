@@ -113,3 +113,46 @@ def test_binary_file_source_reads_content(spark, tmp_path):
     for name, data in payloads.items():
         assert bytes(rows[name].content) == data
         assert rows[name].length == len(data)
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """Parse-mode robustness on schema'd CSV (the reference's weather
+    read path): PERMISSIVE quarantines bad rows into a corrupt-record
+    column, DROPMALFORMED drops them, FAILFAST raises — the three
+    dirty-data policies a 100 TB CSV ingest must choose between."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.sources.readers import read_csv_table
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = read_csv_table(
+        spark,
+        str(p),
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    ).cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt").isNotNull()).collect()
+    assert [r.id for r in bad] == [2]
+    assert bad[0].qty is None and "notanumber" in bad[0]._corrupt
+
+    clean_schema = T.StructType(schema.fields[:2])
+    dropped = read_csv_table(
+        spark, str(p), schema=clean_schema, mode="DROPMALFORMED"
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv_table(spark, str(p), schema=clean_schema, mode="FAILFAST").collect()
