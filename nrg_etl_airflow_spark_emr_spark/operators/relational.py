@@ -598,3 +598,22 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("net", "type_revenue"))
     )
+
+
+@register(
+    "j7_cross_join",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+    tags=("join",),
+    doc="Explicit Cartesian product (region × nation) — completes the "
+    "§2.3 join-type inventory. Only ever sane when one side is tiny and "
+    "broadcast (BroadcastNestedLoopJoin); anything else at scale is a "
+    "bug, which is why Spark gates implicit cross joins behind "
+    "crossJoin()/CROSS JOIN syntax.",
+)
+def j7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    return region.crossJoin(F.broadcast(nation)).select("r_name", "n_name")

@@ -417,3 +417,37 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha_frac",
         keep.cast("int").alias("keep"),
     )
+
+
+@register(
+    "text_word_freq_topk",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS n
+    FROM words
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    tags=("text", "topk"),
+    doc="Corpus word-frequency top-20 via generator expansion (explode ≡ "
+    "LATERAL VIEW ≡ unnest): the table-generating surface §2.10 notes "
+    "the reference lacks. Count-then-rank with a word tiebreak keeps the "
+    "limit deterministic; at 100 TB the partial aggregation absorbs the "
+    "explosion before the shuffle (map-side combine on word).",
+)
+def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
