@@ -37,6 +37,7 @@ _MODULES = (
     "nrg_etl_airflow_spark_emr_spark.operators.tpch",
     "nrg_etl_airflow_spark_emr_spark.operators.skew",
     "nrg_etl_airflow_spark_emr_spark.operators.graph",
+    "nrg_etl_airflow_spark_emr_spark.operators.grouped",
     "nrg_etl_airflow_spark_emr_spark.pipelines.corpus",
     "nrg_etl_airflow_spark_emr_spark.pipelines.training",
     "nrg_etl_airflow_spark_emr_spark.operators.dedup",

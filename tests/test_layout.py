@@ -94,3 +94,39 @@ def test_compaction_hits_target_count(spark, sf_dir, tmp_path):
     assert n == 2
     assert len(glob.glob(f"{out}/*.parquet")) == n
     assert spark.read.parquet(out).count() == load_table(spark, sf_dir, "orders").count()
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order must give bounded min/max bands on BOTH keys, where a
+    single-key sort leaves the second key full-width in every file."""
+    from nrg_etl_airflow_spark_emr_spark.sources.layout import write_zordered_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_files = 8
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered_parquet(li, zpath, "l_orderkey", "l_partkey", n_files=n_files)
+    write_sorted_parquet(li, spath, ["l_orderkey"], n_files=n_files)
+
+    def mean_width(path, col):
+        bands = _key_bands(path, col)
+        return sum(hi - lo for lo, hi in bands) / len(bands)
+
+    full_o = mean_width(spath, "l_orderkey")   # narrow: the sorted key
+    full_p = mean_width(spath, "l_partkey")    # full-width control
+    z_o = mean_width(zpath, "l_orderkey")
+    z_p = mean_width(zpath, "l_partkey")
+
+    def domain(col):
+        bands = _key_bands(zpath, col)
+        return max(hi for _, hi in bands) - min(lo for lo, _ in bands)
+
+    # Z-order: BOTH keys' bands are materially narrower than their full
+    # domains (the single-sort control leaves partkey at ~full width),
+    # while the single-key sort still wins on its own key.
+    assert z_p < 0.8 * full_p, f"partkey bands not bounded: {z_p} vs {full_p}"
+    assert z_o < 0.8 * domain("l_orderkey"), f"orderkey locality lost: {z_o}"
+    assert full_o < z_o, "single-key sort must beat z-order on its own key"
+
+    # Integrity.
+    assert spark.read.parquet(zpath).count() == li.count()
