@@ -629,11 +629,45 @@ GROUP BY s_name
     doc="TPC-H Q21-shaped: suppliers who were the sole late shipper on "
     "multi-supplier finished orders. Adapted 'late' = shipped more than "
     "90 days after the order date (fixtures have no commit/receipt "
-    "dates). EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both hash joins "
-    "on l_orderkey.",
+    "dates). The oracle keeps the EXISTS/NOT EXISTS form; the Spark plan "
+    "computes the flagged frame ONCE (cached) and replaces both "
+    "subqueries with one per-order aggregate — Spark inlines repeated "
+    "CTEs, so the literal translation scans lineitem⋈orders three "
+    "times; this form scans once. sole-late ⇔ (≥2 distinct suppliers ∧ "
+    "exactly 1 distinct late supplier ∧ this row is late).",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, ("lineitem", "orders", "supplier"), _Q21_SQL)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    flagged = (
+        t(spark, sf_dir, "lineitem")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias(
+                "is_late"
+            ),
+        )
+        .cache()
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole = (
+        flagged.filter(F.col("is_late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole.join(F.broadcast(t(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
 
 
 # ---------------------------------------------------------------------------
