@@ -238,3 +238,46 @@ def st_mktsegment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_n,
+           COUNT(*) AS active_users
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY cohort_week, week_n
+    """,
+    tags=("agg", "temporal"),
+    doc="Weekly retention cohorts: users grouped by first-activity week, "
+    "counted in each subsequent active week. Both week truncations are "
+    "ISO-Monday in both engines, and week_n is an exact integer of "
+    "day-difference/7 on truncated dates. The firsts frame is one row "
+    "per user (small at any scale) → broadcast into the activity join.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
