@@ -1,0 +1,125 @@
+"""Iterative K-means (Lloyd's) over the embeddings table — the
+representative *iterative algorithm* (driver-controlled loop of
+DataFrame jobs), and the trainer for real IVF centroids
+(``sim_knn_ivf`` uses a fixture rule; SCALE.md marks KMeans as the
+production swap).
+
+Shape of each iteration, all Catalyst built-ins:
+1. assign: vectors × broadcast(centroids) → per-vector argmin distance
+   (window row_number over the K candidates);
+2. update: posexplode the assigned vectors to (cell, dim, value), one
+   groupBy (cell, dim) average, re-assemble arrays with
+   sort_array(collect_list(struct(dim, mean))).
+
+Driver holds only the K centroid arrays (collect of K rows — tiny);
+the vector table is cached once and never collected. Lineage does not
+grow across iterations because each round's centroids re-enter as a
+*literal* broadcast frame, so no checkpointing is needed — the classic
+iterative-Spark trap (unbounded plan growth) is designed out rather
+than patched.
+
+Determinism: init = the K lowest vec_ids; distance ties broken by cell
+id; means of float sums are stable under AQE because assignment is a
+pure function of (vector, centroids). Exactness is pinned by
+tests/test_kmeans.py (monotone inertia + argmin consistency), not a SQL
+oracle — per the rows-only policy for iterative ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators._util import spread, t
+from ..plans.catalog import register
+
+K_DEFAULT = 5
+ITERS_DEFAULT = 5
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, emb, cell): nearest centroid by squared L2, ties → lowest cid."""
+    d2 = F.aggregate(
+        F.zip_with("emb", "c_emb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cid").alias("cell"), "d2")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroid per cell: element-wise mean via posexplode + regroup."""
+    exploded = assigned.select(
+        "cell", F.posexplode("emb").alias("dim", "val")
+    )
+    means = exploded.groupBy("cell", "dim").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("c_emb")
+        )
+        .select(F.col("cell").alias("cid"), "c_emb")
+    )
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+) -> tuple[DataFrame, list[float]]:
+    """Run Lloyd's for ``iters`` rounds; returns (assignment frame with
+    columns vec_id/cell/d2, per-iteration inertia history)."""
+    vectors = (
+        spread(t(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .cache()
+    )
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    history: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(vectors, centroids)
+        # Inertia + next centroids in one cached pass over the assignment.
+        assigned = assigned.cache()
+        history.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        new_centroids = _update(assigned)
+        # Re-enter as literal rows: K tiny arrays through the driver, so
+        # iteration N+1's plan does not contain iteration N's.
+        centroids = spark.createDataFrame(
+            [(int(r.cid), list(r.c_emb)) for r in new_centroids.collect()],
+            "cid INT, c_emb ARRAY<DOUBLE>",
+        )
+        assigned.unpersist()
+    return _assign(vectors, centroids).cache(), history
+
+
+@register(
+    "sim_kmeans_cells",
+    oracle=None,  # iterative; invariants pinned by tests/test_kmeans.py
+    tags=("similarity", "iterative"),
+    doc=f"K-means cell summary after {ITERS_DEFAULT} Lloyd's iterations "
+    f"(k={K_DEFAULT}): per-cell member count and mean squared distance. "
+    "The iterative-algorithm representative: driver loop over cached "
+    "DataFrame jobs, centroids re-entering as literals so lineage stays "
+    "flat. Trains the production centroids for sim_knn_ivf.",
+)
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, _ = kmeans_fit(spark, sf_dir)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.avg("d2").alias("mean_sq_dist"),
+    )

@@ -38,6 +38,7 @@ _MODULES = (
     "nrg_etl_airflow_spark_emr_spark.operators.skew",
     "nrg_etl_airflow_spark_emr_spark.operators.graph",
     "nrg_etl_airflow_spark_emr_spark.operators.grouped",
+    "nrg_etl_airflow_spark_emr_spark.operators.kmeans",
     "nrg_etl_airflow_spark_emr_spark.pipelines.corpus",
     "nrg_etl_airflow_spark_emr_spark.pipelines.training",
     "nrg_etl_airflow_spark_emr_spark.operators.dedup",
