@@ -261,3 +261,35 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
     )
+
+
+@register(
+    "f10_string_agg",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority, o_orderkey)
+               AS priorities_csv
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("function", "agg", "sql"),
+    doc="Ordered string aggregation (LISTAGG ... WITHIN GROUP ≡ DuckDB "
+    "string_agg ORDER BY): per-customer priority list as CSV. The "
+    "within-group ordering (value, then unique key) makes the "
+    "concatenation total-order deterministic — without it listagg "
+    "output depends on partitioning and cannot be oracle-checked.",
+)
+def f10_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        SELECT o_custkey,
+               listagg(o_orderpriority, ',')
+                   WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey)
+                   AS priorities_csv
+        FROM orders
+        GROUP BY o_custkey
+        """,
+    )

@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 EVENT_TYPES = ("signup", "click", "error", "view", "purchase")
@@ -67,6 +72,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -100,3 +108,52 @@ class SyntheticEventsReader(DataSourceReader):
 def register_synthetic_events(spark) -> None:
     """Register the source on a session (idempotent)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch generator: offsets are plain row counts, each trigger
+    emits up to ``rows_per_batch`` new rows of the same deterministic
+    corpus as the batch reader (row i is a pure function of (seed, i)).
+    Replay between committed offsets re-yields identical rows, which is
+    exactly the exactly-once-with-idempotent-sink contract a real source
+    must honor.
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 250))
+        self.seed = int(options.get("seed", 0))
+        self.users = max(1, int(options.get("users", 1000)))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _gen(self, start: int, end: int):
+        import datetime
+
+        for i in range(start, end):
+            ts_s = _EPOCH_START + _h64(self.seed, i, "ts") % (30 * 86400)
+            ts = datetime.datetime.fromtimestamp(
+                ts_s, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+            yield (
+                i,
+                ts,
+                _h64(self.seed, i, "user") % self.users,
+                EVENT_TYPES[_h64(self.seed, i, "type") % len(EVENT_TYPES)],
+                (_h64(self.seed, i, "value") % 100_000) / 100.0,
+                f'{{"k":{_h64(self.seed, i, "props") % 10}}}',
+            )
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self.per_batch, self.total)
+        # Lists, not generators: the simple-stream harness buffers the
+        # batch for replay (prefetch cache), which requires picklability.
+        return list(self._gen(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["row"], end["row"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure row counts; nothing to clean up

@@ -71,3 +71,39 @@ def test_composes_with_engine_operators(spark):
     )
     total = daily.agg(F.sum("n")).collect()[0][0]
     assert total == 2000
+
+
+def test_streaming_read_matches_batch_corpus(spark, tmp_path):
+    """readStream over the custom source (micro-batched by offset range)
+    must deliver exactly the batch reader's corpus, once."""
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "600")
+        .option("rowsPerBatch", "100")
+        .option("users", "30")
+        .load()
+    )
+    assert stream.isStreaming
+    # Continuous micro-batches (not availableNow: the simple stream
+    # reader defines "available" as one read() call) — poll until the
+    # bounded corpus has fully landed, then stop.
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_syn_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table("t_syn_stream").count() < 600:
+            assert time.time() < deadline, "stream did not deliver the corpus"
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_syn_stream").collect()))
+    want = sorted(map(tuple, _read(spark, rows=600, users=30).collect()))
+    assert got == want
