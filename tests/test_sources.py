@@ -171,3 +171,25 @@ def test_avro_reader_gated_without_package(spark, tmp_path):
         assert "spark-avro" in str(e)
     except Exception:
         pytest.fail("expected the gated NotImplementedError")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet files: a later writer adds a
+    column; mergeSchema=true unions the schemas and backfills NULLs —
+    the read-side contract that lets a 100 TB table evolve in place
+    without rewriting history."""
+    base = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(f"{base}/part=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]).write.parquet(
+        f"{base}/part=2"
+    )
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "score", "part"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    # Without mergeSchema, one file's footer wins — the new column may
+    # silently vanish. The explicit option is the contract.
+    plain = spark.read.parquet(base)
+    assert set(plain.columns) <= {"id", "v", "score", "part"}
