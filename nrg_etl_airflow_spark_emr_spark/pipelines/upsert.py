@@ -69,3 +69,73 @@ def upsert_partitioned(
         .partitionBy(*partition_cols)
         .parquet(target_path)
     )
+
+
+def scd2_apply(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_ts",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply ``updates`` to a versioned
+    history, closing changed current rows and opening new versions.
+
+    ``existing`` carries (key, attrs, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking current rows; ``updates`` carries
+    (key, attrs, effective_ts). Semantics per key:
+
+    - attrs unchanged → history untouched (no churn on no-op reloads);
+    - attrs changed  → current row closed at effective_ts, new current
+      row opened from effective_ts;
+    - new key        → new current row;
+    - closed history → passes through untouched.
+
+    One full-outer join on the key between current rows and updates —
+    at 100 TB both sides are bucketed/partitioned on the key and the
+    closed-history majority is never read beyond the valid_to filter
+    (partition the table by an is_current derivative so the join prunes
+    to the current slice).
+    """
+    cur = existing.filter(F.col(end_col).isNull())
+    hist = existing.filter(F.col(end_col).isNotNull())
+
+    upd = updates.select(
+        *[F.col(c).alias(f"u_{c}") for c in key_cols + attr_cols],
+        F.col(effective_col).alias("u_eff"),
+    )
+    cond = reduce(
+        lambda a, b: a & b, [cur[c].eqNullSafe(F.col(f"u_{c}")) for c in key_cols]
+    )
+    joined = cur.join(upd, cond, "full_outer")
+
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"u_{c}")) for c in attr_cols],
+    )
+    has_cur = F.col(start_col).isNotNull()
+    has_upd = F.col("u_eff").isNotNull()
+
+    # Surviving current rows: untouched keys, or no-op updates.
+    keep_cur = joined.filter(has_cur & (~has_upd | ~changed)).select(
+        *key_cols, *attr_cols, start_col, end_col
+    )
+    # Closed-out versions of changed rows.
+    closed = joined.filter(has_cur & has_upd & changed).select(
+        *key_cols,
+        *attr_cols,
+        F.col(start_col),
+        F.col("u_eff").alias(end_col),
+    )
+    # New versions: changed rows and brand-new keys.
+    opened = joined.filter(has_upd & (~has_cur | changed)).select(
+        *[F.coalesce(F.col(f"u_{c}"), F.col(c)).alias(c) for c in key_cols],
+        *[F.col(f"u_{c}").alias(c) for c in attr_cols],
+        F.col("u_eff").alias(start_col),
+        F.lit(None).cast(cur.schema[end_col].dataType).alias(end_col),
+    )
+    return hist.select(*key_cols, *attr_cols, start_col, end_col).unionByName(
+        keep_cur
+    ).unionByName(closed).unionByName(opened)

@@ -85,3 +85,60 @@ def test_upsert_empty_updates_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "id INT, value STRING, day STRING")
     upsert_partitioned(spark, path, empty, ["id"], ["day"])
     assert len(_state(spark, path)) == 4
+
+
+def test_scd2_versions_history(spark):
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import scd2_apply
+
+    existing = spark.createDataFrame(
+        [
+            # key, attr, valid_from, valid_to (NULL = current)
+            (1, "ca", "2024-01-01", "2024-02-01"),  # closed history
+            (1, "ny", "2024-02-01", None),          # current, will change
+            (2, "tx", "2024-01-15", None),          # current, no-op update
+            (3, "wa", "2024-01-20", None),          # current, untouched
+        ],
+        ["id", "region", "valid_from", "valid_to"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "fl", "2024-03-01"),  # change → close + open
+            (2, "tx", "2024-03-01"),  # same attrs → no-op
+            (9, "nv", "2024-03-01"),  # new key → open
+        ],
+        ["id", "region", "effective_ts"],
+    )
+
+    out = scd2_apply(existing, updates, ["id"], ["region"])
+    rows = {(r.id, r.region, r.valid_from): r.valid_to for r in out.collect()}
+
+    assert rows == {
+        (1, "ca", "2024-01-01"): "2024-02-01",   # history untouched
+        (1, "ny", "2024-02-01"): "2024-03-01",   # closed at effective_ts
+        (1, "fl", "2024-03-01"): None,           # new current version
+        (2, "tx", "2024-01-15"): None,           # no-op: not churned
+        (3, "wa", "2024-01-20"): None,           # untouched key
+        (9, "nv", "2024-03-01"): None,           # brand-new key
+    }
+
+    # Exactly one current row per live key.
+    cur = out.filter(F.col("valid_to").isNull()).groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_is_idempotent_for_noop_reload(spark):
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import scd2_apply
+
+    existing = spark.createDataFrame(
+        [(1, "ny", "2024-02-01", None)],
+        "id INT, region STRING, valid_from STRING, valid_to STRING",
+    )
+    updates = spark.createDataFrame(
+        [(1, "ny", "2024-03-01")], ["id", "region", "effective_ts"]
+    )
+    once = scd2_apply(existing, updates, ["id"], ["region"])
+    twice = scd2_apply(once, updates, ["id"], ["region"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == 1
