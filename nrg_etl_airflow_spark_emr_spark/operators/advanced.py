@@ -293,3 +293,31 @@ def f10_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_custkey
         """,
     )
+
+
+@register(
+    "f11_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+               AS k_bucket
+    FROM events
+    """,
+    tags=("function", "json"),
+    doc="Semi-structured access through the VARIANT type (Spark 4): "
+    "parse_json once, then typed variant_get paths — the open-schema "
+    "path for evolving event payloads, vs f1's per-path string "
+    "get_json_object. At scale parse once and reuse the variant column; "
+    "it parses the document a single time instead of per extraction.",
+)
+def f11_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+    )

@@ -423,3 +423,29 @@ def a6_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_quantity").alias("max_qty"),
         )
     )
+
+
+@register(
+    "a7_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val
+    FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS size,
+               p_retailprice AS retailprice
+        FROM part
+    ) UNPIVOT (val FOR metric IN (size, retailprice))
+    """,
+    tags=("agg", "pivot"),
+    doc="Unpivot (wide→long melt) — the inverse of the reference's "
+    "groupBy-pivot reshape (A1). One row per (part, metric); metric "
+    "names come from the column names in both engines. Narrow transform, "
+    "no shuffle.",
+)
+def a7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
