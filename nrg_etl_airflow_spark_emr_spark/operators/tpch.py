@@ -746,3 +746,70 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.join(F.broadcast(total), F.col("value") > F.col("threshold"))
         .select("l_partkey", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — concentrated-supply suppliers (nested IN subqueries)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                     AND l_shipdate <  DATE '1997-01-01'
+                    THEN l_quantity ELSE 0 END) > 0.5 * SUM(l_quantity)
+  )
+"""
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle=_Q20_SQL,
+    tags=("tpch", "subquery", "join"),
+    doc="TPC-H Q20-shaped potential part promotion (completes the 22-query "
+    "suite). Adapted: fixtures carry no partsupp/ps_availqty, so the "
+    "availability predicate becomes 'supplier-part pairs whose 1996 "
+    "shipments exceed half their all-time shipped quantity' "
+    "(concentrated recent supply); parts restricted to '%widget%', "
+    "suppliers to NATION_3. Plan: the filtered part keys broadcast-semi "
+    "into lineitem (pushdown keeps the scan narrow), ONE "
+    "groupBy(part,supp) computes both the windowed and total quantity "
+    "with a conditional partial agg (map-side combine), and the "
+    "resulting distinct-supplier set — tiny by construction — "
+    "broadcast-semis into the supplier⋈nation dimension. The pair "
+    "group-by is the only shuffle; at 100 TB it keys on "
+    "(partkey,suppkey), which is near-uniform in TPC-H-shaped data. "
+    "The quantity comparison never reaches the output schema, so "
+    "DuckDB's SUM(BIGINT)->HUGEINT widening cannot cause type drift.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widget_parts = (
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    )
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    concentrated = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(F.lit(0))).alias("qty_1996"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1996") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(concentrated), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
