@@ -157,3 +157,13 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     joined = fact.join(dim, fact.l_returnflag == dim.rf)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP subquery missing from fact scan"
+
+
+def test_q20_semi_joins_broadcast_one_shuffle_pair(spark, sf_dir):
+    """Q20's nested INs must become broadcast semi joins with the filtered
+    part predicate pushed into the lineitem-side scan path; no sort-merge
+    join may appear (the pair group-by is the only data-sized shuffle)."""
+    plan = _plan(spark, sf_dir, "q20_promotion_suppliers")
+    assert plan.count("LeftSemi") >= 2, "both IN subqueries must be semi joins"
+    assert "SortMergeJoin" not in plan, "all join sides are broadcast-sized"
+    assert "StringContains(p_name,widget)" in plan, "part filter must push to scan"
