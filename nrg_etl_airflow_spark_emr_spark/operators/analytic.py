@@ -287,7 +287,7 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f8_array_agg_funcs",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
            CAST(len(list_distinct(list(o_orderpriority))) AS INTEGER) AS n_distinct,
            list_sort(list(o_orderpriority))[1] AS first_priority,
            CAST(list_contains(list(o_orderpriority), '1-URGENT') AS INTEGER) AS has_urgent
@@ -298,7 +298,9 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array aggregation + array functions (absent in reference — "
     "SURVEY.md §2.8): collect per-customer priority list (sorted, so the "
     "nondeterministic collect order cancels out), distinct count, "
-    "element access, membership.",
+    "element access, membership. The list is emitted as a ','-joined "
+    "string so every output column is scalar (array-typed outputs break "
+    "order-insensitive canonicalization downstream).",
 )
 def f8_array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array_sort(F.collect_list("o_orderpriority"))
@@ -306,7 +308,7 @@ def f8_array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            arr.alias("priorities"),
+            F.array_join(arr, ",").alias("priorities"),
             F.size(F.array_distinct(F.collect_list("o_orderpriority"))).alias(
                 "n_distinct"
             ),
@@ -397,7 +399,9 @@ def w8_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty
     FROM lineitem
@@ -408,17 +412,19 @@ def w8_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag) — the exact counterpart to the approx_sketches quantile "
     "sketch. Both engines use the same p·(n-1) linear interpolation, and "
     "l_quantity is integer-valued, so the interpolated doubles are "
-    "bit-identical. At 100 TB prefer the sketch: exact percentile "
-    "materializes the sorted group.",
+    "bit-identical. Quartiles are unnested to scalar q25/q50/q75 columns "
+    "(array outputs break canonicalization downstream). At 100 TB prefer "
+    "the sketch: exact percentile materializes the sorted group.",
 )
 def a6_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-                "qty_quartiles"
-            ),
+            qs.getItem(0).alias("q25"),
+            qs.getItem(1).alias("q50"),
+            qs.getItem(2).alias("q75"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
         )

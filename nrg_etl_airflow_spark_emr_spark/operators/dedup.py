@@ -451,3 +451,144 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 5)
     )
+
+
+# Prefix banding for simhash: with Hamming threshold h, splitting the
+# SIMHASH_BITS-bit sketch into h+1 disjoint bands guarantees (pigeonhole)
+# that every pair within threshold agrees exactly on at least one band —
+# so banded candidate generation has 100% recall and the banded query is
+# value-identical to the all-pairs one (same oracle).
+HAMMING_MAX = 5
+SIMHASH_BANDS = HAMMING_MAX + 1
+_BAND_WIDTHS = [
+    SIMHASH_BITS // SIMHASH_BANDS + (1 if j < SIMHASH_BITS % SIMHASH_BANDS else 0)
+    for j in range(SIMHASH_BANDS)
+]
+_BAND_OFFSETS = [sum(_BAND_WIDTHS[:j]) for j in range(SIMHASH_BANDS)]
+
+
+@register(
+    "dedup_simhash_banded",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    tags=("dedup", "sketch"),
+    doc=f"SimHash near-dup pairs via prefix banding — the 100 TB shape of "
+    f"dedup_simhash_pairs. The {SIMHASH_BITS}-bit sketch splits into "
+    f"{SIMHASH_BANDS} disjoint bands (pigeonhole: Hamming ≤ {HAMMING_MAX} "
+    "⇒ at least one band identical), candidates hash-join on (band_id, "
+    "band_value), exact Hamming filters candidates. No nested-loop/"
+    "cartesian anywhere: the only wide operation is a shuffle keyed on "
+    "band values, so cost tracks true collision counts, not n². Recall "
+    "is exact, so the oracle is the all-pairs SQL.",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhashes(spark, sf_dir)
+    band_vals = F.array(
+        *[
+            F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(_BAND_OFFSETS, _BAND_WIDTHS)
+        ]
+    )
+    bands = sh.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        # A pair within threshold can collide on several bands; distinct is
+        # exact because hamming is a function of (d1, d2).
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-routed embedding dedup (the 100 TB shape of dedup_embedding_cosine)
+# ---------------------------------------------------------------------------
+
+
+def _sql_emb_dedup_vec_cte() -> str:
+    from .similarity import _SQL_ASSIGN_CTE, FP_SCALE
+
+    return f"""
+    fx AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT) for x in embedding] AS fe
+        FROM embeddings
+    ),
+    vecs AS (
+        SELECT vec_id, label, fe, sqrt(list_dot_product(fe, fe)) AS nrm FROM fx
+    ),
+    {_SQL_ASSIGN_CTE}
+    """
+
+
+@register(
+    "dedup_embedding_ivf",
+    oracle=f"""
+    WITH {_sql_emb_dedup_vec_cte()}
+    SELECT aa.vec_id AS keep_id, ab.vec_id AS drop_id,
+           list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) AS cosine
+    FROM assigned aa
+    JOIN assigned ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+    JOIN vecs a ON a.vec_id = aa.vec_id
+    JOIN vecs b ON b.vec_id = ab.vec_id
+    WHERE list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) >= {EMB_DUP_THRESHOLD}
+    """,
+    tags=("dedup", "similarity"),
+    doc="Embedding near-dup with IVF candidate routing: vectors are "
+    "assigned to nearest-centroid cells (sim_knn_ivf's assignment, "
+    "centroids broadcast), then exact fixed-point cosine runs on "
+    "same-cell pairs only. The candidate join is keyed on cell id — a "
+    "hash shuffle whose cost tracks cell occupancy, not n²; no cartesian "
+    "or nested-loop join in the plan. High-cosine pairs share a nearest "
+    "centroid with high probability (production: multi-assign to top-2 "
+    "cells for exact-recall routing); dedup_embedding_cosine remains the "
+    "all-pairs recall oracle.",
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _cell_assignment, _dot, _vectors
+
+    v = _vectors(spark, sf_dir).cache()
+    # Cache: the assignment feeds both sides of the self-join; without it
+    # the k-centroid broadcast pass runs twice.
+    assigned = _cell_assignment(v).cache()
+    a = assigned.alias("aa")
+    b = assigned.alias("ab")
+    cand = a.join(
+        b,
+        (F.col("aa.cid") == F.col("ab.cid"))
+        & (F.col("aa.vec_id") < F.col("ab.vec_id")),
+    ).select(
+        F.col("aa.vec_id").alias("keep_id"), F.col("ab.vec_id").alias("drop_id")
+    )
+    va = v.select(
+        F.col("vec_id").alias("keep_id"), F.col("fe").alias("fa"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("vec_id").alias("drop_id"), F.col("fe").alias("fb"), F.col("nrm").alias("nb")
+    )
+    cosine = _dot(F.col("fa"), F.col("fb")).cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "keep_id")
+        .join(vb, "drop_id")
+        .select("keep_id", "drop_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )

@@ -149,10 +149,29 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_knn_ivf",
-    oracle=f"""
-    WITH {_SQL_VEC_CTE},
+def _cell_assignment(v: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest-centroid cell per vector, centroids broadcast.
+
+    Shared by sim_knn_ivf (probe path) and dedup_embedding_ivf (candidate
+    routing): one broadcast pass over the vectors, ties broken by lowest
+    cid, so both engines agree on the assignment bit-for-bit.
+    """
+    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
+    )
+    c_cos = _dot(F.col("fe"), F.col("cfe")).cast("double") / (F.col("nrm") * F.col("cnrm"))
+    aw = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", c_cos.alias("c_cos"))
+        .select("vec_id", "cid", F.row_number().over(aw).alias("crn"))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+# Shared SQL: nearest-centroid assignment (matches _cell_assignment).
+_SQL_ASSIGN_CTE = f"""
     cent AS (
         SELECT vec_id AS cid, fe, nrm FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
     ),
@@ -164,7 +183,15 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS crn
         FROM vecs v CROSS JOIN cent c
     ),
-    assigned AS (SELECT vec_id, cid FROM assign_scored WHERE crn = 1),
+    assigned AS (SELECT vec_id, cid FROM assign_scored WHERE crn = 1)
+"""
+
+
+@register(
+    "sim_knn_ivf",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    {_SQL_ASSIGN_CTE},
     q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
     probe_scored AS (
         SELECT q.vec_id AS query_id, c.cid,
@@ -204,15 +231,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
     )
     # Assign every vector to its nearest centroid cell (centroids broadcast).
-    c_cos = _dot(F.col("fe"), F.col("cfe")).cast("double") / (F.col("nrm") * F.col("cnrm"))
-    aw = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
-    assigned = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", c_cos.alias("c_cos"))
-        .select("vec_id", "cid", F.row_number().over(aw).alias("crn"))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "cid")
-    )
+    assigned = _cell_assignment(v)
     # Queries probe their NPROBE closest cells.
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"), F.col("nrm").alias("qnrm")
@@ -249,6 +268,86 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hamming distance 1 (sign flips near a hyperplane are exactly the
 # boundary cases multi-probe exists to recover).
 LSH_PLANES = 5
+
+
+def _srp_signatures(v: DataFrame) -> DataFrame:
+    """(vec_id, bucket): 5-bit sign-random-projection signature per vector,
+    hyperplanes broadcast. Shared by sim_knn_lsh and sim_cosine_lsh_pairs."""
+    planes = (
+        v.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("pid"), F.col("fe").alias("pfe"))
+        .withColumn(
+            "j",
+            (F.row_number().over(Window.orderBy("pid")) - 1).cast("long"),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    _dot(F.col("fe"), F.col("pfe")) >= 0,
+                    F.expr("shiftleft(1L, CAST(j AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+
+
+@register(
+    "sim_cosine_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    planes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, fe
+        FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    sig AS (
+        SELECT v.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v.fe, p.fe) >= 0
+                             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+        FROM vecs v CROSS JOIN planes p
+        GROUP BY v.vec_id
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_dot_product(va.fe, vb.fe) / (va.nrm * vb.nrm) AS cosine
+    FROM sig a
+    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+    WHERE list_dot_product(va.fe, vb.fe) / (va.nrm * vb.nrm) >= {PAIR_THRESHOLD / 2}
+    """,
+    tags=("similarity",),
+    doc="Candidate-filtered cosine pairs: only vectors sharing the same "
+    f"{LSH_PLANES}-bit SRP bucket are compared, then exact cosine ≥ "
+    f"{PAIR_THRESHOLD / 2} on candidates. The scale-safe counterpart to "
+    "sim_cosine_pairs: the join is keyed on bucket (hash shuffle, no "
+    "cartesian), so cost tracks bucket occupancy, not n². Same-bucket "
+    "vectors agree on every hyperplane sign — exactly the high-cosine "
+    "region near-dup detection cares about; dedup_embedding_ivf is the "
+    "cell-routed alternative.",
+)
+def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    # Cache: the signature frame feeds both sides of the self-join.
+    sig = _srp_signatures(v).cache()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+    va = v.select(F.col("vec_id").alias("v1"), F.col("fe").alias("fa"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("v2"), F.col("fe").alias("fb"), F.col("nrm").alias("nb"))
+    cosine = _dot(F.col("fa"), F.col("fb")).cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "v1")
+        .join(vb, "v2")
+        .select("v1", "v2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= PAIR_THRESHOLD / 2)
+    )
 
 
 @register(

@@ -86,10 +86,89 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
+# Driver-window rotation. The external verify harness checks the FIRST 50
+# entries of all_specs() per round, so ordering is evidence policy: queries
+# that have never received a driver-side correctness row go first. Round 1
+# covered the first 50 registration-order entries (relational, analytic,
+# scalar_funcs, advanced[:7]); this round the window holds the previously
+# unchecked TPC-H suite, temporal joins, advanced tail, streaming batch
+# twins, dedup, similarity, and graph queries, plus the two queries whose
+# round-1 rows failed on array-typed outputs (now scalar). Still queued for
+# the next rotation: text, training, kmeans, grouped, corpus, skew,
+# multimodal. Regenerate CATALOG.md after editing (scripts/gen_catalog.py).
+_DRIVER_WINDOW_PRIORITY = (
+    # round-1 FAILs, re-shaped to scalar outputs
+    "f8_array_agg_funcs",
+    "a6_exact_percentiles",
+    # TPC-H suite (operators/tpch.py) — never driver-checked
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class_counts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_classes",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    # temporal joins / sessionization
+    "j5_asof_join",
+    "j6_range_join",
+    "w5_sessionize",
+    "funnel_stages",
+    # advanced tail (past position 50 in round 1)
+    "g3_grouping_sets",
+    "approx_sketches",
+    "f10_string_agg",
+    "f11_variant_extract",
+    # streaming batch twins
+    "st_tumbling_daily",
+    "st_sliding_2d_1d",
+    "st_session_windows",
+    "st_dedup_first",
+    "st_user_totals",
+    "st_click_purchase_join",
+    "st_mktsegment_counts",
+    "events_retention_cohorts",
+    # dedup family (incl. the new scale-path variants)
+    "dedup_exact_keep_first",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_banded",
+    "dedup_embedding_cosine",
+    "dedup_embedding_ivf",
+    # similarity family (incl. the new candidate-filtered pairs)
+    "sim_cosine_pairs",
+    "sim_cosine_lsh_pairs",
+    "sim_knn_brute",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
+    # connected components
+    "dedup_clusters",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    """Load all operator modules and return the full registry."""
+    """Load all operator modules and return the full registry, driver-window
+    priority names first (see _DRIVER_WINDOW_PRIORITY), then everything
+    else in registration order."""
     _load()
-    return dict(_REGISTRY)
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_DRIVER_WINDOW_PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def spec(name: str) -> QuerySpec:

@@ -159,6 +159,54 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), "DPP subquery missing from fact scan"
 
 
+def test_simhash_banded_has_no_nested_loop(spark, sf_dir):
+    """The banded simhash variant exists precisely to avoid the O(n²)
+    compare: its candidate join must be a hash join keyed on band values,
+    never a nested-loop or cartesian product."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _keyed_pair_join_lines(plan: str, key: str) -> list[str]:
+    return [
+        line
+        for line in plan.splitlines()
+        if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and f"[{key}" in line
+        and " < " in line
+    ]
+
+
+def test_embedding_ivf_pair_join_is_keyed_on_cell(spark, sf_dir):
+    """IVF-routed embedding dedup: the vector-vs-vector candidate join must
+    be an equi-join keyed on cell id (the `<` dedup condition rides along
+    as a post-join filter). The only nested loops allowed are the two
+    k-centroid broadcast passes (k tiny, and cached at runtime)."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_ivf")
+    assert "CartesianProduct" not in plan
+    assert _keyed_pair_join_lines(plan, "cid"), (
+        "candidate pair join must key on cell id, not compare all pairs"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        "only the k-centroid assignment may nested-loop"
+    )
+
+
+def test_cosine_lsh_pairs_joins_on_bucket(spark, sf_dir):
+    """SRP-bucketed cosine pairs: candidate generation must equi-join the
+    signature frame on bucket value; the only nested loops are the two
+    5-hyperplane broadcast passes (bounded, cached at runtime)."""
+    plan = _plan(spark, sf_dir, "sim_cosine_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert _keyed_pair_join_lines(plan, "bucket"), (
+        "candidate pair join must key on SRP bucket"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        "only the hyperplane signature pass may nested-loop"
+    )
+
+
 def test_q20_semi_joins_broadcast_one_shuffle_pair(spark, sf_dir):
     """Q20's nested INs must become broadcast semi joins with the filtered
     part predicate pushed into the lineitem-side scan path; no sort-merge
