@@ -31,12 +31,22 @@ def main() -> None:
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
-    # Warm up session + parquet footer caches with the flagship query.
-    warm = specs.get("flagship_revenue_by_month") or next(iter(specs.values()))
-    warm.builder(spark, sf_dir).count()
+    # Full untimed warm-up pass: beyond parquet footers/session init, the
+    # HOF-heavy dedup/similarity queries run interpreted expression trees
+    # whose first execution pays JVM JIT compilation (measured 2-3× on the
+    # first run, stable afterwards). Timing the steady state is what makes
+    # round-over-round comparisons meaningful.
+    for name in sorted(specs):
+        spark.catalog.clearCache()
+        specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
+        # Each query is timed in isolation: several queries .cache()
+        # intermediate frames, and Spark's cache manager substitutes any
+        # matching plan fragment in LATER queries, so leftover caches both
+        # distort timings and build up memory pressure across the run.
+        spark.catalog.clearCache()
         start = time.perf_counter()
         df = specs[name].builder(spark, sf_dir)
         # Consume fully without driver-side materialization of wide rows.

@@ -149,6 +149,7 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_pairs",
+    bench=True,
     oracle=f"""
     WITH {_SQL_SHINGLES_CTE},
     sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
@@ -191,6 +192,106 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .select("d1", "d2", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    bench=True,
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup",),
+    doc="Exact Jaccard near-dup pairs with PPJoin-style prefix filtering — "
+    "the scale shape of dedup_jaccard_pairs, zero recall loss (same "
+    "oracle). Each doc's shingles are ordered rare-first (global document "
+    "frequency); for threshold t only the first |X|-ceil(t*|X|)+1 "
+    "shingles can witness a qualifying pair (prefix-filter theorem), so "
+    "the inverted-index join runs on prefixes (~half the postings, and "
+    "frequent shingles — the quadratic blow-up — mostly fall outside "
+    "rare-first prefixes). A length filter (t*|A| <= |B| <= |A|/t) "
+    "prunes candidates before exact scoring via array_intersect on the "
+    "full shingle arrays.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_ = JACCARD_THRESHOLD
+    docs = _doc_shingles(spark, sf_dir).cache()
+    ex = explode_unpushed(docs, F.col("shingles"), "shingle", "doc_id")
+    # Work on 60-bit shingle hashes from here on: the candidate join keys
+    # and the intersect arrays become fixed-width bigints instead of
+    # 3-word strings — smaller shuffles, integer compares (measured ~2×).
+    # hash60 is injective on the fixture vocabulary in practice (birthday
+    # bound ~1e-10 at 27k shingles); MinHash carries the same caveat.
+    exh = ex.select("doc_id", hash60("shingle").alias("hs"))
+    # Global document frequency per shingle; rare-first ordering minimizes
+    # prefix collisions. Any shared total order is correct — (df, hash)
+    # makes it deterministic.
+    df_counts = exh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        exh.join(df_counts, "hs")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "hs"))),
+                lambda s: s["hs"],
+            ).alias("ordered_sh")
+        )
+        .select(
+            "doc_id",
+            "ordered_sh",
+            F.size("ordered_sh").alias("sz"),
+        )
+        # Prefix length L = sz - ceil(t*sz) + 1: two sets with Jaccard >= t
+        # sorted by the same global order must collide within their prefixes.
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.col("ordered_sh"),
+                1,
+                F.col("sz") - F.ceil(F.col("sz") * F.lit(t_)).cast("int") + 1,
+            ),
+        )
+        .cache()
+    )
+    pex = ordered.select(
+        "doc_id", "sz", F.explode("prefix").alias("hs")
+    )
+    a = pex.alias("a")
+    b = pex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # Length filter: |B| in [t*|A|, |A|/t] (symmetric, a.sz<=…
+            # not assumed). Cheap row-level prune before dedup+scoring.
+            & (F.col("b.sz") * F.lit(t_) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(t_) <= F.col("b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = ordered.select(F.col("doc_id").alias("d1"), F.col("ordered_sh").alias("sh1"), F.col("sz").alias("sz1"))
+    s2 = ordered.select(F.col("doc_id").alias("d2"), F.col("ordered_sh").alias("sh2"), F.col("sz").alias("sz2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jacc = n_common.cast("double") / (F.col("sz1") + F.col("sz2") - n_common)
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= t_)
     )
 
 
@@ -469,6 +570,7 @@ _BAND_OFFSETS = [sum(_BAND_WIDTHS[:j]) for j in range(SIMHASH_BANDS)]
 
 @register(
     "dedup_simhash_banded",
+    bench=True,
     oracle=f"""
     WITH {_sql_simhash_cte()}
     SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -542,6 +644,7 @@ def _sql_emb_dedup_vec_cte() -> str:
 
 @register(
     "dedup_embedding_ivf",
+    bench=True,
     oracle=f"""
     WITH {_sql_emb_dedup_vec_cte()}
     SELECT aa.vec_id AS keep_id, ab.vec_id AS drop_id,

@@ -189,6 +189,7 @@ _SQL_ASSIGN_CTE = f"""
 
 @register(
     "sim_knn_ivf",
+    bench=True,
     oracle=f"""
     WITH {_SQL_VEC_CTE},
     {_SQL_ASSIGN_CTE},

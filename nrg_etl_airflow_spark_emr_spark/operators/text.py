@@ -339,6 +339,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_gopher_filter",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, text, string_split(text, ' ') AS w FROM documents

@@ -122,6 +122,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7_volume_shipping",
+    bench=True,
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
            {sql_dsum("volume", "revenue")}
@@ -180,6 +181,7 @@ _Q8_FIXED = "CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
 
 @register(
     "q8_market_share",
+    bench=True,
     oracle=f"""
     SELECT o_year,
            CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_fixed ELSE 0 END) AS DOUBLE)
@@ -624,6 +626,7 @@ GROUP BY s_name
 
 @register(
     "q21_waiting_supplier",
+    bench=True,
     oracle=_Q21_SQL,
     tags=("tpch", "subquery", "sql"),
     doc="TPC-H Q21-shaped: suppliers who were the sole late shipper on "

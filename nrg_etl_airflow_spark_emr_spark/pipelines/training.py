@@ -130,6 +130,7 @@ _PACK_BINS = 32     # parallel packing bins
 
 @register(
     "train_pack_sequences",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id,

@@ -178,6 +178,18 @@ def _keyed_pair_join_lines(plan: str, key: str) -> list[str]:
     ]
 
 
+def test_jaccard_prefix_joins_on_hashed_shingle(spark, sf_dir):
+    """PPJoin-style prefix filtering: the candidate join must be an
+    equi-join on the hashed shingle (prefix postings), never a nested
+    loop; exact scoring happens on candidates only."""
+    plan = _plan(spark, sf_dir, "dedup_jaccard_prefix")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _keyed_pair_join_lines(plan, "hs"), (
+        "candidate join must key on the hashed prefix shingle"
+    )
+
+
 def test_embedding_ivf_pair_join_is_keyed_on_cell(spark, sf_dir):
     """IVF-routed embedding dedup: the vector-vs-vector candidate join must
     be an equi-join keyed on cell id (the `<` dedup condition rides along
