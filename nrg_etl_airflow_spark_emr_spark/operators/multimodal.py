@@ -1,13 +1,15 @@
 """Multimodal-column operators (SURVEY.md §7 M5).
 
 Images/audio/video in a 100 TB training pipeline are opaque ``binary``
-columns plus typed metadata; the engine's job is the *plumbing* — schema,
-batching, partition sizing — not the codecs. The fixture has no media
-files, so the payload here is ``encode(text)`` bytes; the decode step is
-a clearly-marked stub (`decode_image`) while everything Spark-side is
-real and tested: binary metadata as codegen'd column expressions, and
-Arrow-batched ``mapInPandas`` feature extraction with an explicit output
-schema.
+columns plus typed metadata; the engine owns the plumbing — schema,
+batching, partition sizing — plus real image codecs implemented with
+pure NumPy + stdlib zlib (``decode_png``/``encode_png`` covering all
+five scanline filters and palettes; ``decode_bmp`` for uncompressed
+24/32-bit). The fixture has no media files, so queries run over
+``encode(text)`` bytes and dispatch: real codec on PNG/BMP magic,
+deterministic fake otherwise. Everything Spark-side is real and tested:
+binary metadata as codegen'd column expressions, and Arrow-batched
+``mapInPandas`` feature extraction with an explicit output schema.
 
 Scale notes: binaries ride in parquet as BYTE_ARRAY — keep
 ``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a partition of
@@ -86,10 +88,12 @@ def byte_histogram_batches(
 
 
 def _histogram16(payload: bytes) -> list[int]:
-    hist = [0] * N_HIST_BINS
-    for b in payload:
-        hist[b >> 4] += 1
-    return hist
+    import numpy as np
+
+    if not payload:
+        return [0] * N_HIST_BINS
+    arr = np.frombuffer(payload, np.uint8)
+    return np.bincount(arr >> 4, minlength=N_HIST_BINS).tolist()
 
 
 @register(
@@ -109,7 +113,207 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(byte_histogram_batches, schema=HISTOGRAM_SCHEMA)
 
 
-# --- Decode stub ------------------------------------------------------------
+# --- Real codecs (pure NumPy + stdlib zlib; no image libraries) -------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG to (width, height, channels,
+    pixels ndarray[h, w, c]). Pure NumPy + stdlib zlib: chunk walk, IDAT
+    inflate, and all five scanline filters (None/Sub/Up/Average/Paeth)
+    per the PNG spec; paletted images are expanded through PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    width = height = color_type = None
+    palette = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if interlace:
+                raise NotImplementedError("interlaced PNG (Adam7) not supported")
+            if bit_depth != 8:
+                raise NotImplementedError("only 8-bit channels supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(height, stride + 1)
+    ftypes = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        f = int(ftypes[y])
+        rec = lines[y].copy()
+        if f == 1:  # Sub: left-neighbor prefix dependence
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:  # Up: fully vectorized
+            rec = (rec + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    pixels = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG without PLTE chunk")
+        pixels = palette[pixels[..., 0]]
+        channels = 3
+    return width, height, channels, pixels
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode an ndarray[h, w, c] (uint8, c in {1,2,3,4}) as a PNG using
+    one filter type for every scanline. Inverse of decode_png; filter
+    math mirrors the spec so roundtrip tests cover every filter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    height, width, channels = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = px.reshape(height, width * channels).astype(np.int32)
+    stride = width * channels
+    bpp = channels
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        cur = flat[y]
+        left = np.zeros(stride, np.int32)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros(stride, np.int32)
+        upleft[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"invalid filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24/32-bit BMP to (width, height, channels,
+    pixels ndarray[h, w, c] in RGB order). Handles bottom-up row order
+    and 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression:
+        raise NotImplementedError("compressed BMP not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError("only 24/32-bit BMP supported")
+    channels = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * channels + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, count=row_size * height, offset=data_offset)
+    rows = raw.reshape(height, row_size)[:, : width * channels].reshape(
+        height, width, channels
+    )
+    if bottom_up:
+        rows = rows[::-1]
+    # Stored BGR(A) → return RGB (alpha dropped: metadata reports 3 channels
+    # only when the source had 3; 32-bit keeps 4 with A last).
+    if channels == 3:
+        pixels = rows[..., ::-1]
+    else:
+        pixels = np.concatenate([rows[..., 2::-1], rows[..., 3:]], axis=-1)
+    return width, height, channels, np.ascontiguousarray(pixels)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Decode an image payload to (width, height, channels) using the
+    real pure-NumPy codecs: PNG (8-bit, all filter types, palette) and
+    uncompressed 24/32-bit BMP, dispatched on magic bytes."""
+    if payload[:8] == _PNG_MAGIC:
+        w, h, c, _ = decode_png(payload)
+        return (w, h, c)
+    if payload[:2] == b"BM":
+        w, h, c, _ = decode_bmp(payload)
+        return (w, h, c)
+    raise ValueError("unrecognized image format (supported: PNG, BMP)")
+
+
+def fake_decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder for non-image payloads (the
+    documents fixture carries text bytes): derives a plausible (w, h, c)
+    from the payload bytes so the mapInPandas plumbing stays testable."""
+    n = len(payload)
+    return (16 + n % 64, 16 + (n // 64) % 64, 3)
+
+
+def dispatch_decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Real codec for real image bytes, deterministic fake otherwise."""
+    if payload[:8] == _PNG_MAGIC or payload[:2] == b"BM":
+        return decode_image(payload)
+    return fake_decode_image(payload)
+
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -121,28 +325,8 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Decode an image payload to (width, height, channels).
-
-    STUB: real decoding needs an image library (Pillow/libvips) that is
-    not in this environment. The Spark-side contract (binary in, typed
-    struct out, called from decode_image_batches) is the real interface.
-    """
-    raise NotImplementedError(
-        "image decoding requires an image library; use fake_decode_image "
-        "for plumbing tests"
-    )
-
-
-def fake_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in decoder: derives a plausible (w, h, c) from
-    the payload bytes so the mapInPandas plumbing is testable."""
-    n = len(payload)
-    return (16 + n % 64, 16 + (n // 64) % 64, 3)
-
-
 def decode_image_batches(
-    batches: Iterator[pd.DataFrame], decoder=fake_decode_image
+    batches: Iterator[pd.DataFrame], decoder=dispatch_decode_image
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         decoded = pdf["payload"].map(decoder)
@@ -158,12 +342,15 @@ def decode_image_batches(
 
 @register(
     "mm_decode_meta",
-    oracle=None,  # stubbed decoder; plumbing pinned by unit tests
+    oracle=None,  # python-kernel op; codec pinned by unit tests
     tags=("multimodal", "udf"),
-    doc="Decode-stage plumbing: binary payload → typed (width, height, "
-    "channels) via mapInPandas. The decoder itself is a deterministic "
-    "stub (decode_image raises NotImplementedError; fake_decode_image "
-    "drives tests) — swapping in a real codec changes one function.",
+    doc="Decode stage: binary payload → typed (width, height, channels) "
+    "via mapInPandas. The decoder is REAL for PNG (pure NumPy + zlib: "
+    "chunk walk, all five scanline filters, palette expansion) and "
+    "uncompressed 24/32-bit BMP, dispatched on magic bytes; non-image "
+    "payloads (the text fixture) fall through to a deterministic fake so "
+    "the query stays total. tests/test_multimodal.py roundtrips every "
+    "PNG filter type and BMP layout against the codec.",
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
@@ -176,24 +363,38 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload to (width, height).
+    """Resize a PNG/BMP payload to (width, height) by nearest-neighbor
+    resampling, re-encoded as PNG. Real codec path: decode via the pure
+    NumPy decoders, index-resample, encode_png."""
+    import numpy as np
 
-    STUB: needs an image library (Pillow/libvips) not present here; the
-    deterministic fake below exercises the identical Spark-side contract.
-    """
-    raise NotImplementedError(
-        "image resizing requires an image library; use fake_resize_image"
-    )
+    if payload[:8] == _PNG_MAGIC:
+        _, h, _, px = decode_png(payload)
+        w = px.shape[1]
+    elif payload[:2] == b"BM":
+        w, h, _, px = decode_bmp(payload)
+    else:
+        raise ValueError("unrecognized image format (supported: PNG, BMP)")
+    ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+    xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+    return encode_png(px[ys][:, xs])
 
 
 def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in: returns a byte string whose length scales
-    with the target area, derived from the payload (so tests can assert
-    content-dependence and size-dependence without a codec)."""
+    """Deterministic stand-in for non-image payloads: returns a byte
+    string whose length scales with the target area, derived from the
+    payload (content- and size-dependent without a codec)."""
     area = max(width * height // 64, 1)
     seed = payload[:16] or b"\0"
     reps = area // len(seed) + 1
     return (seed * reps)[:area]
+
+
+def dispatch_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize for PNG/BMP bytes, fake otherwise."""
+    if payload[:8] == _PNG_MAGIC or payload[:2] == b"BM":
+        return resize_image(payload, width, height)
+    return fake_resize_image(payload, width, height)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -206,7 +407,7 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_batches(
-    batches: Iterator[pd.DataFrame], width: int = 64, height: int = 64, resizer=fake_resize_image
+    batches: Iterator[pd.DataFrame], width: int = 64, height: int = 64, resizer=dispatch_resize_image
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         resized = pdf["payload"].map(lambda p: resizer(p, width, height))
@@ -223,9 +424,9 @@ def resize_batches(
     "mm_resize",
     oracle=None,  # stubbed codec; plumbing pinned by unit tests
     tags=("multimodal", "udf"),
-    doc="Resize-stage plumbing: binary in → binary out via mapInPandas "
-    "(batch-shape identical to a real thumbnailer). Codec stubbed "
-    "(resize_image raises; fake_resize_image drives tests).",
+    doc="Resize stage: binary in → binary out via mapInPandas. Real "
+    "nearest-neighbor resampling + PNG re-encode for PNG/BMP payloads "
+    "(pure NumPy codecs); deterministic fake for the text fixture bytes.",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(

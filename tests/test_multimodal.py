@@ -47,9 +47,99 @@ def test_decode_meta_deterministic(spark, sf_dir):
         assert rows[doc_id] == mm.fake_decode_image(text.encode("utf-8"))
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+def test_decode_rejects_unknown_format():
+    with pytest.raises(ValueError):
+        mm.decode_image(b"not an image")
+
+
+def _gradient(h, w, c):
+    import numpy as np
+
+    y, x, ch = np.meshgrid(np.arange(h), np.arange(w), np.arange(c), indexing="ij")
+    return ((x * 7 + y * 13 + ch * 29) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    import numpy as np
+
+    px = _gradient(13, 9, 3)
+    payload = mm.encode_png(px, filter_type=filter_type)
+    w, h, c, decoded = mm.decode_png(payload)
+    assert (w, h, c) == (9, 13, 3)
+    assert np.array_equal(decoded, px)
+    assert mm.decode_image(payload) == (9, 13, 3)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 4])
+def test_png_roundtrip_channel_counts(channels):
+    import numpy as np
+
+    px = _gradient(5, 7, channels)
+    w, h, c, decoded = mm.decode_png(mm.encode_png(px, filter_type=4))
+    assert (w, h, c) == (7, 5, channels)
+    assert np.array_equal(decoded, px)
+
+
+def test_png_palette_expansion():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # Hand-build a 2x2 paletted PNG: indices [[0,1],[2,0]].
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x00\x01" + b"\x00\x02\x00")
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, px = mm.decode_png(payload)
+    assert (w, h, c) == (2, 2, 3)
+    assert np.array_equal(px, palette[np.array([[0, 1], [2, 0]])])
+
+
+def _encode_bmp24(px):
+    """Minimal bottom-up 24-bit BMP encoder (test-side reference)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][..., ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    data = b"".join(rows)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+def test_bmp_roundtrip_24bit():
+    import numpy as np
+
+    px = _gradient(6, 5, 3)  # width 5 -> 15-byte rows, exercises padding
+    payload = _encode_bmp24(px)
+    w, h, c, decoded = mm.decode_bmp(payload)
+    assert (w, h, c) == (5, 6, 3)
+    assert np.array_equal(decoded, px)
+    assert mm.decode_image(payload) == (5, 6, 3)
 
 
 def test_resize_matches_python(spark, sf_dir):
@@ -64,9 +154,52 @@ def test_resize_matches_python(spark, sf_dir):
         assert rows[doc_id] == (len(expect), expect)
 
 
-def test_resize_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_resize_rejects_unknown_format():
+    with pytest.raises(ValueError):
         mm.resize_image(b"x", 2, 2)
+
+
+def test_resize_real_png_nearest_neighbor():
+    import numpy as np
+
+    px = _gradient(8, 8, 3)
+    out = mm.resize_image(mm.encode_png(px), 4, 4)
+    w, h, c, resized = mm.decode_png(out)
+    assert (w, h, c) == (4, 4, 3)
+    # Nearest-neighbor with integer 2x downscale picks every other pixel.
+    assert np.array_equal(resized, px[::2, ::2])
+
+
+def test_resize_upscale_from_bmp():
+    import numpy as np
+
+    px = _gradient(3, 3, 3)
+    out = mm.resize_image(_encode_bmp24(px), 6, 6)
+    w, h, c, resized = mm.decode_png(out)
+    assert (w, h, c) == (6, 6, 3)
+    assert np.array_equal(resized[::2, ::2], px)
+
+
+def test_decode_meta_real_images_through_spark(spark):
+    """End-to-end: real PNG and BMP bytes flow through the same
+    mapInPandas kernel the catalog query uses, decoded by the real
+    codecs (dispatch on magic), alongside a non-image payload."""
+    png = mm.encode_png(_gradient(12, 34, 3), filter_type=4)
+    bmp = _encode_bmp24(_gradient(7, 5, 3))
+    txt = b"just some text"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(txt))],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {
+        r.doc_id: (r.width, r.height, r.n_channels)
+        for r in df.mapInPandas(
+            mm.decode_image_batches, schema=mm.DECODED_SCHEMA
+        ).collect()
+    }
+    assert rows[1] == (34, 12, 3)
+    assert rows[2] == (5, 7, 3)
+    assert rows[3] == mm.fake_decode_image(txt)
 
 
 def test_frame_sample_matches_python(spark, sf_dir):
