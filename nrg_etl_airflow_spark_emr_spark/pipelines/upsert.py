@@ -28,15 +28,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def dedupe_updates(
+    updates: DataFrame, key_cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """One row per key from an updates batch: highest ``order_col`` wins
+    (ties and the no-order_col case fall back to the remaining columns
+    descending, so the choice is deterministic, not first-seen)."""
+    from pyspark.sql.window import Window
+
+    others = [c for c in updates.columns if c not in key_cols and c != order_col]
+    ordering = ([F.col(order_col).desc()] if order_col else []) + [
+        F.col(c).desc_nulls_last() for c in others
+    ]
+    if not ordering:  # key-only frame: rows are indistinguishable
+        return updates.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def upsert_partitioned(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
     partition_cols: list[str],
+    order_col: str | None = None,
 ) -> None:
     """Merge ``updates`` (last-wins on ``key_cols``) into the partitioned
     parquet table at ``target_path``, rewriting only touched partitions.
+
+    The batch is deduplicated per key first (``order_col`` descending
+    when given, deterministic column fallback otherwise) — an increment
+    carrying several versions of a key must land exactly one row, not
+    all of them. A missing/empty target short-circuits to a plain
+    partitioned first write.
 
     ``updates`` must carry the partition columns; a key may move between
     partitions only if both its old and new partition appear in the
@@ -48,6 +77,18 @@ def upsert_partitioned(
     if not touched:
         return
 
+    deduped = dedupe_updates(updates, key_cols, order_col)
+
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception as e:  # first load: no table yet
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            target_path
+        )
+        return
+
     # Partition-pruned read of the existing rows in touched partitions.
     part_pred = reduce(
         lambda a, b: a | b,
@@ -56,12 +97,12 @@ def upsert_partitioned(
             for row in touched
         ],
     )
-    existing = spark.read.parquet(target_path).filter(part_pred)
+    existing = target.filter(part_pred)
 
     # Last-wins merge: drop existing rows whose key reappears in updates.
     merged = existing.join(
-        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-    ).unionByName(updates)
+        deduped.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    ).unionByName(deduped)
 
     (
         merged.write.mode("overwrite")
@@ -101,6 +142,13 @@ def scd2_apply(
     """
     cur = existing.filter(F.col(end_col).isNull())
     hist = existing.filter(F.col(end_col).isNotNull())
+
+    # One update per key (latest effective_ts wins): the full-outer join
+    # below would otherwise fan out the current row once per duplicate,
+    # emitting conflicting closed/opened versions. Applying intermediate
+    # versions as history is a different operation (apply batches in
+    # effective_ts order); within one batch, last state wins.
+    updates = dedupe_updates(updates, key_cols, effective_col)
 
     upd = updates.select(
         *[F.col(c).alias(f"u_{c}") for c in key_cols + attr_cols],

@@ -87,6 +87,69 @@ def test_upsert_empty_updates_is_noop(spark, tmp_path):
     assert len(_state(spark, path)) == 4
 
 
+def test_upsert_first_load_creates_table(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], ["id", "value", "day"]
+    )
+    upsert_partitioned(spark, path, updates, ["id"], ["day"])
+    assert _state(spark, path) == {1: ("a", "2024-01-01"), 2: ("b", "2024-01-02")}
+    # And the created table merges normally afterwards.
+    upsert_partitioned(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a2", "2024-01-01")], ["id", "value", "day"]),
+        ["id"],
+        ["day"],
+    )
+    assert _state(spark, path)[1] == ("a2", "2024-01-01")
+
+
+def test_upsert_dedupes_multi_version_batch(spark, tmp_path):
+    """A batch carrying several versions of one key lands exactly one row
+    — the highest order_col version — not all of them."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01", 10),
+            (1, "v3", "2024-01-01", 30),
+            (1, "v2", "2024-01-01", 20),
+        ],
+        ["id", "value", "day", "seq"],
+    )
+    upsert_partitioned(
+        spark, path, updates.select("id", "value", "day"), ["id"], ["day"],
+    )
+    # No order_col: deterministic fallback (remaining cols desc) → "v3".
+    state = _state(spark, path)
+    assert state[1] == ("v3", "2024-01-01")
+    assert sum(1 for r in spark.read.parquet(path).collect() if r.id == 1) == 1
+
+
+def test_scd2_multi_version_batch_no_fanout(spark):
+    """Duplicate keys in one updates batch must not fan out the current
+    row: latest effective_ts wins, exactly one close + one open."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import scd2_apply
+
+    existing = spark.createDataFrame(
+        [(1, "eu", "2024-01-01", None)],
+        "id INT, region STRING, valid_from STRING, valid_to STRING",
+    )
+    updates = spark.createDataFrame(
+        [(1, "us", "2024-02-01"), (1, "ap", "2024-03-01")],
+        "id INT, region STRING, effective_ts STRING",
+    )
+    out = scd2_apply(existing, updates, ["id"], ["region"])
+    rows = sorted(
+        ((r.region, r.valid_from, r.valid_to) for r in out.collect()),
+    )
+    assert rows == [
+        ("ap", "2024-03-01", None),       # latest update is the new current
+        ("eu", "2024-01-01", "2024-03-01"),  # old current closed once
+    ]
+
+
 def test_scd2_versions_history(spark):
     from pyspark.sql import functions as F
 
