@@ -159,6 +159,16 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), "DPP subquery missing from fact scan"
 
 
+def test_simhash_is_zero_shuffle(spark, sf_dir):
+    """The row-local simhash formulation (aggregate fold over the shingle
+    array) must not regress to the explode + groupBy shape: one spread()
+    exchange, no aggregation exchange keyed on exploded tokens."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "dedup_simhash")
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan and "Generate" not in plan
+
+
 def test_simhash_banded_has_no_nested_loop(spark, sf_dir):
     """The banded simhash variant exists precisely to avoid the O(n²)
     compare: its candidate join must be a hash join keyed on band values,
