@@ -168,11 +168,20 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_shingles(spark, sf_dir)
     sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
-    ex = explode_unpushed(docs, F.col("shingles"), "shingle", "doc_id")
+    # Shuffle/join on 60-bit shingle hashes, not 3-word strings: the
+    # inverted-index exchange carries fixed-width bigints (same count
+    # semantics; hash60 injective on the corpus vocabulary in practice —
+    # the caveat MinHash already carries). Hash INSIDE the array before
+    # exploding: one md5 per (doc, shingle), row-local, instead of one
+    # per exploded posting per join side.
+    hashed = docs.select(
+        "doc_id", F.transform("shingles", lambda s: hash60(s)).alias("hs_arr")
+    )
+    ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -207,6 +207,41 @@ def foreach_batch_parquet_sink(events: DataFrame, path: str, checkpoint: str):
     )
 
 
+def foreach_batch_upsert_sink(
+    updates: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    order_col: str | None = None,
+):
+    """Streaming MERGE: each micro-batch upserts into a partitioned
+    parquet target through ``pipelines.upsert.upsert_partitioned`` —
+    last-wins per key, only touched partitions rewritten. This is the
+    CDC-shaped sink the append-only parquet sink can't express: late or
+    corrected rows REPLACE their earlier version instead of duplicating
+    it. Replayed batches (failure between write and checkpoint commit)
+    converge because the upsert itself is idempotent.
+
+    At 100 TB the per-batch cost tracks the partitions the batch touches
+    (a daily increment touches days, not the table); the table-format
+    upgrade (Delta/Iceberg MERGE) swaps one function.
+    """
+    from ..pipelines.upsert import upsert_partitioned
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_partitioned(
+            batch_df.sparkSession, path, batch_df, key_cols, partition_cols, order_col
+        )
+
+    return (
+        updates.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def click_purchase_join(events: DataFrame) -> DataFrame:
     """Stream-stream self-join: attribute each purchase to the same user's
     clicks in the preceding hour.

@@ -194,6 +194,65 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert latest["2024-01-01"] == 1, "the late day-1 row must not merge"
 
 
+def test_foreach_batch_upsert_sink_merges_across_batches(spark, tmp_path):
+    """CDC-shaped streaming sink: two micro-batches carrying overlapping
+    keys land as ONE row per key (last batch wins), not duplicates — the
+    property the append/batch_id sink cannot give. A replay with nothing
+    new leaves the table unchanged."""
+    import os
+
+    d = str(tmp_path / "updates_in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "v1", "2024-01-01"), (2, "v1", "2024-01-01")], ["id", "value", "day"]
+    ).coalesce(1).write.mode("overwrite").json(str(tmp_path / "s_a"))
+    spark.createDataFrame(
+        [(1, "v2", "2024-01-01"), (3, "v1", "2024-01-02")], ["id", "value", "day"]
+    ).coalesce(1).write.mode("overwrite").json(str(tmp_path / "s_b"))
+    import glob
+    import shutil
+
+    for i, name in enumerate(["s_a", "s_b"]):
+        part = glob.glob(str(tmp_path / name) + "/part-*.json")[0]
+        dst = os.path.join(d, f"{name}.json")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("id LONG, value STRING, day STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+    )
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.foreach_batch_upsert_sink(stream, target, ckpt, ["id"], ["day"]).awaitTermination(120)
+
+    def state():
+        return {
+            r.id: (r.value, str(r.day))
+            for r in spark.read.parquet(target).collect()
+        }
+
+    assert state() == {
+        1: ("v2", "2024-01-01"),  # batch b replaced batch a's version
+        2: ("v1", "2024-01-01"),
+        3: ("v1", "2024-01-02"),
+    }
+
+    # Restart with no new input: availableNow drains nothing, state holds.
+    stream2 = (
+        spark.readStream.schema("id LONG, value STRING, day STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+    )
+    jobs.foreach_batch_upsert_sink(stream2, target, ckpt, ["id"], ["day"]).awaitTermination(120)
+    assert state() == {
+        1: ("v2", "2024-01-01"),
+        2: ("v1", "2024-01-01"),
+        3: ("v1", "2024-01-02"),
+    }
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
     """Stream-stream self-join (watermarks both sides + time-range bound)
     equals the batch twin's click→purchase pairs."""
