@@ -421,6 +421,90 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_ngram_frac",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, CAST(len(w) - 1 AS INTEGER) AS n_bigrams,
+               unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        FROM toks WHERE len(w) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, n_bigrams, bigram, COUNT(*) AS c
+        FROM bg GROUP BY doc_id, n_bigrams, bigram
+    ),
+    top AS (
+        SELECT doc_id, n_bigrams, bigram, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+        FROM cnt
+    )
+    SELECT doc_id, bigram AS top_bigram, CAST(c AS INTEGER) AS top_count,
+           CAST(c AS DOUBLE) / n_bigrams AS top_bigram_frac
+    FROM top WHERE rn = 1
+    """,
+    tags=("text", "quality"),
+    doc="Gopher's other repetition rule: the fraction of a document's "
+    "bigrams taken by its single most frequent bigram (dup_bigram_frac in "
+    "text_gopher_filter measures how many bigrams repeat AT ALL; this "
+    "measures concentration). Zero shuffle: equal bigrams are adjacent in "
+    "the sorted array, so the per-doc mode is a row-local longest-run fold "
+    "(aggregate HOF) over array_sort(bigrams) — no explode, no per-doc "
+    "groupBy exchange. The oracle takes the orthodox unnest+count+rank "
+    "route; ties resolve to the lexicographically smallest bigram on both "
+    "sides (ascending sort + strict >).",
+)
+def text_top_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Named-column staging between HOF steps: lambdas get no CSE
+    # (functions/hashing.py), so each derived array is projected once.
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    n_words = F.size("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    )
+    staged = toks.select(
+        "doc_id",
+        (n_words - 1).alias("n_bigrams"),
+        F.array_sort(bigrams).alias("sbg"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_val"]).alias("best_val"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_val"),
+    )
+    folded = staged.select(
+        "doc_id",
+        "n_bigrams",
+        F.aggregate(F.col("sbg"), zero, _step).alias("top"),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("top")["best_val"].alias("top_bigram"),
+        F.col("top")["best"].alias("top_count"),
+        (F.col("top")["best"].cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@register(
     "text_word_freq_topk",
     oracle="""
     WITH words AS (

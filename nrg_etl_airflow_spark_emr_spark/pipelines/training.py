@@ -180,6 +180,45 @@ _CONTAM_K = 3  # shingle width for contamination detection
 
 
 @register(
+    "train_importance_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, CAST(ttr_bps AS INTEGER) AS ttr_bps
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 10000) AS ttr_bps
+        FROM documents
+    )
+    WHERE {sql_hash60("'imp:42:' || CAST(doc_id AS VARCHAR)")} % 10000 < ttr_bps
+    """,
+    tags=("training", "sample"),
+    doc="Importance-weighted (quality-proportional) sampling: each doc's "
+    "keep-probability is its type-token ratio (distinct words / words), "
+    "realized deterministically as hash60('imp:42:'||doc_id) mod 10000 < "
+    "floor(ttr*1e4). Repetitive docs are downweighted smoothly instead of "
+    "hard-filtered — the resample-by-classifier-score pattern from "
+    "published pipeline recipes, minus the classifier. FLOOR of an IEEE "
+    "division is bit-deterministic in both engines (same rationale as "
+    "_util.fixed), and the whole operator is one map-side filter: no "
+    "shuffle, no RNG state, reproducible under retries at any scale.",
+)
+def train_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Named array column first — the size/array_distinct pair gets no CSE
+    # inside further HOF use, and projecting once keeps the split single.
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("w")
+    )
+    ttr_bps = F.floor(
+        F.size(F.array_distinct("w")).cast("double") / F.size("w") * 10000
+    )
+    staged = toks.select("doc_id", "lang", "n_chars", ttr_bps.alias("ttr_bps"))
+    return staged.filter(
+        hash60(F.concat(F.lit("imp:42:"), F.col("doc_id").cast("string"))) % 10000
+        < F.col("ttr_bps")
+    ).select("doc_id", "lang", "n_chars", F.col("ttr_bps").cast("int").alias("ttr_bps"))
+
+
+@register(
     "train_contamination_check",
     oracle=f"""
     WITH tagged AS (
