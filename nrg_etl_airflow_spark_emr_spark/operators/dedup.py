@@ -603,7 +603,14 @@ _BAND_OFFSETS = [sum(_BAND_WIDTHS[:j]) for j in range(SIMHASH_BANDS)]
     "is exact, so the oracle is the all-pairs SQL.",
 )
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _simhashes(spark, sf_dir)
+    # cache() is a semantic barrier, not just a speedup: _simhashes is a
+    # pure projection since the zero-shuffle rewrite, so CollapseProject
+    # would inline the whole array fold into each of the band expressions
+    # below (and into both self-join sides) — the sketch would be computed
+    # ~9× per doc, ×2 sides (measured 2.5× wall-clock on the fixture).
+    # The cached frame is 16 bytes/doc; at 100 TB corpus scale this is
+    # the same small-sketch persist dedup_minhash_lsh already does.
+    sh = _simhashes(spark, sf_dir).cache()
     band_vals = F.array(
         *[
             F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
