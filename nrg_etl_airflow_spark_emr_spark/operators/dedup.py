@@ -167,16 +167,18 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_shingles(spark, sf_dir)
-    sizes = docs.select("doc_id", F.size("shingles").alias("sz"))
     # Shuffle/join on 60-bit shingle hashes, not 3-word strings: the
     # inverted-index exchange carries fixed-width bigints (same count
     # semantics; hash60 injective on the corpus vocabulary in practice —
     # the caveat MinHash already carries). Hash INSIDE the array before
-    # exploding: one md5 per (doc, shingle), row-local, instead of one
-    # per exploded posting per join side.
+    # exploding: one md5 per (doc, shingle), row-local. The cache() is
+    # the CollapseProject barrier (see dedup_simhash_banded): without it
+    # the shingle+md5 construction re-runs on BOTH self-join sides and a
+    # third time for sizes — measured 4× wall-clock on the fixture.
     hashed = docs.select(
         "doc_id", F.transform("shingles", lambda s: hash60(s)).alias("hs_arr")
-    )
+    ).cache()
+    sizes = hashed.select("doc_id", F.size("hs_arr").alias("sz"))
     ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
     a = ex.alias("a")
     b = ex.alias("b")
