@@ -217,3 +217,81 @@ def test_frame_sample_matches_python(spark, sf_dir):
         for i, fr in enumerate(frames):
             assert got[(doc_id, i)] == fr
     assert len(got) == n_expected
+
+
+@pytest.mark.parametrize("bit_depth", [8, 16, 32])
+@pytest.mark.parametrize("n_channels", [1, 2])
+def test_wav_roundtrip(bit_depth, n_channels):
+    """encode_wav ↔ decode_wav is exact for samples on the quantization
+    grid, across PCM depths and channel counts."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}[bit_depth]
+    # Quantized values representable at this depth (avoid clip at +1.0).
+    raw = rng.integers(-int(scale), int(scale) - 1, size=(50, n_channels))
+    samples = raw.astype(np.float64) / scale
+    payload = mm.encode_wav(samples, 16000, bit_depth=bit_depth)
+    sr, nc, bd, ns, decoded = mm.decode_wav(payload)
+    assert (sr, nc, bd, ns) == (16000, n_channels, bit_depth, 50)
+    assert np.allclose(decoded, samples, atol=1.5 / scale)
+
+
+def test_wav_skips_extra_chunks():
+    """Real WAV files carry LIST/fact chunks between fmt and data — the
+    chunk walk must skip them (with word alignment for odd lengths)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.linspace(-0.5, 0.5, 32).reshape(-1, 1)
+    payload = mm.encode_wav(samples, 8000)
+    # Splice an odd-length LIST chunk after the fmt chunk (offset 12+8+16).
+    cut = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # pad to even
+    spliced = payload[:cut] + junk + payload[cut:]
+    sr, nc, bd, ns, decoded = mm.decode_wav(spliced)
+    assert (sr, nc, bd, ns) == (8000, 1, 16, 32)
+    assert np.allclose(decoded, samples, atol=1.5 / 32768.0)
+
+
+def test_wav_rejects_non_audio():
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"not audio at all")
+
+
+def test_audio_meta_real_wav_through_spark(spark):
+    """End-to-end: real WAV bytes flow through the catalog kernel
+    (dispatch on RIFF magic), alongside a text payload that takes the
+    deterministic fake path."""
+    import numpy as np
+
+    tone = np.sin(np.linspace(0, 40 * np.pi, 4000)).reshape(-1, 1) * 0.5
+    wav = mm.encode_wav(tone, 16000)
+    txt = b"just some text"
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(txt))],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            mm.audio_meta_batches, schema=mm.AUDIO_SCHEMA
+        ).collect()
+    }
+    assert (rows[1].sample_rate, rows[1].n_channels, rows[1].bit_depth) == (
+        16000, 1, 16,
+    )
+    assert rows[1].n_samples == 4000
+    assert rows[1].duration_s == pytest.approx(0.25)
+    # RMS of a 0.5-amplitude sine ≈ 0.5/√2.
+    assert rows[1].rms == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+    fake = mm.fake_audio_meta(txt)
+    assert (rows[2].sample_rate, rows[2].n_channels) == (fake[0], fake[1])
+
+
+def test_mm_audio_meta_catalog_query(spark, sf_dir):
+    df = SPECS["mm_audio_meta"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.duration_s > 0 for r in rows)
