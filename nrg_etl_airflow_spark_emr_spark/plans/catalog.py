@@ -158,16 +158,51 @@ _DRIVER_WINDOW_PRIORITY = (
 )
 
 
+def _driver_green_names() -> set[str]:
+    """Names with a fully-green row in any recorded driver CORRECTNESS
+    file (repo root). Used to auto-rotate the driver window: once a query
+    has hard driver-side evidence, it yields its window slot to queries
+    that have none."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict) and all(
+                r.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                green.add(name)
+    return green
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    """Load all operator modules and return the full registry, driver-window
-    priority names first (see _DRIVER_WINDOW_PRIORITY), then everything
-    else in registration order."""
+    """Load all operator modules and return the full registry, ordered for
+    the driver's 50-entry correctness window: hand-priority names first
+    (see _DRIVER_WINDOW_PRIORITY), then everything else in registration
+    order — with every query that already has a fully-green driver row in
+    a recorded CORRECTNESS_r*.json demoted behind those that don't. The
+    demotion makes the window self-rotating across rounds: no manual
+    reordering needed for the round-3+ tail (text/training/multimodal/
+    corpus/skew/grouped/kmeans), and a query that ever FAILS a driver
+    check keeps (or regains) a window slot until it goes green."""
     _load()
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in _REGISTRY]
     if missing:
         raise KeyError(f"_DRIVER_WINDOW_PRIORITY names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY}
-    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    base = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY}
+    base.update((n, s) for n, s in _REGISTRY.items() if n not in base)
+    green = _driver_green_names()
+    ordered = {n: s for n, s in base.items() if n not in green}
+    ordered.update((n, s) for n, s in base.items() if n in green)
     return ordered
 
 
