@@ -219,6 +219,75 @@ def train_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_mixture_weights",
+    oracle="""
+    WITH agg AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 3.0 ELSE 1.0 END AS w
+        FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, n_docs, chars,
+               CAST(chars AS DOUBLE) / SUM(chars) OVER () AS current_share,
+               w / SUM(w) OVER () AS target_share
+        FROM agg
+    )
+    SELECT source, n_docs, chars, current_share, target_share,
+           MIN(current_share / target_share) OVER ()
+               * target_share / current_share AS keep_rate
+    FROM shares
+    ORDER BY source
+    """,
+    tags=("training", "sample"),
+    doc="Mixture rebalancing weights: given per-source target shares "
+    "(here 3:1 favoring even-numbered sources), compute the per-source "
+    "keep-rate that hits the target mixture exactly by downsampling only "
+    "— λ = min_s(current/target) is the water-filling scale, keep_rate = "
+    "λ·target/current ≤ 1 with equality for the scarcest source (maximum "
+    "data retention). One corpus scan + one tiny per-source aggregate + "
+    "unpartitioned windows over |sources| rows; the keep-rates then feed "
+    "the train_sample_hash threshold trick. All shares are single-"
+    "division doubles — IEEE-identical across engines.",
+)
+def train_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .withColumn(
+            "w",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3.0)
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    all_rows = Window.partitionBy()
+    shares = agg.select(
+        "source",
+        "n_docs",
+        "chars",
+        (F.col("chars").cast("double") / F.sum("chars").over(all_rows)).alias(
+            "current_share"
+        ),
+        (F.col("w") / F.sum("w").over(all_rows)).alias("target_share"),
+    )
+    keep = (
+        F.min(F.col("current_share") / F.col("target_share")).over(all_rows)
+        * F.col("target_share")
+        / F.col("current_share")
+    )
+    return shares.select(
+        "source", "n_docs", "chars", "current_share", "target_share",
+        keep.alias("keep_rate"),
+    ).orderBy("source")
+
+
+@register(
     "train_contamination_check",
     oracle=f"""
     WITH tagged AS (
