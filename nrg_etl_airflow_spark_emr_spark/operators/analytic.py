@@ -455,3 +455,75 @@ def a7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("retailprice"),
     )
     return wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
+@register(
+    "events_anomaly_score",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    w AS (
+        SELECT event_type, day, n_events,
+               SUM(n_events) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c7,
+               MAX(n_events) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             - MIN(n_events) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS r7
+        FROM daily
+    )
+    SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(s7 AS DOUBLE) / c7 AS trail_mean,
+           (CAST(n_events AS DOUBLE) - CAST(s7 AS DOUBLE) / c7) / r7 AS score,
+           CAST(ABS((CAST(n_events AS DOUBLE) - CAST(s7 AS DOUBLE) / c7) / r7)
+                > 0.75 AS INTEGER) AS is_anomaly
+    FROM w WHERE c7 = 7 AND r7 > 0
+    ORDER BY event_type, day
+    """,
+    tags=("window", "events"),
+    doc="Trailing-window anomaly score over daily event counts: each "
+    "(event_type, day) is scored against its full prior 7 days — "
+    "(count - trailing_mean) / trailing_range. Range (max-min), not "
+    "stddev, keeps the score engine-portable: every input is an exact "
+    "integer window aggregate and the score is two IEEE divisions, "
+    "whereas windowed STDDEV accumulates in engine-specific order "
+    "(Welford vs segment tree) and diverges in the last ulp. One shuffle "
+    "on event_type; the window frame is O(1) per row. At 100 TB the "
+    "daily pre-aggregation collapses the corpus before the window sees "
+    "it.",
+)
+def events_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    frame = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(frame).alias("s7"),
+        F.count(F.lit(1)).over(frame).alias("c7"),
+        (F.max("n_events").over(frame) - F.min("n_events").over(frame)).alias("r7"),
+    )
+    trail_mean = F.col("s7").cast("double") / F.col("c7")
+    score = (F.col("n_events").cast("double") - trail_mean) / F.col("r7")
+    return (
+        w.filter((F.col("c7") == 7) & (F.col("r7") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            trail_mean.alias("trail_mean"),
+            score.alias("score"),
+            (F.abs(score) > 0.75).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

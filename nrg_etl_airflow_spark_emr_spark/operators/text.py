@@ -536,3 +536,46 @@ def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("word"))
         .limit(20)
     )
+
+
+_STOPWORD_RE = r"\b(the|a|an|of|and|in|to)\b"
+
+
+@register(
+    "text_remove_stopwords",
+    oracle=f"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(text, '{_STOPWORD_RE}', '', 'g'),
+                   ' +', ' ', 'g')) AS cleaned
+        FROM documents
+    )
+    SELECT c.doc_id, c.cleaned,
+           CAST(len(string_split(d.text, ' '))
+              - CASE WHEN c.cleaned = '' THEN 0
+                     ELSE len(string_split(c.cleaned, ' ')) END AS INTEGER)
+               AS n_removed
+    FROM cleaned c JOIN documents d ON c.doc_id = d.doc_id
+    """,
+    tags=("text", "clean"),
+    doc="Stopword removal — the normalization stage of a corpus-cleaning "
+    "pipeline: delete function words by word-boundary regex, squeeze the "
+    "leftover whitespace, report how many tokens dropped. The alternation "
+    "runs identically under Java regex (Spark) and RE2 (DuckDB): plain "
+    "literals + \\b only. Pure map-side expression work — no shuffle, no "
+    "explode; at 100 TB this is one pass fused into whatever scan feeds "
+    "it.",
+)
+def text_remove_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace("text", _STOPWORD_RE, ""), " +", " ")
+    )
+    staged = docs.select("doc_id", "text", cleaned.alias("cleaned"))
+    n_removed = F.size(F.split("text", " ")) - F.when(
+        F.col("cleaned") == "", F.lit(0)
+    ).otherwise(F.size(F.split("cleaned", " ")))
+    return staged.select(
+        "doc_id", "cleaned", n_removed.cast("int").alias("n_removed")
+    )
