@@ -40,18 +40,28 @@ def main() -> None:
         spark.catalog.clearCache()
         specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        # Each query is timed in isolation: several queries .cache()
-        # intermediate frames, and Spark's cache manager substitutes any
-        # matching plan fragment in LATER queries, so leftover caches both
-        # distort timings and build up memory pressure across the run.
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        df = specs[name].builder(spark, sf_dir)
-        # Consume fully without driver-side materialization of wide rows.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(reps):
+            # Each rep is timed in isolation: several queries .cache()
+            # intermediate frames, and Spark's cache manager substitutes any
+            # matching plan fragment in LATER queries/reps, so leftover
+            # caches both distort timings and build up memory pressure
+            # across the run. clearCache() also forces each rep to re-plan
+            # and re-execute from the parquet scan.
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            df = specs[name].builder(spark, sf_dir)
+            # Consume fully without driver-side materialization of wide rows.
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        # Min-of-reps: single-run timings at this fixture scale swing ±50%
+        # with JIT/GC state (measured 22s vs 40s totals for identical code);
+        # the minimum estimates the code's actual cost, which is what
+        # round-over-round comparison needs.
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
