@@ -83,6 +83,26 @@ def write_orc(
     writer.orc(path)
 
 
+def read_text_lines(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    """Line-oriented text scan (gzip auto-detected): one ``value`` string
+    row per line, or one row per file with ``wholetext=True`` — the raw
+    ingest shape for unstructured corpora before any parsing. Pair with
+    ``functions`` regex/split expressions to lift structure JVM-side
+    instead of pre-parsing in Python.
+
+    ``wholetext`` goes through the ``text()`` kwarg, not ``.option()``:
+    PySpark's ``DataFrameReader.text`` re-sets its keyword options and
+    would clobber a previously set option with the default."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: requires a single string column (Spark contract)."""
+    df.write.mode(mode).text(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

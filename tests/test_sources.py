@@ -193,3 +193,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # silently vanish. The explicit option is the contract.
     plain = spark.read.parquet(base)
     assert set(plain.columns) <= {"id", "v", "score", "part"}
+
+
+def test_text_lines_roundtrip(spark, nation, tmp_path):
+    from nrg_etl_airflow_spark_emr_spark.sources.readers import (
+        read_text_lines,
+        write_text_lines,
+    )
+
+    p = str(tmp_path / "names_txt")
+    names = nation.select("n_name")
+    write_text_lines(names, p)
+    back = read_text_lines(spark, p)
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.n_name for r in names.collect()
+    )
+
+
+def test_text_wholetext_one_row_per_file(spark, tmp_path):
+    from nrg_etl_airflow_spark_emr_spark.sources.readers import read_text_lines
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("line1\nline2")
+    (d / "b.txt").write_text("solo")
+    per_line = read_text_lines(spark, str(d))
+    whole = read_text_lines(spark, str(d), wholetext=True)
+    assert per_line.count() == 3
+    assert sorted(r.value for r in whole.collect()) == ["line1\nline2", "solo"]
