@@ -218,6 +218,63 @@ def train_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", F.col("ttr_bps").cast("int").alias("ttr_bps"))
 
 
+def _sql_split_leakage_oracle() -> str:
+    from ..operators.dedup import _sql_lsh_oracle
+
+    return f"""
+    WITH leak_pairs AS ({_sql_lsh_oracle()}),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, {sql_hash60(_SQL_SPLIT_KEY)} % 100 AS bucket
+              FROM documents)
+    )
+    SELECT p.d1, p.d2, p.est_jaccard,
+           s1.split AS split1, s2.split AS split2
+    FROM leak_pairs p
+    JOIN splits s1 ON p.d1 = s1.doc_id
+    JOIN splits s2 ON p.d2 = s2.doc_id
+    WHERE s1.split <> s2.split
+    """
+
+
+@register(
+    "train_split_leakage",
+    oracle=_sql_split_leakage_oracle(),
+    tags=("training", "dedup"),
+    doc="Split-leakage guard: near-duplicate pairs (MinHash-LSH, same "
+    "candidates and threshold as dedup_minhash_lsh) that STRADDLE the "
+    "train/val/test assignment from train_split_assign — eval examples "
+    "with a near-copy in training data invalidate the eval. Composes the "
+    "two existing operators: the LSH pair list (small — true near-dups "
+    "only) joins the map-side (doc_id, split) projection twice. The "
+    "production remedy is group-aware splitting (assign by dedup_clusters "
+    "component instead of doc_id); this query is the audit that says "
+    "whether you need it.",
+)
+def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    bucket = hash60(_salted("split:")) % 100
+    splits = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("d1", "d2", "est_jaccard", "split1", "split2")
+    )
+
+
 @register(
     "train_mixture_weights",
     oracle="""
