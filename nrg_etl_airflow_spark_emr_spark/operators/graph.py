@@ -86,10 +86,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SQL_SHINGLES_CTE},
+# Reusable CTE chain for the transitive-closure oracle (consumed here and
+# by the group-aware split in pipelines/training.py). Callers prepend
+# `WITH RECURSIVE` and append their own final SELECT over `reach`.
+_SQL_CC_CTES = f"""{_SQL_SHINGLES_CTE},
     sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
     inter AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -112,7 +112,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    )
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES}
     SELECT node AS doc_id, MIN(lbl) AS cluster_id,
            CAST(node = MIN(lbl) AS INTEGER) AS is_canonical
     FROM reach GROUP BY node

@@ -275,6 +275,57 @@ def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_split_by_cluster_oracle() -> str:
+    from ..operators.graph import _SQL_CC_CTES
+
+    return f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    clusters AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {sql_hash60("'split:' || CAST(cluster_id AS VARCHAR)")} % 100
+                     AS bucket
+          FROM clusters)
+    """
+
+
+@register(
+    "train_split_by_cluster",
+    oracle=_sql_split_by_cluster_oracle(),
+    tags=("training", "split", "dedup"),
+    doc="Group-aware train/val/test split — the remedy train_split_leakage "
+    "audits for: the hash bucket is keyed on the near-dup CLUSTER id "
+    "(connected components over exact-Jaccard pairs, dedup_clusters), so "
+    "every exact near-duplicate (and its transitive closure) lands in the "
+    "same split by construction — zero leakage over the exact pair set, "
+    "invariant-tested; LSH-estimated pairs below the true threshold can "
+    "still straddle, and that residue is estimation error, not leakage. "
+    "Same "
+    "90/5/5 rule and determinism as train_split_assign; the only extra "
+    "cost over the plain split is the dedup clustering you were already "
+    "running.",
+)
+def train_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = (
+        hash60(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % 100
+    )
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
 @register(
     "train_mixture_weights",
     oracle="""

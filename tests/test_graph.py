@@ -59,3 +59,30 @@ def test_long_chain_converges(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(edges_df, nodes_df).collect()}
     assert got == {v: 0 for v in range(n)}
+
+
+def test_cluster_keyed_split_has_zero_leakage(spark, sf_dir):
+    """The group-aware split's whole point: exact near-dup pairs never
+    straddle splits when the hash bucket is keyed on cluster_id (every
+    member of a component shares the bucket by construction), while the
+    doc_id-keyed split does leak on the same fixture
+    (train_split_leakage > 0)."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import spec
+
+    by_cluster = {
+        r.doc_id: r.split
+        for r in spec("train_split_by_cluster").builder(spark, sf_dir).collect()
+    }
+    # The guarantee is w.r.t. the EXACT pair set the clustering closed
+    # over (dedup_jaccard_pairs) — LSH-estimated pairs include false
+    # positives whose true jaccard is below threshold, and those may
+    # legitimately straddle (they are not near-dups).
+    pairs = spec("dedup_jaccard_pairs").builder(spark, sf_dir).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test to bite"
+    straddling = [
+        (p.d1, p.d2)
+        for p in pairs
+        if by_cluster[p.d1] != by_cluster[p.d2]
+    ]
+    assert straddling == []
+    assert spec("train_split_leakage").builder(spark, sf_dir).count() > 0
