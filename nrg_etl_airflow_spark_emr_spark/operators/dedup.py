@@ -433,8 +433,9 @@ EMB_DUP_THRESHOLD = 0.4  # fixture max cosine ≈ 0.51; production near-dup ≥0
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-dup (SURVEY.md §7 M5 dedup list): pairs "
     "above the cosine threshold, lower vec_id kept. All-pairs on the "
-    "fixture; the 100 TB path routes candidates through sim_knn_ivf's "
-    "cell assignment (same-cell pairs only) before the exact cosine.",
+    "fixture — the recall oracle; the 100 TB path is dedup_embedding_ivf, "
+    "which routes candidates through the shared k-means cell assignment "
+    "(same-cell pairs only) before the exact cosine.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _vectors
@@ -546,8 +547,9 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "sketch"),
     doc="SimHash near-dup pairs: Hamming distance ≤ 5 over the 32-bit "
     "sketches. All-pairs here (documents is a fixed-size fixture); the "
-    "scale path buckets by simhash prefix bands so only same-bucket pairs "
-    "are compared (same LSH argument as MinHash banding).",
+    "scale path is dedup_simhash_banded: identical output, candidates "
+    "bucketed by simhash prefix bands (same LSH argument as MinHash "
+    "banding), no nested loop.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _simhashes(spark, sf_dir)

@@ -86,8 +86,9 @@ _SQL_VEC_CTE = f"""
     tags=("similarity",),
     doc="Embedding-cosine near-dup pairs (all-pairs ≥ threshold). The "
     "fixture has no true near-dups (max cosine ≈ 0.51), so the 0.4 "
-    "threshold exercises the tail; production near-dup would use ≥0.95 "
-    "behind an LSH/IVF candidate filter rather than all-pairs.",
+    "threshold exercises the tail; the scale path is sim_cosine_lsh_pairs "
+    "(SRP-bucket candidate filter) or dedup_embedding_ivf (cell-routed) "
+    "with a ≥0.95 production threshold — never all-pairs.",
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
