@@ -201,7 +201,7 @@ def f7_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 500000 AND o_orderpriority = '1-URGENT'
+    WHERE o_totalprice > 400000 AND o_orderpriority = '1-URGENT'
     """,
     tags=("sql",),
     doc="Named-parameter SQL binding (spark.sql args) — replaces the "
@@ -218,7 +218,7 @@ def sub5_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_totalprice > :min_price AND o_orderpriority = :priority
         """,
-        args={"min_price": 500000, "priority": "1-URGENT"},
+        args={"min_price": 400000, "priority": "1-URGENT"},
     )
 
 

@@ -168,17 +168,24 @@ def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set3_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT date_trunc('month', l_shipdate) AS month FROM lineitem
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT date_trunc('month', o_orderdate) AS month FROM orders
     """,
     tags=("setop",),
-    doc="EXCEPT (distinct) — nations with customers but no suppliers.",
+    doc="EXCEPT (distinct) — months with shipments but no new orders (the "
+    "shipping tail past the last order month). Chosen because it is "
+    "non-empty at every SF: the earlier nation-based key was vacuously "
+    "empty once every nation had suppliers.",
 )
 def set3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.subtract(supp)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+    ship = t(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+    )
+    ordered = t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    )
+    return ship.subtract(ordered)  # EXCEPT DISTINCT semantics, matching the SQL oracle
 
 
 # ---------------------------------------------------------------------------

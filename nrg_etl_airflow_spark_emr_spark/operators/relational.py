@@ -471,18 +471,21 @@ def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
     doc="LEFT ANTI join (absent in reference, SURVEY.md §2.3 gap-fill): "
-    "customers with no orders.",
+    "customers with no URGENT orders. Scoped to urgent because every "
+    "fixture customer has some order — an unscoped anti join is "
+    "vacuously empty at every SF and would prove nothing.",
 )
 def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 @register(

@@ -685,7 +685,8 @@ WHERE c_acctbal > (
     SELECT {sql_davg("c2.c_acctbal", "avg_bal")}
     FROM customer c2 WHERE c2.c_acctbal > 0
 )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
 
@@ -695,8 +696,11 @@ GROUP BY c_nationkey
     oracle=_Q22_SQL.replace(" AS avg_bal", ""),
     tags=("tpch", "subquery", "sql"),
     doc="TPC-H Q22-shaped global-sales-opportunity: customers with "
-    "above-average balances and no orders, grouped by nation. Adapted: "
-    "no c_phone in fixtures, so groups are c_nationkey. The average is "
+    "above-average balances and no URGENT orders, grouped by nation. "
+    "Adapted: no c_phone in fixtures, so groups are c_nationkey; the "
+    "anti-join is scoped to urgent orders because every fixture customer "
+    "has some order (plain no-orders is vacuously empty at every SF). "
+    "The average is "
     "fixed-point deterministic; NOT EXISTS → LeftAnti join.",
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
