@@ -108,9 +108,9 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_knn_brute",
-    oracle=f"""
+# Shared by sim_knn_brute and sim_knn_numpy: both produce the exact same
+# fixed-point cosines and ranking, so one oracle covers both.
+_SQL_KNN_BRUTE_ORACLE = f"""
     WITH {_SQL_VEC_CTE},
     q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -125,7 +125,12 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     )
     SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 10
-    """,
+    """
+
+
+@register(
+    "sim_knn_brute",
+    oracle=_SQL_KNN_BRUTE_ORACLE,
     tags=("similarity", "topk"),
     bench=True,
     doc="Brute-force cosine top-10 for 5 fixed query vectors — the exact "
@@ -148,6 +153,75 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 10)
     )
+
+
+@register(
+    "sim_knn_numpy",
+    oracle=_SQL_KNN_BRUTE_ORACLE,
+    tags=("similarity", "topk", "udf"),
+    doc="Brute-force cosine top-10 through the vectorized-Python path: an "
+    "Arrow-batched mapInPandas kernel does one int64 NumPy matmul per "
+    "batch against the broadcast query matrix (exact — |fe|≤1e7, 64-dim "
+    "dots < 2^63) and emits only each batch's per-query top-10; a final "
+    "window merges partials (top-k is monotone under union, so partial "
+    "top-k per batch is lossless). Same fixed-point integers, same "
+    "IEEE division as sim_knn_brute → bit-identical cosines, ranking, "
+    "and oracle. This is the escape-hatch pattern for vector math the "
+    "HOF expressions can't reach (wide dims, BLAS kernels): the shuffle "
+    "carries k·q rows per batch instead of n·q scored pairs.",
+)
+def sim_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    v = _vectors(spark, sf_dir)
+    # The q query vectors are tiny by construction (N_QUERIES) — closure-
+    # broadcast them into the kernel, same pattern as the k-means
+    # centroid collect.
+    qrows = sorted(
+        v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "fe", "nrm").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r.fe, dtype=np.int64) for r in qrows])
+    q_nrm = np.array([r.nrm for r in qrows], dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["fe"]])
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            # Exact int64 dot products, then the same (qnrm * nrm) IEEE
+            # division sim_knn_brute performs.
+            dots = mat @ q_mat.T  # [batch, q]
+            cos = dots.astype(np.float64) / (q_nrm[None, :] * nrm[:, None])
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                cand_ids, cand_cos = ids[mask], cos[mask, j]
+                # Partial top-10 with the global tiebreak (cosine desc,
+                # vec_id asc) — lexsort keys are applied last-key-major.
+                order = np.lexsort((cand_ids, -cand_cos))[:10]
+                out_q.extend([qid] * len(order))
+                out_v.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "vec_id": pd.Series(out_v, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    partials = v.select("vec_id", "fe", "nrm").mapInPandas(
+        kernel, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return partials.select(
+        "query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 10)
 
 
 def _cell_assignment(v: DataFrame) -> DataFrame:

@@ -41,3 +41,19 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # budget. On clustered production embeddings recall rises sharply;
     # the tuning knob is probing Hamming distance ≤ 2.
     assert recall >= 0.4, f"LSH recall {recall:.2f} vs brute force"
+
+
+def test_knn_numpy_bit_identical_to_brute(spark, sf_dir):
+    """The vectorized-Python path is not 'approximately' the baseline — it
+    computes the same fixed-point integer dots and the same IEEE division,
+    so all four output columns must match sim_knn_brute exactly."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    brute = sorted(
+        tuple(r) for r in specs["sim_knn_brute"].builder(spark, sf_dir).collect()
+    )
+    vec = sorted(
+        tuple(r) for r in specs["sim_knn_numpy"].builder(spark, sf_dir).collect()
+    )
+    assert vec == brute
