@@ -534,3 +534,75 @@ def events_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "a8_exact_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sx,
+               SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sy,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                   * CAST(FLOOR(l_quantity) AS BIGINT)) AS sxx,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sxy,
+               SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS beta_cents_per_unit
+    FROM m
+    """,
+    tags=("agg", "stats"),
+    doc="Pearson correlation + regression slope from EXACT integer "
+    "moments: built-in corr()/covar accumulate doubles in engine-specific "
+    "order (Welford here, something else there) and diverge in the last "
+    "ulp, so instead the five moments are summed as fixed-point integers "
+    "(quantity integral at scale 0, price in cents; 128-bit decimal/"
+    "hugeint sums — exact in both engines even at 10^10 rows), then one "
+    "identical double expression per group. Map-side partial aggregation "
+    "does all the work; the shuffle carries 5 integers per group.",
+)
+def a8_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qx = F.floor("l_quantity")
+    px = F.floor(F.col("l_extendedprice") * 100)
+    dec = "decimal(38,0)"
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", qx.alias("qx"), px.alias("px"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("px").alias("sy"),
+            F.sum((F.col("qx") * F.col("qx")).cast(dec)).alias("sxx"),
+            F.sum((F.col("qx") * F.col("px")).cast(dec)).alias("sxy"),
+            F.sum((F.col("px") * F.col("px")).cast(dec)).alias("syy"),
+        )
+    )
+    n, sx, sy, sxx, sxy, syy = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    ]
+    num = n * sxy - sx * sy
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        (num / (n * sxx - sx * sx)).alias("beta_cents_per_unit"),
+    )
