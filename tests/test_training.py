@@ -1,0 +1,82 @@
+"""Semantic invariants for the training-data pipeline operators.
+
+The catalog oracle proves Spark ≡ DuckDB; these tests prove the answers
+mean what they claim (budgets respected, proportions sane, subsets real).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+SPECS = all_specs()
+
+
+def test_pack_sequences_respects_budget(spark, sf_dir):
+    """Every pack's token total stays within budget + one document's
+    overshoot (greedy packing admits the doc that crosses the line), and
+    every document lands in exactly one pack."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.training import _PACK_BUDGET
+
+    rows = SPECS["train_pack_sequences"].builder(spark, sf_dir).collect()
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r.pack_id].append(r.n_tokens)
+    assert len(rows) == len({r.doc_id for r in rows}), "each doc packed once"
+    for pid, toks in packs.items():
+        total = sum(toks)
+        assert total < _PACK_BUDGET + max(toks), (
+            f"pack {pid} total {total} exceeds budget {_PACK_BUDGET} "
+            f"by more than its largest member"
+        )
+
+
+def test_split_proportions_roughly_90_5_5(spark, sf_dir):
+    rows = SPECS["train_split_assign"].builder(spark, sf_dir).collect()
+    n = len(rows)
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r.split] += 1
+    assert set(counts) <= {"train", "val", "test"}
+    # Hash buckets are uniform; at fixture sizes allow wide tolerance.
+    assert 0.75 * n <= counts["train"] <= 0.97 * n
+    assert counts["val"] + counts["test"] == n - counts["train"]
+
+
+def test_importance_sample_is_subset_with_higher_ttr(spark, sf_dir):
+    """The importance sample keeps a subset of docs, and the kept docs'
+    mean type-token ratio is at least the corpus mean (quality-weighted
+    sampling must shift the distribution toward higher TTR)."""
+    import duckdb
+
+    kept = SPECS["train_importance_sample"].builder(spark, sf_dir).collect()
+    con = duckdb.connect()
+    all_ttr = con.sql(
+        f"""
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        """
+    ).fetchall()
+    corpus = {d: t for d, t in all_ttr}
+    assert kept, "sample must not be empty"
+    assert set(r.doc_id for r in kept) <= set(corpus)
+    mean_kept = sum(corpus[r.doc_id] for r in kept) / len(kept)
+    mean_all = sum(corpus.values()) / len(corpus)
+    assert mean_kept >= mean_all
+
+
+def test_mixture_weights_feasible_and_water_filled(spark, sf_dir):
+    """keep_rate in (0, 1]; the scarcest source keeps everything (rate 1
+    up to float round-off); and the rebalanced mixture matches the target
+    ratios: kept_chars ∝ target_share."""
+    rows = SPECS["train_mixture_weights"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.keep_rate <= 1 + 1e-12
+    assert any(abs(r.keep_rate - 1.0) < 1e-9 for r in rows), "water level"
+    # kept share ∝ target share: chars * keep_rate / target_share constant.
+    ratios = [r.chars * r.keep_rate / r.target_share for r in rows]
+    assert max(ratios) / min(ratios) < 1 + 1e-9
