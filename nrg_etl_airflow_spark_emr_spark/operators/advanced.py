@@ -321,3 +321,36 @@ def f11_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 10).alias("k_bucket"),
     )
+
+
+@register(
+    "f12_bitwise_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_and,
+           CAST(bit_or(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_or,
+           CAST(bit_xor(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_xor,
+           CAST(bit_count(bit_or(CAST(o_custkey AS BIGINT))) AS INTEGER)
+               AS or_popcount
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "functions"),
+    doc="Bitwise aggregate surface (§2.8 function gap-fill): BIT_AND / "
+    "BIT_OR / BIT_XOR fold per group plus a popcount of the OR mask — "
+    "the bitmap-style roll-ups feature-flag and permission-mask tables "
+    "use. All integer-exact, fully map-side combinable (each is "
+    "associative + commutative), so at 100 TB the shuffle carries one "
+    "64-bit word per (group, agg).",
+)
+def f12_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.col("o_custkey").cast("long")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(key).alias("key_and"),
+            F.bit_or(key).alias("key_or"),
+            F.bit_xor(key).alias("key_xor"),
+            F.bit_count(F.bit_or(key)).alias("or_popcount"),
+        )
+    )
