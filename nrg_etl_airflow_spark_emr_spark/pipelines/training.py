@@ -218,6 +218,54 @@ def train_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", F.col("ttr_bps").cast("int").alias("ttr_bps"))
 
 
+_EPOCH_BUCKETS_BITS = 10  # 1024 contiguous hash ranges
+
+
+@register(
+    "train_epoch_order",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY {sql_hash60("'shuffle:7:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS BIGINT) AS epoch_pos
+    FROM documents
+    """,
+    tags=("training", "shuffle"),
+    doc="Deterministic epoch shuffle: every document's position in epoch "
+    "7's training order is rank-by-salted-hash — reshuffling an epoch is "
+    "just a salt change, reproducible across retries/engines with no RNG "
+    "state. The oracle uses one global ROW_NUMBER (fine for DuckDB); the "
+    "Spark plan deliberately does NOT — an unpartitioned window "
+    "serializes onto one task. Instead: bucket by the hash's TOP bits "
+    "(buckets are contiguous hash ranges, so bucket order ≡ global "
+    "order), rank within each bucket in parallel, then add per-bucket "
+    "offsets from a 1024-row cumulative count — exact global positions "
+    "with nothing wider than a 1024-row broadcast.",
+)
+def train_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hash60(_salted("shuffle:7:"))
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("h")
+    ).withColumn("bkt", F.shiftright("h", 60 - _EPOCH_BUCKETS_BITS))
+    in_bucket = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    ranked = docs.select(
+        "doc_id", "bkt", F.row_number().over(in_bucket).alias("r")
+    )
+    # Tiny side: bucket → count of all STRICTLY EARLIER buckets.
+    counts = docs.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    off_w = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bkt")
+        .select("doc_id", (F.col("off") + F.col("r")).alias("epoch_pos"))
+    )
+
+
 def _sql_split_leakage_oracle() -> str:
     from ..operators.dedup import _sql_lsh_oracle
 
