@@ -295,3 +295,31 @@ def test_mm_audio_meta_catalog_query(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.duration_s > 0 for r in rows)
+
+
+def test_wav_empty_data_chunk():
+    import numpy as np
+
+    payload = mm.encode_wav(np.zeros((0, 1)), 8000)
+    sr, nc, bd, ns, decoded = mm.decode_wav(payload)
+    assert (sr, nc, bd, ns) == (8000, 1, 16, 0)
+    assert mm.audio_meta(payload)[5] == 0.0  # rms of empty = 0, no NaN
+
+
+def test_wav_three_channels():
+    import numpy as np
+
+    samples = np.linspace(-0.4, 0.4, 30).reshape(10, 3)
+    sr, nc, bd, ns, decoded = mm.decode_wav(mm.encode_wav(samples, 22050))
+    assert (sr, nc, ns) == (22050, 3, 10)
+    assert np.allclose(decoded, samples, atol=1.5 / 32768.0)
+
+
+def test_wav_missing_data_chunk_rejected():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+    payload += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    with pytest.raises(ValueError):
+        mm.decode_wav(payload)
