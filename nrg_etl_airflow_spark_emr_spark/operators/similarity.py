@@ -526,3 +526,95 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine", F.row_number().over(rw).alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# --- Scalar-quantized (SQ8) search ------------------------------------------
+
+_SQ8_ORACLE = f"""
+    WITH {_SQL_VEC_CTE},
+    e AS (
+        SELECT vec_id, unnest([{{'p': i, 'v': fe[i]}} for i in range(1, len(fe)+1)]) AS s
+        FROM vecs
+    ),
+    ev AS (SELECT vec_id, s.p AS p, s.v AS v FROM e),
+    params AS (SELECT p, MIN(v) AS mn, MAX(v) AS mx FROM ev GROUP BY p),
+    coded AS (
+        SELECT ev.vec_id, ev.p,
+               CASE WHEN mx = mn THEN mn
+                    ELSE CAST(FLOOR((mn * 255
+                          + FLOOR(CAST((v - mn) * 255 AS DOUBLE) / (mx - mn))
+                            * (mx - mn)) / 255.0) AS BIGINT)
+               END AS rq
+        FROM ev JOIN params ON ev.p = params.p
+    ),
+    recv AS (
+        SELECT vec_id, list(rq ORDER BY p) AS recon,
+               CAST(SUM(rq * rq) AS BIGINT) AS n2
+        FROM coded GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id, fe, nrm FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, r.vec_id AS vec_id,
+               CAST(list_dot_product(q.fe, r.recon) AS DOUBLE)
+                   / (q.nrm * sqrt(CAST(r.n2 AS DOUBLE))) AS cosine
+        FROM q JOIN recv r ON r.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 10
+    """
+
+
+@register(
+    "sim_knn_sq8",
+    oracle=_SQ8_ORACLE,
+    tags=("similarity", "topk", "compression"),
+    doc="Scalar-quantized (SQ8) top-10: each dimension is affinely "
+    "quantized to an 8-bit code against per-dimension [min, max] trained "
+    "on the corpus, queries score asymmetrically (exact query vector vs "
+    "reconstructed database vectors). At 100 TB this is the storage/"
+    "bandwidth play — 64 one-byte codes + shared 64-entry codebook "
+    "instead of 64 longs per vector (8×), with the scan and shuffle "
+    "shrinking proportionally. Every quantization step is integer/"
+    "FLOOR-of-double arithmetic written identically in both engines, so "
+    "the reconstruction — and therefore the ranking — is bit-identical "
+    "to the SQL oracle; recall vs the exact baseline is gated in "
+    "tests/test_approx.py.",
+)
+def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    ev = v.select("vec_id", F.posexplode("fe").alias("p0", "v")).select(
+        "vec_id", (F.col("p0") + 1).alias("p"), "v"
+    )
+    params = ev.groupBy("p").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.floor(((F.col("v") - F.col("mn")) * 255).cast("double") / (F.col("mx") - F.col("mn")))
+    rq = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.floor((F.col("mn") * 255 + code * (F.col("mx") - F.col("mn"))) / 255.0).cast("long")
+    )
+    coded = ev.join(F.broadcast(params), "p").select("vec_id", "p", rq.alias("rq"))
+    recv = coded.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "rq"))), lambda s: s["rq"]
+        ).alias("recon"),
+        F.sum(F.col("rq") * F.col("rq")).alias("n2"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"), F.col("nrm").alias("qnrm")
+    )
+    cosine = _dot(F.col("qfe"), F.col("recon")).cast("double") / (
+        F.col("qnrm") * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(recv, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )

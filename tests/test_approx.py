@@ -57,3 +57,15 @@ def test_knn_numpy_bit_identical_to_brute(spark, sf_dir):
         tuple(r) for r in specs["sim_knn_numpy"].builder(spark, sf_dir).collect()
     )
     assert vec == brute
+
+
+def test_sq8_recall_vs_brute_force(spark, sf_dir):
+    """8-bit scalar quantization barely perturbs the ranking: top-10
+    recall against the exact baseline should be near-perfect."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    sq = {(r.query_id, r.vec_id) for r in specs["sim_knn_sq8"].builder(spark, sf_dir).collect()}
+    b = {(r.query_id, r.vec_id) for r in specs["sim_knn_brute"].builder(spark, sf_dir).collect()}
+    recall = len(b & sq) / len(b)
+    assert recall >= 0.9, f"SQ8 recall {recall:.2f} vs brute force"
