@@ -71,6 +71,42 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_fit(
+    vectors: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Lloyd's over any ``(vec_id, emb: array<double>)`` frame. Returns
+    (final assignment with vec_id/cell/d2, final centroid arrays indexed
+    by cid, per-iteration inertia history). Shared by the whole-vector
+    trainer (kmeans_fit / sim_kmeans_cells / sim_knn_ivf centroids) and
+    the per-subspace product-quantization codebooks (sim_knn_pq)."""
+    spark = vectors.sparkSession
+    centroids = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    # Deterministic init re-entered as literals so cid is 0..k-1 dense.
+    cent_rows = [list(r.c_emb) for r in centroids.collect()]
+    history: list[float] = []
+    for _ in range(iters):
+        centroids = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent_rows)], "cid INT, c_emb ARRAY<DOUBLE>"
+        )
+        assigned = _assign(vectors, centroids).cache()
+        history.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        new_centroids = _update(assigned)
+        # Re-enter as literal rows: K tiny arrays through the driver, so
+        # iteration N+1's plan does not contain iteration N's. A cell that
+        # lost all members keeps its previous centroid.
+        updates = {int(r.cid): list(r.c_emb) for r in new_centroids.collect()}
+        cent_rows = [updates.get(i, c) for i, c in enumerate(cent_rows)]
+        assigned.unpersist()
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_rows)], "cid INT, c_emb ARRAY<DOUBLE>"
+    )
+    return _assign(vectors, centroids).cache(), cent_rows, history
+
+
 def kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -84,27 +120,8 @@ def kmeans_fit(
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .cache()
     )
-    centroids = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("c_emb"))
-    )
-    history: list[float] = []
-    assigned = None
-    for _ in range(iters):
-        assigned = _assign(vectors, centroids)
-        # Inertia + next centroids in one cached pass over the assignment.
-        assigned = assigned.cache()
-        history.append(assigned.agg(F.sum("d2")).collect()[0][0])
-        new_centroids = _update(assigned)
-        # Re-enter as literal rows: K tiny arrays through the driver, so
-        # iteration N+1's plan does not contain iteration N's.
-        centroids = spark.createDataFrame(
-            [(int(r.cid), list(r.c_emb)) for r in new_centroids.collect()],
-            "cid INT, c_emb ARRAY<DOUBLE>",
-        )
-        assigned.unpersist()
-    return _assign(vectors, centroids).cache(), history
+    assigned, _, history = lloyd_fit(vectors, k, iters)
+    return assigned, history
 
 
 @register(

@@ -618,3 +618,108 @@ def sim_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("query_id", "vec_id", "cosine", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 10)
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+PQ_M = 8          # subspaces (64 dims → 8 × 8)
+PQ_K = 16         # codes per subspace (4 bits)
+PQ_ITERS = 3      # Lloyd's rounds per codebook
+PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
+
+
+@register(
+    "sim_knn_pq",
+    oracle=None,  # k-means codebooks are iterative; recall-gated in tests
+    tags=("similarity", "topk", "compression", "iterative"),
+    doc=f"Product-quantized top-10 with exact re-rank (IVFADC's PQ half): "
+    f"unit-normalized embeddings split into {PQ_M} subspaces, each with "
+    f"its own {PQ_K}-entry k-means codebook (Lloyd's via lloyd_fit, "
+    f"{PQ_ITERS} rounds, deterministic init); every vector compresses to "
+    f"{PQ_M} 4-bit codes, queries score asymmetrically against the "
+    "codebook reconstruction (exact query × quantized database — ADC), "
+    f"and the top-{PQ_SHORTLIST} shortlist per query is re-ranked with "
+    "the exact vectors. At 100 TB the ADC scan touches 4 bytes/vector + "
+    "a broadcast codebook instead of 512 bytes raw (~128× less I/O and "
+    "cache), and exact vectors are fetched only for shortlist rows — the "
+    "standard PQ-shortlist / exact-rerank layout. Recall vs the exact "
+    "baseline is gated in tests/test_approx.py.",
+)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .kmeans import lloyd_fit
+
+    raw = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "emb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    # Unit-normalize before quantizing: cosine becomes a plain dot and the
+    # codebooks spend their 4 bits on direction, not magnitude.
+    base = raw.select(
+        "vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")
+    ).cache()
+    dim = len(base.select("emb").first()[0])
+    sub_w = dim // PQ_M
+
+    codes = base.select("vec_id")
+    codebooks: list[list[list[float]]] = []
+    for m in range(PQ_M):
+        sub = base.select(
+            "vec_id", F.slice("emb", m * sub_w + 1, sub_w).alias("emb")
+        )
+        assigned, cents, _ = lloyd_fit(sub, PQ_K, PQ_ITERS)
+        codebooks.append(cents)
+        codes = codes.join(
+            assigned.select("vec_id", F.col("cell").alias(f"c{m}")), "vec_id"
+        )
+
+    # Reconstruct from codebook literals (tiny: M × K × sub_w doubles) and
+    # score with the EXACT query vector — asymmetric distance computation.
+    recon = F.concat(
+        *[
+            F.element_at(
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[m]]),
+                F.col(f"c{m}") + 1,
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    recv = codes.select("vec_id", recon.alias("recon")).cache()
+
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    adc = F.aggregate(
+        F.zip_with("qemb", "recon", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    shortlist = (
+        F.broadcast(q)
+        .join(recv, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qemb", "vec_id", adc.alias("adc"))
+        .withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= PQ_SHORTLIST)
+        .select("query_id", "qemb", "vec_id")
+    )
+    # Exact re-rank fetches true vectors ONLY for shortlist rows; both sides
+    # are unit vectors so cosine is the plain dot.
+    exact = F.aggregate(
+        F.zip_with("qemb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rer = shortlist.join(base, "vec_id").select(
+        "query_id", "vec_id", exact.alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )

@@ -69,3 +69,16 @@ def test_sq8_recall_vs_brute_force(spark, sf_dir):
     b = {(r.query_id, r.vec_id) for r in specs["sim_knn_brute"].builder(spark, sf_dir).collect()}
     recall = len(b & sq) / len(b)
     assert recall >= 0.9, f"SQ8 recall {recall:.2f} vs brute force"
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """Product quantization is lossy (16 codes x 8 subspaces), so the
+    bar is lower than SQ8 — but ADC against the exact query should
+    still recover most of the true top-10."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    pq = {(r.query_id, r.vec_id) for r in specs["sim_knn_pq"].builder(spark, sf_dir).collect()}
+    b = {(r.query_id, r.vec_id) for r in specs["sim_knn_brute"].builder(spark, sf_dir).collect()}
+    recall = len(b & pq) / len(b)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} vs brute force"
