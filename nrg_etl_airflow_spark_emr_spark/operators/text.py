@@ -579,3 +579,140 @@ def text_remove_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", "cleaned", n_removed.cast("int").alias("n_removed")
     )
+
+
+# --- TF-IDF inverted-index similarity ---------------------------------------
+
+TFIDF_SCALE = 1000   # integer idf = (N * SCALE) div df — exact in both engines
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_pairs",
+    oracle=f"""
+    WITH grams0 AS (
+        SELECT doc_id,
+               unnest([l[i] || ' ' || l[i+1]
+                       for i in generate_series(1, len(l)-1)]) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM grams0
+        WHERE NOT contains(word, '  ')
+          AND word NOT LIKE ' %' AND word NOT LIKE '% '
+        GROUP BY doc_id, word
+    ), stats AS (SELECT COUNT(*) AS n FROM documents),
+    dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    w AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ((stats.n * {TFIDF_SCALE}) // dft.df) AS w
+        FROM tf JOIN dft USING (word) CROSS JOIN stats
+        WHERE dft.df * 2 <= stats.n
+    ), norms AS (
+        SELECT doc_id, SUM(CAST(w AS DECIMAL(38,0)) * w) AS n2
+        FROM w GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(CAST(a.w AS DECIMAL(38,0)) * b.w) AS dot
+        FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(dot AS DOUBLE) /
+               (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                   AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, cosine, rn FROM (
+        SELECT doc_a, doc_b, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_a ORDER BY cosine DESC, doc_b) AS INTEGER)
+                   AS rn
+        FROM scored)
+    WHERE rn <= {TFIDF_TOPK}
+    """,
+    tags=("text", "similarity", "topk"),
+    doc="TF-IDF cosine top-k neighbours per document via an INVERTED-INDEX "
+    "join — the sparse-vector sibling of the dense-embedding kNN stack. "
+    "Terms are word BIGRAMS (the fixture corpus has a ~50-word "
+    "vocabulary where every unigram is a stopword by df; bigrams give a "
+    "~900-gram vocabulary with median df 6% — the sparsity real corpora "
+    "have at the unigram level). Per-(doc,gram) term frequencies, "
+    "per-gram document frequencies, integer idf weights (N*1000 div df — "
+    "integer division is exact in both engines, no transcendental log to "
+    "diverge on), then a self-join keyed ON THE GRAM so only documents "
+    "sharing a gram are ever paired. Grams in more than half the corpus "
+    "are pruned (df*2 > N) — the stopword band that would otherwise "
+    "quadratically blow up the index join at 100 TB. Dot products and "
+    "norms accumulate exactly in decimal(38,0); one final IEEE "
+    "division+sqrt per pair keeps Spark and DuckDB bit-identical. The "
+    "weighted postings frame is cached before the three-way fan-out "
+    "(self-join sides + norms) — see SCALE.md on CollapseProject "
+    "re-inlining.",
+)
+def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    grams = F.zip_with(
+        F.expr("slice(l, 1, size(l)-1)"),
+        F.expr("slice(l, 2, size(l)-1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    words = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 2)
+        .select("doc_id", F.explode(grams).alias("word"))
+        .filter(
+            ~F.col("word").contains("  ")
+            & ~F.col("word").startswith(" ")
+            & ~F.col("word").endswith(" ")
+        )
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * 2 <= F.lit(n_docs))
+    )
+    w = (
+        tf.join(dft, "word")
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.expr(f"(CAST({n_docs} AS BIGINT) * {TFIDF_SCALE}) div df")).alias("w"),
+        )
+        .cache()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+    )
+    win = Window.partitionBy("doc_a").orderBy(F.col("cosine").desc(), F.col("doc_b"))
+    return (
+        scored.select(
+            "doc_a", "doc_b", "cosine", F.row_number().over(win).alias("rn")
+        )
+        .filter(F.col("rn") <= TFIDF_TOPK)
+    )

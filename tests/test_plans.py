@@ -260,3 +260,40 @@ def test_q20_semi_joins_broadcast_one_shuffle_pair(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2, "both IN subqueries must be semi joins"
     assert "SortMergeJoin" not in plan, "all join sides are broadcast-sized"
     assert "StringContains(p_name,widget)" in plan, "part filter must push to scan"
+
+
+def test_bloom_prefilter_cuts_probe_before_join(spark, sf_dir):
+    """j8's Bloom prefilter must actually reduce the probe side ahead of
+    the semi join, and the result must be exactly the plain semi join
+    (false positives removed by the exact join)."""
+    import pyspark.sql.functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators._util import t
+    from nrg_etl_airflow_spark_emr_spark.operators.relational import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    dense = bloom_build(urgent, "o_orderkey")
+    li = t(spark, sf_dir, "lineitem")
+    pre = li.filter(bloom_might_contain(dense, "l_orderkey"))
+    exact = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+    n_total, n_pre, n_exact = li.count(), pre.count(), exact.count()
+    assert n_exact <= n_pre < n_total * 0.5, (n_total, n_pre, n_exact)
+    # false-positive rate small at these parameters
+    assert (n_pre - n_exact) <= 0.05 * n_total
+
+    got = sorted(
+        tuple(r)
+        for r in SPECS["j8_bloom_semijoin"].builder(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in exact.select("l_orderkey", "l_partkey", "l_quantity").collect()
+    )
+    assert got == want
