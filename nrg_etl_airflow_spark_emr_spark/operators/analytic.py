@@ -606,3 +606,109 @@ def a8_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (num / (n * sxx - sx * sx)).alias("beta_cents_per_unit"),
     )
+
+
+@register(
+    "a9_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type, d.med, d.mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad d USING (event_type)
+    GROUP BY e.event_type, d.med, d.mad
+    """,
+    tags=("agg", "robust"),
+    doc="Robust outlier audit per event type: median + median absolute "
+    "deviation (the scale-resistant sibling of mean/stddev — one wild "
+    "value cannot move either statistic), then count rows beyond 3 MADs. "
+    "The long-tailed fixture value column flags ~12% of rows, so the "
+    "check is non-vacuous. Exactness: both engines interpolate "
+    "quantile_cont identically (p·(n-1)), |x−med| and 3·mad are single "
+    "IEEE ops — bit-identical thresholds. Two grouped percentile passes "
+    "+ broadcast joins of 5-row statistics; at 100 TB swap the exact "
+    "median for approx_percentile and the plan shape is unchanged.",
+)
+def a9_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type", "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+            .otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+@register(
+    "a10_histogram",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), b AS (
+        SELECT CAST(LEAST(9, CAST(FLOOR((o_totalprice - s.lo)
+                   / ((s.hi - s.lo) / 10)) AS INTEGER)) AS INTEGER) AS bucket,
+               s.lo, s.hi
+        FROM orders, stats s
+    )
+    SELECT bucket,
+           lo + bucket * ((hi - lo) / 10) AS bucket_lo,
+           COUNT(*) AS n
+    FROM b
+    GROUP BY bucket, lo, hi
+    ORDER BY bucket
+    """,
+    tags=("agg",),
+    doc="Equi-width 10-bucket histogram of order totals — the exact "
+    "counterpart of Spark's approximate histogram_numeric (whose random "
+    "bin placement can never hash-match an oracle). Bin width derives "
+    "from a global min/max pass broadcast as a 1-row frame (scalar "
+    "subquery ≡ cross join of an aggregate); bucket = floor((x−lo)/w) "
+    "capped at 9 so hi lands in the last bin. Every arithmetic step is "
+    "the same IEEE op sequence in both engines — deterministic bucket "
+    "assignment. Two scans; at 100 TB the first is a footer-stats-only "
+    "min/max and the second folds into whatever scan feeds it.",
+)
+def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10
+    b = orders.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        b.groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("lo") + F.col("bucket") * ((F.col("hi") - F.col("lo")) / 10)).alias(
+                "bucket_lo"
+            ),
+            "n",
+        )
+        .orderBy("bucket")
+    )
