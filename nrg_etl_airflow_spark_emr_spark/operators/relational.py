@@ -714,3 +714,47 @@ def j8_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey", "l_quantity")
         .orderBy("l_orderkey", "l_partkey", "l_quantity")
     )
+
+
+@register(
+    "j9_nullsafe_join",
+    oracle="""
+    WITH l AS (
+        SELECT NULLIF(o_orderpriority, '1-URGENT') AS pr_key,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   AS total_price
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT NULLIF(o_orderpriority, '1-URGENT') AS pr_key,
+               COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT l.pr_key, l.n_orders, l.total_price, r.n_custs
+    FROM l FULL OUTER JOIN r ON l.pr_key IS NOT DISTINCT FROM r.pr_key
+    """,
+    tags=("join",),
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM) — completes the "
+    "§2.3 join-type inventory's equality semantics. The key is made "
+    "genuinely nullable (NULLIF folds 1-URGENT to NULL), so the NULL "
+    "groups on both sides MUST pair up — a plain equi-join would drop "
+    "them. Spark plans EqualNullSafe as a hashable join key (coalesce-"
+    "tagged internally), so this stays a hash join on aggregated inputs, "
+    "not a BNLJ — the shape survives scale exactly like j4.",
+)
+def j9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pr_key")
+    left = orders.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+    right = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(key)
+        .agg(F.count_distinct("o_custkey").alias("n_custs"))
+    )
+    return left.join(right, left.pr_key.eqNullSafe(right.pr_key), "full_outer").select(
+        left.pr_key, "n_orders", "total_price", "n_custs"
+    )

@@ -26,11 +26,15 @@ TABLES: tuple[str, ...] = (
 # Dimension tables small enough to always broadcast at any scale factor.
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
-# Fixture columns physically stored as parquet TIMESTAMP(NANOS). Spark's
-# reader rejects NANOS, so sessions run with
-# spark.sql.legacy.parquet.nanosAsLong=true and the loader converts
-# long-nanos → TimestampType here (integer `div` — a double division would
-# lose precision above 2^53 ns). DuckDB truncates NS→µs identically.
+# Fixture timestamp columns, normalized to TimestampType (LTZ, session tz
+# UTC) whatever physical encoding a testdata generation used:
+# - TIMESTAMP(NANOS): Spark's reader rejects NANOS, so sessions run with
+#   spark.sql.legacy.parquet.nanosAsLong=true and the loader converts
+#   long-nanos → TimestampType (integer `div` — a double division would
+#   lose precision above 2^53 ns). DuckDB truncates NS→µs identically.
+# - timestamp[us] isAdjustedToUTC=false: Spark 4 infers TIMESTAMP_NTZ;
+#   cast to LTZ is wall-clock-preserving under the UTC session timezone,
+#   matching DuckDB's naive-as-UTC epoch_us semantics.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -44,8 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

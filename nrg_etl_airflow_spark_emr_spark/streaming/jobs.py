@@ -27,33 +27,28 @@ from pyspark.sql import types as T
 from .batch_equiv import SESSION_GAP, TS_FMT
 from ..operators._util import dsum
 
-# Physical schema of the events parquet (ts is TIMESTAMP(NANOS) on disk,
-# surfaced as long under nanosAsLong — see sources/tables.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source streaming read of the events fixture.
 
     A directory of arriving parquet files is the classic replay source;
     the fixture is one file, which the source handles as a single batch.
+    The file source needs an explicit schema (no inference on streams), so
+    take it from a batch scan of the same file — that also tracks whichever
+    physical ts encoding the testdata generation used (long nanos under
+    nanosAsLong, or timestamp[us] NTZ); normalize to LTZ like the batch
+    loader (sources/tables.py NANOS_TS_COLS).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(raw_schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(_staged_replay_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _staged_replay_dir(sf_dir: str) -> str:
@@ -62,9 +57,13 @@ def _staged_replay_dir(sf_dir: str) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"events_replay_{key}")
     os.makedirs(d, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
     dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
+    # Re-stage when the fixture changed (testdata regenerated between
+    # rounds) — a stale copy would silently replay old data/encoding.
+    st = os.stat(src)
+    if not os.path.exists(dst) or (os.stat(dst).st_size, os.stat(dst).st_mtime) != (st.st_size, st.st_mtime):
+        shutil.copy2(src, dst)
     return d
 
 

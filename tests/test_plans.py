@@ -297,3 +297,16 @@ def test_bloom_prefilter_cuts_probe_before_join(spark, sf_dir):
         for r in exact.select("l_orderkey", "l_partkey", "l_quantity").collect()
     )
     assert got == want
+
+
+def test_nullsafe_join_is_hash_keyed_not_bnlj(spark, sf_dir):
+    """EqualNullSafe must plan as a keyed join (Spark rewrites <=> to
+    coalesce+isnull hash keys) — a BroadcastNestedLoopJoin here would mean
+    the null-safe predicate fell out of the equi-key extraction and the
+    full-outer join went quadratic at scale."""
+    plan = _plan(spark, sf_dir, "j9_nullsafe_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "coalesce(pr_key" in plan and "isnull(pr_key" in plan, (
+        "null-safe key should be rewritten to coalesce/isnull hash keys"
+    )

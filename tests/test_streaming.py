@@ -9,10 +9,26 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import types as T
+
 from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
 from nrg_etl_airflow_spark_emr_spark.streaming import jobs
 
 SPECS = all_specs()
+
+# Schema for synthetic replay files written BY THESE TESTS (ts = epoch
+# nanos as long, converted in-stream via timestamp_micros(ts div 1000)).
+# The fixture's own physical encoding is handled by jobs.events_stream.
+LONG_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def _rows(df):
@@ -75,9 +91,7 @@ def test_foreach_batch_sink_is_idempotent(spark, sf_dir, events_stream, tmp_path
     q = jobs.foreach_batch_parquet_sink(events_stream, out, ckpt)
     q.awaitTermination()
     first = spark.read.parquet(out)
-    n_src = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parquet"
-    ).count()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert first.count() == n_src
     # restart: availableNow with nothing new to process → no change
     q2 = jobs.foreach_batch_parquet_sink(events_stream, out, ckpt)
@@ -100,7 +114,13 @@ def test_multi_batch_replay_matches_batch(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    src = spark.read.schema(jobs.EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    # Re-encode the fixture as long-nanos ts so the split is independent of
+    # the testdata generation's physical encoding.
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * F.lit(1000)
+    )
     mid = int(src.approxQuantile("ts", [0.5], 0.001)[0])
     d = str(tmp_path / "replay2")
     os.makedirs(d)
@@ -116,7 +136,7 @@ def test_multi_batch_replay_matches_batch(spark, sf_dir, tmp_path):
         shutil.copy(part, dst)
         os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
     stream = (
-        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(LONG_NS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -156,13 +176,13 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ]
     for i, (name, rows) in enumerate(batches):
         tmp = str(tmp_path / f"late_stage_{name}")
-        spark.createDataFrame(rows, jobs.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(tmp)
+        spark.createDataFrame(rows, LONG_NS_SCHEMA).coalesce(1).write.parquet(tmp)
         part = glob.glob(tmp + "/part-*.parquet")[0]
         dst = os.path.join(d, f"{name}.parquet")
         shutil.copy(part, dst)
         os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
     stream = (
-        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(LONG_NS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
