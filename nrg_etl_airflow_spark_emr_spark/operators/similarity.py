@@ -723,3 +723,137 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
         .filter(F.col("rn") <= 10)
     )
+
+
+@register(
+    "sim_knn_ivfpq",
+    oracle=None,  # k-means codebooks are iterative; recall-gated in tests
+    tags=("similarity", "topk", "compression", "iterative"),
+    doc=f"IVFADC — the full inverted-file + product-quantization layout "
+    "(the composition of sim_knn_ivf's coarse routing and sim_knn_pq's "
+    "compressed scoring): vectors assign to their nearest coarse "
+    "centroid cell, the RESIDUAL (vector − centroid) is product-"
+    f"quantized ({PQ_M}×{PQ_K}-entry codebooks via lloyd_fit), and a "
+    f"query probes only its {NPROBE} closest cells, scoring candidates "
+    "by ADC against centroid + reconstructed residual before an exact "
+    f"re-rank of the top-{PQ_SHORTLIST}. Residual quantization is what "
+    "makes PQ bits count at scale: residual magnitudes are a fraction "
+    "of vector magnitudes, so the same 4 bits/subspace carry far less "
+    "error than whole-vector PQ. 100 TB layout: bucket by cell id, "
+    "codes = 4 bytes/vector in the probed buckets only, codebooks + "
+    "centroids broadcast, exact vectors fetched for shortlist rows — "
+    "candidate I/O is nprobe/ncells of the corpus at ~128× compression.",
+)
+def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .kmeans import lloyd_fit
+
+    raw = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "emb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    base = raw.select(
+        "vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")
+    ).cache()
+    dim = len(base.select("emb").first()[0])
+    sub_w = dim // PQ_M
+
+    # Coarse quantizer: the fixture's vec_id%CENTROID_MOD==0 vectors (the
+    # same cells sim_knn_ivf probes — KMeans-trained at scale).
+    cent = base.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a_dot = F.aggregate(
+        F.zip_with("emb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("a_dot").desc(), F.col("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", a_dot.alias("a_dot"))
+        .select("vec_id", "cid", F.row_number().over(aw).alias("crn"))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    # Residuals (vector − its cell centroid) are what gets product-quantized.
+    resid = (
+        base.join(assigned, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select("vec_id", "cid", F.zip_with("emb", "cemb", lambda a, b: a - b).alias("res"))
+        .cache()
+    )
+    codes = resid.select("vec_id", "cid")
+    codebooks: list[list[list[float]]] = []
+    for m in range(PQ_M):
+        sub = resid.select("vec_id", F.slice("res", m * sub_w + 1, sub_w).alias("emb"))
+        sub_assigned, cents, _ = lloyd_fit(sub, PQ_K, PQ_ITERS)
+        codebooks.append(cents)
+        codes = codes.join(
+            sub_assigned.select("vec_id", F.col("cell").alias(f"c{m}")), "vec_id"
+        )
+
+    recon_res = F.concat(
+        *[
+            F.element_at(
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[m]]),
+                F.col(f"c{m}") + 1,
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    # Approximate vector = centroid + reconstructed residual; built per-row
+    # from the 4-bit codes + broadcast codebooks (ADC's decode side).
+    recv = (
+        codes.join(F.broadcast(cent), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(F.col("cemb"), recon_res, lambda a, b: a + b).alias("approx"),
+        )
+        .cache()
+    )
+
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # Query-side coarse probing: NPROBE closest cells only.
+    p_dot = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("p_dot").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", p_dot.alias("p_dot"))
+        .select("query_id", "cid", F.row_number().over(pw).alias("prn"))
+        .filter(F.col("prn") <= NPROBE)
+        .select("query_id", "cid")
+    )
+    adc = F.aggregate(
+        F.zip_with("qemb", "approx", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    sw = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    shortlist = (
+        probes.join(recv, "cid")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qemb", "vec_id", adc.alias("adc"))
+        .withColumn("arn", F.row_number().over(sw))
+        .filter(F.col("arn") <= PQ_SHORTLIST)
+        .select("query_id", "qemb", "vec_id")
+    )
+    exact = F.aggregate(
+        F.zip_with("qemb", "emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    rer = shortlist.join(base, "vec_id").select(
+        "query_id", "vec_id", exact.alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )

@@ -82,3 +82,22 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
     b = {(r.query_id, r.vec_id) for r in specs["sim_knn_brute"].builder(spark, sf_dir).collect()}
     recall = len(b & pq) / len(b)
     assert recall >= 0.6, f"PQ recall {recall:.2f} vs brute force"
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVFADC top-10 recall vs exact brute force. The binding constraint
+    is coarse probing (nprobe=2 of 5 cells caps candidate coverage of the
+    brute top-10 — same routing sim_knn_ivf uses), not the PQ residual
+    codes: with a 50-deep shortlist + exact re-rank, measured recall
+    (~0.54 on the near-orthogonal fixture) sits at the candidate-coverage
+    ceiling. The bound catches broken residual quantization or probing."""
+    specs = all_specs()
+    pq = {(r.query_id, r.vec_id) for r in specs["sim_knn_ivfpq"].builder(spark, sf_dir).collect()}
+    b = {(r.query_id, r.vec_id) for r in specs["sim_knn_brute"].builder(spark, sf_dir).collect()}
+    recall = len(b & pq) / len(b)
+    assert recall >= 0.45, f"IVFPQ recall {recall:.2f} vs brute force"
+    # Every query must still return a full top-10 from its probed cells.
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in pq)
+    assert all(n == 10 for n in per_q.values()), per_q
