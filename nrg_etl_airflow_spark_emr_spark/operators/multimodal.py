@@ -5,7 +5,9 @@ columns plus typed metadata; the engine owns the plumbing — schema,
 batching, partition sizing — plus real image codecs implemented with
 pure NumPy + stdlib zlib (``decode_png``/``encode_png`` covering all
 five scanline filters and palettes; ``decode_bmp`` for uncompressed
-24/32-bit). The fixture has no media files, so queries run over
+24/32-bit; ``decode_wav`` for RIFF/WAVE PCM; ``decode_avi``/
+``encode_avi`` for uncompressed BI_RGB RIFF/AVI video with real
+keyframe sampling). The fixture has no media files, so queries run over
 ``encode(text)`` bytes and dispatch: real codec on PNG/BMP magic,
 deterministic fake otherwise. Everything Spark-side is real and tested:
 binary metadata as codegen'd column expressions, and Arrow-batched
@@ -595,15 +597,140 @@ FRAME_SCHEMA = T.StructType(
 N_FRAMES = 4
 
 
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode ndarray[n, h, w, 3] uint8 RGB frames as an uncompressed
+    BI_RGB RIFF/AVI (the video sibling of encode_wav): hdrl list with
+    avih + one 'vids' strl (strh/strf BITMAPINFOHEADER), movi list of
+    '00db' DIB frames (bottom-up BGR rows padded to 4 bytes), idx1 index
+    marking every frame a keyframe."""
+    import struct
+
+    import numpy as np
+
+    n, h, w, _ = frames.shape
+    row_stride = (w * 3 + 3) & ~3
+    size_image = row_stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    frame_bodies = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # DIB: bottom-up rows, BGR order
+        rows = np.zeros((h, row_stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_bodies.append(rows.tobytes())
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, size_image * fps, 0, 0x10, n, 0, 1, size_image, w, h
+    ) + b"\x00" * 16
+    strh = struct.pack(
+        "<4s4sIHH8I4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        size_image, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + hdrl)
+
+    movi_body = b"movi"
+    idx_entries = []
+    for fb in frame_bodies:
+        # idx1 offsets are relative to the 'movi' fourcc position.
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, len(movi_body), len(fb)))
+        movi_body += chunk(b"00db", fb)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """Decode an uncompressed BI_RGB RIFF/AVI → (width, height, n_frames,
+    fps, frames ndarray[n, h, w, 3] uint8 RGB). Chunk walk mirroring
+    decode_wav: hdrl/avih for dimensions + frame count, strh for the
+    rate/scale clock, movi list for the '00db'/'00dc' DIB frame bodies
+    (idx1 optional — the walk does not require it)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    avih = strh = strf = None
+    frame_bodies: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal avih, strh, strf
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + clen]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type fourcc, recurse
+            elif cid == b"avih":
+                avih = struct.unpack("<10I", body[:40])
+            elif cid == b"strh":
+                strh = struct.unpack("<4s4sIHH8I4H", body[:56])
+            elif cid == b"strf":
+                strf = struct.unpack("<IiiHHIIiiII", body[:40])
+            elif cid in (b"00db", b"00dc"):
+                frame_bodies.append(body)
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(payload[12:])
+    if avih is None or strf is None:
+        raise ValueError("missing avih/strf header")
+    w, h = avih[8], avih[9]
+    if strf[5] != 0:
+        raise NotImplementedError("only uncompressed BI_RGB AVI supported")
+    # strh: fccType, fccHandler, dwFlags, wPriority, wLanguage,
+    # dwInitialFrames, dwScale, dwRate, ... → fps = dwRate / dwScale.
+    fps = strh[7] // strh[6] if strh is not None and strh[6] else 0
+    row_stride = (w * 3 + 3) & ~3
+    frames = np.zeros((len(frame_bodies), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frame_bodies):
+        if len(fb) < row_stride * h:
+            raise ValueError("truncated frame body")
+        rows = np.frombuffer(fb[: row_stride * h], dtype=np.uint8).reshape(h, row_stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        frames[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    return w, h, len(frame_bodies), fps, frames
+
+
+def sample_frames_avi(payload: bytes, n_frames: int = N_FRAMES) -> list[bytes]:
+    """Real keyframe sampler for AVI payloads: decode the container and
+    re-encode n equally-spaced frames as single-frame PNGs (every frame
+    of an uncompressed AVI is a keyframe). Index i maps to source frame
+    floor(i·total/n) — the standard uniform temporal sample."""
+    w, h, total, _fps, frames = decode_avi(payload)
+    if total == 0:
+        return []
+    if total <= n_frames:
+        picks = list(range(total))
+    else:
+        picks = sorted({i * total // n_frames for i in range(n_frames)})
+    return [encode_png(frames[p]) for p in picks]
+
+
 def sample_frames(payload: bytes, n_frames: int = N_FRAMES) -> list[bytes]:
-    """Deterministic frame sampler: treat the payload as a 'video' and cut
-    n equally-spaced fixed-width slices ('frames'). A real implementation
-    decodes containers + keyframes; the row-explosion shape (1 payload →
-    n typed frames) and batching are what the engine owns."""
+    """Deterministic fallback frame sampler for non-video payloads: cut n
+    equally-spaced fixed-width slices. Keeps the query total over the
+    text fixture; real AVI bytes route to sample_frames_avi."""
     if not payload:
         return []
     stride = max(len(payload) // n_frames, 1)
     return [payload[i * stride : i * stride + 16] for i in range(min(n_frames, len(payload)))]
+
+
+def dispatch_sample_frames(payload: bytes, n_frames: int = N_FRAMES) -> list[bytes]:
+    """Real AVI keyframe sampling on magic bytes, deterministic fake
+    otherwise."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return sample_frames_avi(payload, n_frames)
+    return sample_frames(payload, n_frames)
 
 
 def frame_sample_batches(
@@ -612,7 +739,7 @@ def frame_sample_batches(
     for pdf in batches:
         ids, idxs, frames = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            for i, fr in enumerate(sample_frames(payload)):
+            for i, fr in enumerate(dispatch_sample_frames(payload)):
                 ids.append(doc_id)
                 idxs.append(i)
                 frames.append(fr)
@@ -627,10 +754,15 @@ def frame_sample_batches(
     "mm_frame_sample",
     oracle=None,  # python-kernel fan-out; exactness pinned by unit tests
     tags=("multimodal", "udf"),
-    doc="Frame sampling: one binary 'video' fans out to N typed frame "
-    "rows through mapInPandas (row-generating kernel — the multimodal "
-    "analogue of explode). Deterministic slicer stands in for a real "
-    "keyframe decoder.",
+    doc="Frame sampling: one binary video fans out to N typed frame rows "
+    "through mapInPandas (row-generating kernel — the multimodal "
+    "analogue of explode). The sampler is REAL for RIFF/AVI payloads "
+    "(pure NumPy container codec: hdrl/movi/idx1 chunk walk, "
+    "uncompressed BI_RGB DIB frames, uniform temporal pick, each sampled "
+    "frame re-encoded as a standalone PNG), dispatched on magic bytes; "
+    "the text fixture falls through to a deterministic slicer so the "
+    "query stays total. encode_avi↔decode_avi roundtrips pinned in "
+    "tests/test_multimodal.py.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(

@@ -323,3 +323,103 @@ def test_wav_missing_data_chunk_rejected():
     payload += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     with pytest.raises(ValueError):
         mm.decode_wav(payload)
+
+
+def test_avi_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(10, 6, 4, 3), dtype=np.uint8)
+    payload = mm.encode_avi(frames, fps=12)
+    w, h, n, fps, decoded = mm.decode_avi(payload)
+    assert (w, h, n, fps) == (4, 6, 10, 12)
+    assert np.array_equal(decoded, frames)
+
+
+def test_avi_roundtrip_odd_width_row_padding():
+    """w=3 → 9-byte BGR rows padded to 12; the pad bytes must not leak
+    into decoded pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(3, 5, 3, 3), dtype=np.uint8)
+    w, h, n, fps, decoded = mm.decode_avi(mm.encode_avi(frames, fps=5))
+    assert (w, h, n) == (3, 5, 3)
+    assert np.array_equal(decoded, frames)
+
+
+def test_avi_frame_sampling_uniform_and_png_encoded():
+    """sample_frames_avi picks floor(i·total/n) source frames and emits
+    each as a standalone PNG that decodes back to the exact pixels."""
+    import numpy as np
+
+    # Frame f is a constant image of value f*20 → sampled PNGs identify
+    # exactly which source frames were picked.
+    frames = np.stack(
+        [np.full((4, 4, 3), f * 20, dtype=np.uint8) for f in range(10)]
+    )
+    payload = mm.encode_avi(frames, fps=10)
+    out = mm.dispatch_sample_frames(payload, 4)
+    assert len(out) == 4
+    picked = []
+    for png in out:
+        w, h, c, px = mm.decode_png(png)
+        assert (w, h, c) == (4, 4, 3)
+        vals = set(np.asarray(px).flatten().tolist())
+        assert len(vals) == 1
+        picked.append(vals.pop() // 20)
+    assert picked == [0, 2, 5, 7]  # i * 10 // 4
+
+
+def test_avi_fewer_frames_than_requested():
+    import numpy as np
+
+    frames = np.zeros((2, 3, 3, 3), dtype=np.uint8)
+    out = mm.sample_frames_avi(mm.encode_avi(frames), n_frames=4)
+    assert len(out) == 2  # every frame once, no duplicates
+
+
+def test_avi_rejects_non_video_and_compressed():
+    import struct
+
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        mm.decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # Flip biCompression to a non-zero codec fourcc → NotImplementedError.
+    payload = bytearray(mm.encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    strf_at = payload.find(b"strf")
+    # biCompression is the 4th dword after the 40-byte header start.
+    comp_at = strf_at + 8 + 16
+    payload[comp_at : comp_at + 4] = b"MJPG"
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(bytes(payload))
+
+
+def test_avi_non_video_payload_falls_back_to_slicer():
+    payload = b"just some text bytes, definitely not a container"
+    assert mm.dispatch_sample_frames(payload) == mm.sample_frames(payload)
+
+
+def test_frame_sample_real_avi_through_spark(spark):
+    """End-to-end: real AVI bytes flow through the same mapInPandas
+    kernel the catalog query uses — fan-out to PNG-encoded keyframes —
+    next to a text payload that takes the slicer fallback."""
+    import numpy as np
+
+    frames = np.stack(
+        [np.full((4, 4, 3), f * 10, dtype=np.uint8) for f in range(8)]
+    )
+    avi = mm.encode_avi(frames, fps=4)
+    txt = b"definitely not a video container payload"
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(txt))], "doc_id LONG, payload BINARY"
+    )
+    got: dict[tuple[int, int], bytes] = {}
+    for r in df.mapInPandas(mm.frame_sample_batches, schema=mm.FRAME_SCHEMA).collect():
+        got[(r.doc_id, r.frame_idx)] = bytes(r.frame)
+    avi_frames = [v for (d, _), v in sorted(got.items()) if d == 1]
+    assert avi_frames == mm.sample_frames_avi(avi)
+    assert len(avi_frames) == 4
+    txt_frames = [v for (d, _), v in sorted(got.items()) if d == 2]
+    assert txt_frames == mm.sample_frames(txt)
