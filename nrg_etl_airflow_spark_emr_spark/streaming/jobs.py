@@ -166,6 +166,101 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_CLOSE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_CLOSE_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # matches operators/temporal.py
+
+
+def _session_close_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel with EVENT-TIME TIMEOUT: per-user
+    gap-sessionization that EMITS a session only when it closes — either
+    a new event lands more than the gap after the open session's end
+    (data path), or the watermark passes end + gap with no new events
+    (timeout path). Append-mode emission of finalized facts is the state
+    pattern the built-in session_window cannot give you custom control
+    over (arbitrary per-session payloads, side effects, early emission
+    rules)."""
+    import pandas as pd
+
+    def frame(rows):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(rows), dtype="int64"),
+                "session_start_us": pd.Series([r[0] for r in rows], dtype="int64"),
+                "session_end_us": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    if state.hasTimedOut:
+        s, e, n = state.get
+        state.remove()
+        yield frame([(s, e, n)])
+        return
+
+    s, e, n = state.get if state.exists else (None, None, 0)
+    closed = []
+    us_all = []
+    for pdf in pdf_iter:
+        # Normalize whatever datetime64 unit pandas handed us to µs.
+        us_all.extend(pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+    for ts in sorted(us_all):
+        ts = int(ts)
+        if s is None:
+            s, e, n = ts, ts, 1
+        elif ts - e <= _SESSION_GAP_US:  # merge rule matches sessionize()
+            e, n = ts, n + 1
+        else:
+            closed.append((s, e, n))
+            s, e, n = ts, ts, 1
+    state.update((s, e, n))
+    # Close the open session when the event-time watermark passes its
+    # end + gap (ms resolution — the GroupState timeout clock).
+    state.setTimeoutTimestamp((e + _SESSION_GAP_US) // 1000)
+    yield frame(closed)
+
+
+def session_close_on_timeout(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful sessionization emitting CLOSED sessions only
+    (append mode): gap-merge inside the kernel, session finalized by the
+    next out-of-gap event or by event-time timeout once the watermark
+    passes session end + gap. At 100 TB: state is one 24-byte tuple per
+    open session key in the checkpointed store, emission is append-only
+    finalized facts (safe to sink straight to parquet), and the timeout
+    sweep is the state store's own expiry scan — no rescan of data.
+
+    Sessions still open when the replay's final watermark stalls are
+    intentionally unemitted — that is the append-mode contract.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close_fn,
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            stateStructType=_SESSION_CLOSE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion into a memory sink; return the
     materialized result table (test/bench helper)."""

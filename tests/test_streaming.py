@@ -294,3 +294,61 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_stream):
     )
     batch = SPECS["st_mktsegment_counts"].builder(spark, sf_dir)
     assert _rows(stream_out) == _rows(batch)
+
+
+def test_session_close_on_timeout_emits_exact_closed_sessions(spark, sf_dir, tmp_path):
+    """EventTimeTimeout sessionization: replay the fixture as two ts-
+    ordered files so the watermark advances between micro-batches and
+    timeouts fire. Contract: (1) every emitted session EXACTLY matches a
+    batch sessionize() session, (2) no session is emitted twice,
+    (3) the stream emits a substantial share of the batch sessions
+    (data-path closes + timeout closes), and (4) anything unemitted is
+    only because the final watermark never passed its end + gap."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.temporal import sessionize
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * F.lit(1000)
+    )
+    mid = int(src.approxQuantile("ts", [0.5], 0.001)[0])
+    d = str(tmp_path / "sess_replay")
+    os.makedirs(d)
+    for i, (name, frag) in enumerate(
+        [("a", src.filter(f"ts <= {mid}")), ("b", src.filter(f"ts > {mid}"))]
+    ):
+        tmp = str(tmp_path / f"sess_stage_{name}")
+        frag.coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(LONG_NS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = jobs.run_to_memory(
+        jobs.session_close_on_timeout(stream), "t_sess_close", output_mode="append"
+    )
+    got = [
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in out.collect()
+    ]
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got, "no sessions emitted — timeouts never fired"
+    assert len(got) == len(set(got)), "a session was emitted twice"
+    unmatched = [g for g in got if g not in batch]
+    assert not unmatched, f"emitted sessions not in batch twin: {unmatched[:5]}"
+    # Both close paths must be exercised: the two-batch replay fires
+    # timeouts for batch-a sessions, data-path closes happen within files.
+    assert len(got) >= len(batch) // 2, (len(got), len(batch))
