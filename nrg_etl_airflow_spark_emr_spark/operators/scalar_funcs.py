@@ -152,3 +152,36 @@ def f5_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sqrt("l_extendedprice") * 10000).cast("double") / 10000).alias("price_sqrt"),
         (F.col("l_quantity").cast("bigint") % 10).alias("qty_mod"),
     )
+
+
+@register(
+    "f13_posexplode",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos, word
+    FROM ex WHERE pos <= 5
+    """,
+    tags=("function", "generator"),
+    doc="Generator-function surface with ORDINALITY (absent in reference "
+    "— SURVEY.md §2.8 gap-fill): posexplode() fans each document into "
+    "(position, word) rows, completing the explode family that "
+    "text_word_freq_topk uses positionlessly. The position filter sits "
+    "directly on the generator output, so Catalyst pushes the 5-row cap "
+    "into the Generate node's downstream filter — no full fan-out is "
+    "materialized past it. DuckDB twin: generate_subscripts + unnest, "
+    "which pair positionally in one projection.",
+)
+def f13_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word")
+        .filter(F.col("pos") <= 5)
+    )

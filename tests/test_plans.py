@@ -310,3 +310,24 @@ def test_nullsafe_join_is_hash_keyed_not_bnlj(spark, sf_dir):
     assert "coalesce(pr_key" in plan and "isnull(pr_key" in plan, (
         "null-safe key should be rewritten to coalesce/isnull hash keys"
     )
+
+
+def test_plan_audit_api(spark, sf_dir):
+    """The typed plan-audit API agrees with the raw-plan assertions the
+    other tests make — this is the surface tooling and users consume."""
+    from nrg_etl_airflow_spark_emr_spark.plans.inspect import audit
+
+    df = SPECS["q5_region_revenue"].builder(spark, sf_dir)
+    a = audit(df)
+    assert a.shuffles == 1
+    assert a.broadcast_hash_joins >= 2
+    assert a.nested_loop_joins == 0 and a.cartesian_products == 0
+    assert a.pushed_filters
+    assert a.row_python_nodes == 0
+    assert a.codegen_spans == 0, "pre-execution AQE plan has no codegen ids"
+    assert a.joins == a.broadcast_hash_joins + a.sort_merge_joins + \
+        a.shuffled_hash_joins
+    df.collect()  # AQE finalizes the plan; codegen spans appear
+    assert audit(df).codegen_spans >= 1
+    b = audit(SPECS["sim_knn_numpy"].builder(spark, sf_dir))
+    assert b.python_nodes >= 1 and b.row_python_nodes == 0
