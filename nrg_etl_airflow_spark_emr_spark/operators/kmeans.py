@@ -38,19 +38,25 @@ ITERS_DEFAULT = 5
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, emb, cell): nearest centroid by squared L2, ties → lowest cid."""
+    """(vec_id, emb, cell): nearest centroid by squared L2, ties → lowest cid.
+
+    argmin via min_by over a (d2, cid) struct instead of a row_number
+    window: the groupBy gets map-side partial aggregation, so each of the
+    trainer's iterations shuffles ~n rows, not the n·k crossJoin fan-out
+    a window sort would carry. Struct order == ORDER BY d2, cid (cid is
+    distinct, so the pick is deterministic in both engines)."""
     d2 = F.aggregate(
         F.zip_with("emb", "c_emb", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+    best = F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best")
     return (
         vectors.crossJoin(F.broadcast(centroids))
         .select("vec_id", "emb", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("cid").alias("cell"), "d2")
+        .groupBy("vec_id")
+        .agg(F.first("emb").alias("emb"), best)
+        .select("vec_id", "emb", F.col("best.cid").alias("cell"), F.col("best.d2").alias("d2"))
     )
 
 

@@ -230,18 +230,24 @@ def _cell_assignment(v: DataFrame) -> DataFrame:
     Shared by sim_knn_ivf (probe path) and dedup_embedding_ivf (candidate
     routing): one broadcast pass over the vectors, ties broken by lowest
     cid, so both engines agree on the assignment bit-for-bit.
+
+    argmax via max_by over a (cosine, -cid) struct rather than a
+    row_number window: the groupBy gets a map-side partial aggregate, so
+    the exchange carries ~1 row per vector instead of sorting the full
+    (vectors × cells) fan-out — the difference between shuffling n and
+    n·k rows at 100 TB. Lexicographic struct order == ORDER BY cos DESC,
+    cid ASC because -cid is distinct (no ties reach the second key
+    ambiguously).
     """
     cent = v.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
     )
     c_cos = _dot(F.col("fe"), F.col("cfe")).cast("double") / (F.col("nrm") * F.col("cnrm"))
-    aw = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid"))
     return (
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", c_cos.alias("c_cos"))
-        .select("vec_id", "cid", F.row_number().over(aw).alias("crn"))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("nc"))).alias("cid"))
     )
 
 
@@ -771,13 +777,12 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_dot = F.aggregate(
         F.zip_with("emb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.col("a_dot").desc(), F.col("cid"))
+    # argmax via map-side max_by, not a window sort — see _cell_assignment.
     assigned = (
         base.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", a_dot.alias("a_dot"))
-        .select("vec_id", "cid", F.row_number().over(aw).alias("crn"))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("a_dot"), (-F.col("cid")).alias("nc"))).alias("cid"))
     )
 
     # Residuals (vector − its cell centroid) are what gets product-quantized.
