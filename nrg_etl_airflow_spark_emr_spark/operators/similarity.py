@@ -634,13 +634,78 @@ PQ_ITERS = 3      # Lloyd's rounds per codebook
 PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
 
 
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb): unit-normalized double embeddings, cached. Shared by
+    the PQ family — normalizing before quantizing makes cosine a plain dot
+    and spends the code bits on direction, not magnitude."""
+    raw = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "emb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return raw.select("vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")).cache()
+
+
+def _pq_codes_and_recon(frame: DataFrame, col: str):
+    """Train the PQ_M × PQ_K codebooks over ``frame[col]`` and return
+    (codes: vec_id + c0..c{M-1} columns, recon: Column rebuilding the
+    quantized vector from broadcast codebook literals).
+
+    All M subspaces train in SHARED jobs (lloyd_fit_grouped): the vector
+    explodes into (gid, subvector) rows once, each Lloyd's iteration is
+    one assign + one update over every subspace, and the per-vector code
+    row comes back from a single conditional-aggregation pivot — PQ_ITERS
+    cluster round-trips total instead of PQ_M × PQ_ITERS sequential jobs
+    (and one shuffle for the pivot instead of an M-way join chain)."""
+    from .kmeans import lloyd_fit_grouped
+
+    dim = len(frame.select(col).first()[0])
+    sub_w = dim // PQ_M
+    subs = frame.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gid"),
+                        F.slice(col, m * sub_w + 1, sub_w).alias("emb"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.gid").alias("gid"), "vec_id", F.col("s.emb").alias("emb"))
+    assigned, cent = lloyd_fit_grouped(subs, PQ_K, PQ_ITERS)
+    codes = assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("gid") == m, F.col("cell"))).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    recon = F.concat(
+        *[
+            F.element_at(
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in cent[m]]),
+                F.col(f"c{m}") + 1,
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return codes, recon
+
+
 @register(
     "sim_knn_pq",
     oracle=None,  # k-means codebooks are iterative; recall-gated in tests
     tags=("similarity", "topk", "compression", "iterative"),
     doc=f"Product-quantized top-10 with exact re-rank (IVFADC's PQ half): "
     f"unit-normalized embeddings split into {PQ_M} subspaces, each with "
-    f"its own {PQ_K}-entry k-means codebook (Lloyd's via lloyd_fit, "
+    f"its own {PQ_K}-entry k-means codebook (Lloyd's via lloyd_fit_grouped, "
     f"{PQ_ITERS} rounds, deterministic init); every vector compresses to "
     f"{PQ_M} 4-bit codes, queries score asymmetrically against the "
     "codebook reconstruction (exact query × quantized database — ADC), "
@@ -652,49 +717,8 @@ PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
     "baseline is gated in tests/test_approx.py.",
 )
 def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .kmeans import lloyd_fit
-
-    raw = spread(t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with("emb", "emb", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    # Unit-normalize before quantizing: cosine becomes a plain dot and the
-    # codebooks spend their 4 bits on direction, not magnitude.
-    base = raw.select(
-        "vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")
-    ).cache()
-    dim = len(base.select("emb").first()[0])
-    sub_w = dim // PQ_M
-
-    codes = base.select("vec_id")
-    codebooks: list[list[list[float]]] = []
-    for m in range(PQ_M):
-        sub = base.select(
-            "vec_id", F.slice("emb", m * sub_w + 1, sub_w).alias("emb")
-        )
-        assigned, cents, _ = lloyd_fit(sub, PQ_K, PQ_ITERS)
-        codebooks.append(cents)
-        codes = codes.join(
-            assigned.select("vec_id", F.col("cell").alias(f"c{m}")), "vec_id"
-        )
-
-    # Reconstruct from codebook literals (tiny: M × K × sub_w doubles) and
-    # score with the EXACT query vector — asymmetric distance computation.
-    recon = F.concat(
-        *[
-            F.element_at(
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[m]]),
-                F.col(f"c{m}") + 1,
-            )
-            for m in range(PQ_M)
-        ]
-    )
+    base = _unit_vectors(spark, sf_dir)
+    codes, recon = _pq_codes_and_recon(base, "emb")
     recv = codes.select("vec_id", recon.alias("recon")).cache()
 
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
@@ -739,7 +763,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the composition of sim_knn_ivf's coarse routing and sim_knn_pq's "
     "compressed scoring): vectors assign to their nearest coarse "
     "centroid cell, the RESIDUAL (vector − centroid) is product-"
-    f"quantized ({PQ_M}×{PQ_K}-entry codebooks via lloyd_fit), and a "
+    f"quantized ({PQ_M}×{PQ_K}-entry codebooks via lloyd_fit_grouped), and a "
     f"query probes only its {NPROBE} closest cells, scoring candidates "
     "by ADC against centroid + reconstructed residual before an exact "
     f"re-rank of the top-{PQ_SHORTLIST}. Residual quantization is what "
@@ -751,23 +775,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate I/O is nprobe/ncells of the corpus at ~128× compression.",
 )
 def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .kmeans import lloyd_fit
-
-    raw = spread(t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with("emb", "emb", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    base = raw.select(
-        "vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")
-    ).cache()
-    dim = len(base.select("emb").first()[0])
-    sub_w = dim // PQ_M
+    base = _unit_vectors(spark, sf_dir)
 
     # Coarse quantizer: the fixture's vec_id%CENTROID_MOD==0 vectors (the
     # same cells sim_knn_ivf probes — KMeans-trained at scale).
@@ -792,25 +800,9 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", F.zip_with("emb", "cemb", lambda a, b: a - b).alias("res"))
         .cache()
     )
-    codes = resid.select("vec_id", "cid")
-    codebooks: list[list[list[float]]] = []
-    for m in range(PQ_M):
-        sub = resid.select("vec_id", F.slice("res", m * sub_w + 1, sub_w).alias("emb"))
-        sub_assigned, cents, _ = lloyd_fit(sub, PQ_K, PQ_ITERS)
-        codebooks.append(cents)
-        codes = codes.join(
-            sub_assigned.select("vec_id", F.col("cell").alias(f"c{m}")), "vec_id"
-        )
+    code_cols, recon_res = _pq_codes_and_recon(resid, "res")
+    codes = resid.select("vec_id", "cid").join(code_cols, "vec_id")
 
-    recon_res = F.concat(
-        *[
-            F.element_at(
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[m]]),
-                F.col(f"c{m}") + 1,
-            )
-            for m in range(PQ_M)
-        ]
-    )
     # Approximate vector = centroid + reconstructed residual; built per-row
     # from the 4-bit codes + broadcast codebooks (ADC's decode side).
     recv = (
