@@ -354,9 +354,18 @@ LSH_PLANES = 5
 
 def _srp_signatures(v: DataFrame) -> DataFrame:
     """(vec_id, bucket): 5-bit sign-random-projection signature per vector,
-    hyperplanes broadcast. Shared by sim_knn_lsh and sim_cosine_lsh_pairs."""
+    hyperplanes broadcast. Shared by sim_knn_lsh and sim_cosine_lsh_pairs.
+
+    Exactly LSH_PLANES hyperplanes (the lowest LSH_PLANES centroid-rule
+    vec_ids) at EVERY scale factor: the centroid rule alone yields more
+    vectors at larger sf, and letting the signature width grow with the
+    corpus (20 bits at sf0.1) puts every vector in a singleton bucket —
+    bucket count must be tuned to occupancy, not data size."""
     planes = (
-        v.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        v.filter(
+            (F.col("vec_id") % CENTROID_MOD == 0)
+            & (F.col("vec_id") < CENTROID_MOD * LSH_PLANES)
+        )
         .select(F.col("vec_id").alias("pid"), F.col("fe").alias("pfe"))
         .withColumn(
             "j",
@@ -384,6 +393,7 @@ def _srp_signatures(v: DataFrame) -> DataFrame:
     planes AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, fe
         FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+          AND vec_id < {CENTROID_MOD * LSH_PLANES}
     ),
     sig AS (
         SELECT v.vec_id,
@@ -439,6 +449,7 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, fe
         FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+          AND vec_id < {CENTROID_MOD * LSH_PLANES}
     ),
     sig AS (
         SELECT v.vec_id,
@@ -481,27 +492,9 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).cache()
-    planes = (
-        v.filter(F.col("vec_id") % CENTROID_MOD == 0)
-        .select(F.col("vec_id").alias("pid"), F.col("fe").alias("pfe"))
-        .withColumn(
-            "j",
-            (F.row_number().over(Window.orderBy("pid")) - 1).cast("long"),
-        )
-    )
-    # 5-bit signature per vector: one broadcast cross join + conditional sum.
-    sig = (
-        v.crossJoin(F.broadcast(planes))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    _dot(F.col("fe"), F.col("pfe")) >= 0,
-                    F.expr("shiftleft(1L, CAST(j AS INT))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
-        )
-    )
+    # 5-bit signature per vector (shared helper — exactly LSH_PLANES
+    # hyperplanes at every scale factor).
+    sig = _srp_signatures(v)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"), F.col("nrm").alias("qnrm")
     )
