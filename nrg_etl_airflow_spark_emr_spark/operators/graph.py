@@ -180,6 +180,7 @@ def _pagerank_oracle() -> str:
     "graph_pagerank",
     oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
+    bench=True,
     doc=f"PageRank over the customer↔supplier bipartite trade graph "
     f"(distinct (custkey, suppkey) pairs from orders⋈lineitem, edges both "
     f"directions so no node dangles), {PR_ITERS} fixed iterations, "

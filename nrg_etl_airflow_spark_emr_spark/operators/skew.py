@@ -63,6 +63,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_salted_join",
+    bench=True,
     oracle="""
     SELECT o.o_orderkey, o.o_orderpriority, COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey

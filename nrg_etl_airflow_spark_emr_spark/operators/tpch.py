@@ -291,6 +291,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
+    bench=True,
     oracle=f"""
     SELECT c_custkey, c_name,
            {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},

@@ -242,6 +242,7 @@ def st_mktsegment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_retention_cohorts",
+    bench=True,
     oracle="""
     WITH firsts AS (
         SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
