@@ -697,26 +697,22 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).cache()
     # Cache: the assignment feeds both sides of the self-join; without it
     # the k-centroid broadcast pass runs twice.
+    # The assignment carries each vector's fe/nrm payload, so the same-cell
+    # self-join scores exact cosine directly — no joins back to the vector
+    # table (two fewer vec_id-keyed exchanges).
     assigned = _cell_assignment(v).cache()
-    a = assigned.alias("aa")
-    b = assigned.alias("ab")
-    cand = a.join(
-        b,
-        (F.col("aa.cid") == F.col("ab.cid"))
-        & (F.col("aa.vec_id") < F.col("ab.vec_id")),
-    ).select(
-        F.col("aa.vec_id").alias("keep_id"), F.col("ab.vec_id").alias("drop_id")
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"), "cid",
+        F.col("fe").alias("fa"), F.col("nrm").alias("na"),
     )
-    va = v.select(
-        F.col("vec_id").alias("keep_id"), F.col("fe").alias("fa"), F.col("nrm").alias("na")
-    )
-    vb = v.select(
-        F.col("vec_id").alias("drop_id"), F.col("fe").alias("fb"), F.col("nrm").alias("nb")
+    b = assigned.select(
+        F.col("vec_id").alias("drop_id"), "cid",
+        F.col("fe").alias("fb"), F.col("nrm").alias("nb"),
     )
     cosine = _dot(F.col("fa"), F.col("fb")).cast("double") / (F.col("na") * F.col("nb"))
     return (
-        cand.join(va, "keep_id")
-        .join(vb, "drop_id")
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
         .select("keep_id", "drop_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )

@@ -225,7 +225,8 @@ def sim_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cell_assignment(v: DataFrame) -> DataFrame:
-    """(vec_id, cid): nearest-centroid cell per vector, centroids broadcast.
+    """(vec_id, fe, nrm, cid): nearest-centroid cell per vector (payload
+    carried through), centroids broadcast.
 
     Shared by sim_knn_ivf (probe path) and dedup_embedding_ivf (candidate
     routing): one broadcast pass over the vectors, ties broken by lowest
@@ -245,9 +246,16 @@ def _cell_assignment(v: DataFrame) -> DataFrame:
     c_cos = _dot(F.col("fe"), F.col("cfe")).cast("double") / (F.col("nrm") * F.col("cnrm"))
     return (
         v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", c_cos.alias("c_cos"))
+        .select("vec_id", "fe", "nrm", "cid", c_cos.alias("c_cos"))
         .groupBy("vec_id")
-        .agg(F.max_by("cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("nc"))).alias("cid"))
+        .agg(
+            # Carry the vector payload through the aggregation so callers
+            # need no second join back to the vector table (saves a
+            # vec_id-keyed exchange pair downstream).
+            F.first("fe").alias("fe"),
+            F.first("nrm").alias("nrm"),
+            F.max_by("cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("nc"))).alias("cid"),
+        )
     )
 
 
@@ -327,11 +335,11 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prn") <= NPROBE)
         .select("query_id", "cid")
     )
-    # Exact cosine inside the probed cells only.
+    # Exact cosine inside the probed cells only; the assignment already
+    # carries fe/nrm, so no join back to the vector table.
     cand = (
         probes.join(assigned, "cid")
-        .join(q, "query_id")
-        .join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (F.col("qnrm") * F.col("nrm"))
