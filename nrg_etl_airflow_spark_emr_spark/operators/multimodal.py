@@ -106,13 +106,22 @@ def _histogram16(payload: bytes) -> list[int]:
     "mapInPandas with an explicit StructType output schema — the real "
     "plumbing a decode/featurize stage uses at scale. Rows-only driver "
     "check; tests/test_multimodal.py pins exact values against a local "
-    "recomputation.",
+    "recomputation. The catalog surface flattens the histogram array to "
+    "a CSV string so every output column is scalar (the verify driver's "
+    "canonicalizer cannot sort/hash array cells — the f8/a6 round-1 "
+    "lesson); the typed-array frame remains available via "
+    "byte_histogram_batches.",
 )
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return docs.mapInPandas(byte_histogram_batches, schema=HISTOGRAM_SCHEMA)
+    typed = docs.mapInPandas(byte_histogram_batches, schema=HISTOGRAM_SCHEMA)
+    return typed.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(F.col("histogram"), ",").alias("hist_csv"),
+    )
 
 
 # --- Real codecs (pure NumPy + stdlib zlib; no image libraries) -------------

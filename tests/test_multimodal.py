@@ -14,7 +14,7 @@ SPECS = all_specs()
 
 
 def test_byte_histogram_matches_python(spark, sf_dir):
-    result = {r.doc_id: (r.n_bytes, list(r.histogram))
+    result = {r.doc_id: (r.n_bytes, [int(x) for x in r.hist_csv.split(",")])
               for r in SPECS["mm_byte_histogram"].builder(spark, sf_dir).collect()}
     con = duckdb.connect()
     texts = con.sql(
@@ -30,10 +30,29 @@ def test_histogram_bins_sum_to_length(spark, sf_dir):
     df = SPECS["mm_byte_histogram"].builder(spark, sf_dir)
     from pyspark.sql import functions as F
 
+    hist = F.transform(F.split("hist_csv", ","), lambda x: x.cast("long"))
     bad = df.filter(
-        F.aggregate("histogram", F.lit(0).cast("long"), lambda a, x: a + x) != F.col("n_bytes")
+        F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x) != F.col("n_bytes")
     ).count()
     assert bad == 0
+
+
+def test_catalog_queries_emit_only_scalar_columns(spark, sf_dir):
+    """The verify driver's pandas canonicalizer cannot sort/hash array or
+    map cells (round-1 f8/a6 failure mode) — every catalog query must
+    emit scalar-typed columns only."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    offenders = {}
+    for name, s in all_specs().items():
+        schema = s.builder(spark, sf_dir).schema
+        nonscalar = [
+            f.name for f in schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nonscalar:
+            offenders[name] = nonscalar
+    assert not offenders, offenders
 
 
 def test_decode_meta_deterministic(spark, sf_dir):
