@@ -587,6 +587,51 @@ TFIDF_SCALE = 1000   # integer idf = (N * SCALE) div df — exact in both engine
 TFIDF_TOPK = 3
 
 
+def _tfidf_weights(spark: SparkSession, sf_dir: str):
+    """(w, norms, n_docs): integer bigram tf-idf weights (doc_id, word,
+    df, w) — cached, since every consumer joins it at least twice — and
+    per-doc squared norms. Shared by text_tfidf_pairs (exact inverted
+    index) and text_tfidf_topk_capped (rare-term candidates + re-rank)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    grams = F.zip_with(
+        F.expr("slice(l, 1, size(l)-1)"),
+        F.expr("slice(l, 2, size(l)-1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    words = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 2)
+        .select("doc_id", F.explode(grams).alias("word"))
+        .filter(
+            ~F.col("word").contains("  ")
+            & ~F.col("word").startswith(" ")
+            & ~F.col("word").endswith(" ")
+        )
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * 2 <= F.lit(n_docs))
+    )
+    w = (
+        tf.join(dft, "word")
+        .select(
+            "doc_id",
+            "word",
+            "df",
+            (F.col("tf") * F.expr(f"(CAST({n_docs} AS BIGINT) * {TFIDF_SCALE}) div df")).alias("w"),
+        )
+        .cache()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
+    )
+    return w, norms, n_docs
+
+
 @register(
     "text_tfidf_pairs",
     oracle=f"""
@@ -655,42 +700,7 @@ TFIDF_TOPK = 3
 def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
-    grams = F.zip_with(
-        F.expr("slice(l, 1, size(l)-1)"),
-        F.expr("slice(l, 2, size(l)-1)"),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    words = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("l"))
-        .filter(F.size("l") >= 2)
-        .select("doc_id", F.explode(grams).alias("word"))
-        .filter(
-            ~F.col("word").contains("  ")
-            & ~F.col("word").startswith(" ")
-            & ~F.col("word").endswith(" ")
-        )
-    )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dft = (
-        tf.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") * 2 <= F.lit(n_docs))
-    )
-    w = (
-        tf.join(dft, "word")
-        .select(
-            "doc_id",
-            "word",
-            (F.col("tf") * F.expr(f"(CAST({n_docs} AS BIGINT) * {TFIDF_SCALE}) div df")).alias("w"),
-        )
-        .cache()
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
-    )
+    w, norms, _ = _tfidf_weights(spark, sf_dir)
     a = w.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
     dots = (
@@ -714,5 +724,132 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "doc_a", "doc_b", "cosine", F.row_number().over(win).alias("rn")
         )
+        .filter(F.col("rn") <= TFIDF_TOPK)
+    )
+
+
+TFIDF_CAND_SEL = 16    # candidate terms: df * SEL <= n_docs (rare ~6% of docs)
+TFIDF_SHORTLIST = 10   # candidate pairs per doc before exact re-rank
+
+
+@register(
+    "text_tfidf_topk_capped",
+    oracle=f"""
+    WITH grams0 AS (
+        SELECT doc_id,
+               unnest([l[i] || ' ' || l[i+1]
+                       for i in generate_series(1, len(l)-1)]) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM grams0
+        WHERE NOT contains(word, '  ')
+          AND word NOT LIKE ' %' AND word NOT LIKE '% '
+        GROUP BY doc_id, word
+    ), stats AS (SELECT COUNT(*) AS n FROM documents),
+    dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    w AS (
+        SELECT tf.doc_id, tf.word, dft.df,
+               tf.tf * ((stats.n * {TFIDF_SCALE}) // dft.df) AS w
+        FROM tf JOIN dft USING (word) CROSS JOIN stats
+        WHERE dft.df * 2 <= stats.n
+    ), norms AS (
+        SELECT doc_id, SUM(CAST(w AS DECIMAL(38,0)) * w) AS n2
+        FROM w GROUP BY doc_id
+    ), rare AS (
+        SELECT w.* FROM w CROSS JOIN stats WHERE w.df * {TFIDF_CAND_SEL} <= stats.n
+    ), cdots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(CAST(a.w AS DECIMAL(38,0)) * b.w) AS cdot
+        FROM rare a JOIN rare b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), shortlist AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_a ORDER BY cdot DESC, doc_b) AS arn
+            FROM cdots)
+        WHERE arn <= {TFIDF_SHORTLIST}
+    ), dots AS (
+        SELECT s.doc_a, s.doc_b,
+               SUM(CAST(a.w AS DECIMAL(38,0)) * b.w) AS dot
+        FROM shortlist s
+        JOIN w a ON a.doc_id = s.doc_a
+        JOIN w b ON b.doc_id = s.doc_b AND b.word = a.word
+        GROUP BY s.doc_a, s.doc_b
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(dot AS DOUBLE) /
+               (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                   AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, cosine, rn FROM (
+        SELECT doc_a, doc_b, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_a ORDER BY cosine DESC, doc_b) AS INTEGER)
+                   AS rn
+        FROM scored)
+    WHERE rn <= {TFIDF_TOPK}
+    """,
+    tags=("text", "similarity", "topk"),
+    doc="Capped-candidate TF-IDF top-k — the scale path for "
+    "text_tfidf_pairs, whose exact inverted-index join pays sum(df^2) "
+    "pair-products and is dominated by the most COMMON terms, which "
+    "carry the least cosine weight. Stage 1 joins only RARE terms (df <= "
+    f"n/{TFIDF_CAND_SEL}) to rank candidates (the postings the index "
+    "would keep hot at 100 TB; fan-out tracks rare-df^2, orders of "
+    "magnitude smaller on Zipfian vocabularies), stage 2 re-ranks the "
+    f"top-{TFIDF_SHORTLIST} shortlist per doc with the FULL weight "
+    "vectors — pair-restricted joins, so exact-scoring cost is "
+    "shortlist-bounded. Both stages are deterministic relational "
+    "algebra: the oracle replays them exactly; recall vs the "
+    "uncapped op is gated in tests. Honest measurement: the fixture's "
+    "~900-bigram near-UNIFORM vocabulary has no Zipf tail, so the rare-"
+    "term cut removes little fan-out here and the extra stages make "
+    "this SLOWER than the exact op at fixture scale (percentile caps "
+    "measured worse recall/cost trade-offs) — the op earns its keep on "
+    "corpora where df is heavy-tailed, i.e. every real text corpus.",
+)
+def text_tfidf_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w, norms, n_docs = _tfidf_weights(spark, sf_dir)
+    rare = w.filter(F.col("df") * TFIDF_CAND_SEL <= F.lit(n_docs))
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+    cdots = (
+        ra.join(rb, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("cdot"))
+    )
+    aw = Window.partitionBy("doc_a").orderBy(F.col("cdot").desc(), F.col("doc_b"))
+    shortlist = (
+        cdots.select("doc_a", "doc_b", F.row_number().over(aw).alias("arn"))
+        .filter(F.col("arn") <= TFIDF_SHORTLIST)
+        .select("doc_a", "doc_b")
+    )
+    wa_full = w.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
+    wb_full = w.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+    dots = (
+        shortlist.join(wa_full, "doc_a")
+        .join(wb_full, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    win = Window.partitionBy("doc_a").orderBy(F.col("cosine").desc(), F.col("doc_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .select("doc_a", "doc_b", "cosine", F.row_number().over(win).alias("rn"))
         .filter(F.col("rn") <= TFIDF_TOPK)
     )

@@ -117,3 +117,15 @@ def test_lsh_bucket_width_fixed_across_scale(spark):
     assert buckets < (1 << S.LSH_PLANES), f"bucket {buckets} exceeds 5 bits"
     out = all_specs()["sim_knn_lsh"].builder(spark, sf)
     assert out.count() == 5 * S.N_QUERIES, "LSH top-5 must be non-vacuous"
+
+
+def test_tfidf_capped_recall_vs_exact(spark, sf_dir):
+    """Capped-candidate TF-IDF top-k recall against the exact inverted-
+    index op. The binding constraint is the rare-term candidate stage on
+    the fixture's near-uniform vocabulary (recall ~0.76 measured); the
+    bound catches broken candidate generation or re-ranking."""
+    specs = all_specs()
+    ex = {(r.doc_a, r.doc_b) for r in specs["text_tfidf_pairs"].builder(spark, sf_dir).collect()}
+    cp = {(r.doc_a, r.doc_b) for r in specs["text_tfidf_topk_capped"].builder(spark, sf_dir).collect()}
+    recall = len(ex & cp) / len(ex)
+    assert recall >= 0.6, f"capped TF-IDF recall {recall:.2f} vs exact"
