@@ -162,7 +162,11 @@ def _driver_green_names() -> set[str]:
     """Names with a fully-green row in any recorded driver CORRECTNESS
     file (repo root). Used to auto-rotate the driver window: once a query
     has hard driver-side evidence, it yields its window slot to queries
-    that have none."""
+    that have none. For rows-only specs (oracle=None — iterative or
+    Python-kernel ops), a recorded rows_match is the strongest evidence
+    the driver can ever produce, so it counts as green; requiring the
+    (forever-null) hash would pin those names in the window for every
+    remaining round."""
     import glob
     import json
     import os
@@ -177,9 +181,15 @@ def _driver_green_names() -> set[str]:
         if not isinstance(rows, dict):
             continue
         for name, r in rows.items():
-            if isinstance(r, dict) and all(
-                r.get(k) for k in ("rows_match", "schema_match", "hash_match")
-            ):
+            if not isinstance(r, dict):
+                continue
+            spec_ = _REGISTRY.get(name)
+            needed = (
+                ("rows_match",)
+                if spec_ is not None and spec_.oracle is None
+                else ("rows_match", "schema_match", "hash_match")
+            )
+            if all(r.get(k) for k in needed):
                 green.add(name)
     return green
 
