@@ -855,3 +855,85 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
         .filter(F.col("rn") <= 10)
     )
+
+
+@register(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id, v.label,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS cosine
+        FROM q JOIN vecs v ON v.vec_id != q.vec_id
+    ),
+    knn AS (
+        SELECT query_id, vec_id, label FROM (
+            SELECT query_id, vec_id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes
+        FROM knn GROUP BY query_id, label
+    ),
+    pred AS (
+        SELECT query_id, label AS predicted_label, n_votes FROM (
+            SELECT query_id, label, n_votes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+            FROM votes)
+        WHERE vr = 1
+    )
+    SELECT p.query_id,
+           CAST(v.label AS INTEGER) AS true_label,
+           CAST(p.predicted_label AS INTEGER) AS predicted_label,
+           CAST(p.n_votes AS BIGINT) AS n_votes,
+           CAST(p.predicted_label = v.label AS INTEGER) AS is_match
+    FROM pred p JOIN vecs v ON v.vec_id = p.query_id
+    """,
+    tags=("similarity", "topk", "eval"),
+    doc="kNN label classification over the brute-force top-10: majority "
+    "vote of neighbour labels (ties -> lowest label), compared to the "
+    "query's own label — the standard embedding-quality eval, and the "
+    "one catalog consumer of the embeddings.label column. The vote is a "
+    "map-side max_by argmax over per-(query,label) counts; at scale the "
+    "neighbour stage swaps for any ANN sibling (IVF/LSH/PQ) without "
+    "touching the vote.",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"), F.col("label").alias("true_label"),
+    )
+    cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(q.select("query_id", "qfe", "qnrm"))
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    knn = scored.select("query_id", "label", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 10
+    )
+    votes = knn.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    pred = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.struct(F.col("label"), F.col("n_votes")),
+            F.struct(F.col("n_votes"), (-F.col("label")).alias("nl")),
+        ).alias("best")
+    ).select(
+        "query_id",
+        F.col("best.label").alias("predicted_label"),
+        F.col("best.n_votes").alias("n_votes"),
+    )
+    return pred.join(F.broadcast(q.select("query_id", "true_label")), "query_id").select(
+        "query_id",
+        F.col("true_label").cast("int"),
+        F.col("predicted_label").cast("int"),
+        F.col("n_votes").cast("long"),
+        (F.col("predicted_label") == F.col("true_label")).cast("int").alias("is_match"),
+    )
