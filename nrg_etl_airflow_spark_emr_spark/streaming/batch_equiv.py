@@ -54,6 +54,50 @@ def st_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_two_level",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "agg", "rollup"),
+    doc="Hierarchical rollup reuse (the hypertable continuous-aggregate "
+    "pattern): daily totals are computed FROM hourly partials, not from "
+    "raw events — hourly keeps the raw fixed-point integer sum, so the "
+    "re-aggregation is exact and the oracle (direct daily over raw "
+    "events) proves the two levels agree bit-for-bit. At 100 TB this is "
+    "the multi-resolution layout: materialize the finest level once, "
+    "derive every coarser resolution from it (a fraction of the rows), "
+    "and refresh incrementally via the upsert sink — raw events are "
+    "touched exactly once.",
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # Finest level: hourly partials carrying the EXACT integer cents sum
+    # (dividing at this level would break re-aggregation exactness).
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000)).alias("cents"),
+    )
+    # Coarser level derived from the partials only.
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").cast("date").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("cents").cast("double") / 10000).alias("total_value"),
+        )
+    )
+
+
+@register(
     "st_sliding_2d_1d",
     oracle=f"""
     WITH assigned AS (
