@@ -339,3 +339,40 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "v_us", "c_us", "p_us", stage.alias("funnel_stage"))
     )
+
+
+@register(
+    "events_locf_fill",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_type IN ('click', 'purchase') THEN value END AS metric,
+           last_value(CASE WHEN event_type IN ('click', 'purchase') THEN value END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS metric_ff
+    FROM events
+    """,
+    tags=("temporal", "window"),
+    doc="Forward-fill (LOCF imputation) via last_value IGNORE NULLS — the "
+    "timeseries gap-fill the w-series windows did not yet cover: a "
+    "sparse metric (only click/purchase events carry it) is carried "
+    "forward within each user's event stream. Values pass through "
+    "untouched (no arithmetic), so the fill is bit-exact in both "
+    "engines. One exchange on user_id; the running frame is "
+    "incremental, not quadratic.",
+)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    metric = F.when(F.col("event_type").isin("click", "purchase"), F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        metric.alias("metric"),
+        F.last(metric, ignorenulls=True).over(w).alias("metric_ff"),
+    )

@@ -853,3 +853,53 @@ def text_tfidf_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "cosine", F.row_number().over(win).alias("rn"))
         .filter(F.col("rn") <= TFIDF_TOPK)
     )
+
+
+LEV_HEAD = 40   # chars of document head compared
+LEV_MAX = 20    # max edit distance for a fuzzy match
+
+
+@register(
+    "text_fuzzy_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1] AS tok1,
+               substr(text, 1, {LEV_HEAD}) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS lev_dist
+    FROM d a JOIN d b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {LEV_MAX}
+    """,
+    tags=("text", "similarity"),
+    doc=f"Edit-distance fuzzy matching — the character-level near-dup "
+    "surface (catches typos/OCR noise that token-level Jaccard and "
+    "shingle MinHash miss). Candidates are keyed on the first token "
+    "(an equi-join, no all-pairs), then exact Levenshtein over the "
+    f"{LEV_HEAD}-char head filters to distance <= {LEV_MAX}. Both "
+    "engines implement the classic DP, so distances are identical "
+    "integers. At 100 TB the blocking key generalizes to any cheap "
+    "canonical prefix (normalized first k tokens, simhash band); cost "
+    "tracks bucket occupancy squared times head-length squared.",
+)
+def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("tok1"),
+        F.substring("text", 1, LEV_HEAD).alias("head"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), "tok1", F.col("head").alias("head_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), "tok1", F.col("head").alias("head_b")
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, "tok1")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.cast("int").alias("lev_dist"))
+        .filter(F.col("lev_dist") <= LEV_MAX)
+    )
