@@ -354,3 +354,36 @@ def f12_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.bit_or(key)).alias("or_popcount"),
         )
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT r.r_name, t.n_name, t.n_cust
+FROM region r,
+LATERAL (
+    SELECT n.n_name, COUNT(c.c_custkey) AS n_cust
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY n_cust DESC, n_name
+    LIMIT 2
+) t
+"""
+
+
+@register(
+    "sub6_lateral_topn",
+    oracle=_LATERAL_TOPN_SQL,
+    tags=("subquery", "sql", "topk"),
+    doc="Correlated LATERAL subquery (top-2 nations by customer count per "
+    "region) — the remaining subquery form after sub1-sub5's scalar/IN/"
+    "EXISTS/agg shapes: the inner block references the outer row and "
+    "carries its own ORDER BY + LIMIT. The SQL string is engine-portable "
+    "verbatim (same text is the oracle). Catalyst rewrites the lateral "
+    "per-group top-k into a join + ranking, so at scale it costs one "
+    "keyed exchange, not a per-row subquery execution.",
+)
+def sub6_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    for name in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_TOPN_SQL)
