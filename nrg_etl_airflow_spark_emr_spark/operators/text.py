@@ -878,9 +878,11 @@ LEV_MAX = 20    # max edit distance for a fuzzy match
     "surface (catches typos/OCR noise that token-level Jaccard and "
     "shingle MinHash miss). Candidates are keyed on the first token "
     "(an equi-join, no all-pairs), then exact Levenshtein over the "
-    f"{LEV_HEAD}-char head filters to distance <= {LEV_MAX}. Both "
-    "engines implement the classic DP, so distances are identical "
-    "integers. At 100 TB the blocking key generalizes to any cheap "
+    f"{LEV_HEAD}-char head filters to distance <= {LEV_MAX}. Distances are "
+    "identical integers in the single-byte regime (ASCII fixture text): "
+    "Spark counts codepoints but DuckDB counts UTF-8 BYTES, a divergence "
+    "pinned in tests/test_properties.py — non-ASCII corpora must "
+    "normalize before cross-engine comparison. At 100 TB the blocking key generalizes to any cheap "
     "canonical prefix (normalized first k tokens, simhash band); cost "
     "tracks bucket occupancy squared times head-length squared.",
 )

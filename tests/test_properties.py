@@ -70,3 +70,75 @@ def test_dsum_is_partition_order_insensitive_and_exact(spark, values, nparts):
     got = sdf.agg(dsum("x", "s")).collect()[0].s
     want = sum(math.floor(v * FACTOR) for v in values) / FACTOR
     assert got == want
+
+
+# ASCII only: Spark's levenshtein is CODEPOINT-level but DuckDB's is
+# BYTE-level, so they diverge on multi-byte UTF-8 (e.g. '' vs '\x80' is
+# 1 in Spark, 2 in DuckDB — pinned below). The fixture text and the
+# text_fuzzy_pairs oracle live in the single-byte regime where the two
+# agree; this strategy pins exactly that contract.
+_ascii_pairs = st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(_ascii_pairs)
+@settings(max_examples=15, deadline=None)
+def test_levenshtein_matches_duckdb_on_ascii(spark, pairs):
+    """text_fuzzy_pairs' oracle parity: identical edit distances in the
+    single-byte (ASCII) regime both engines agree on."""
+    sdf = spark.createDataFrame(pairs, ["a", "b"])
+    got = sorted(
+        (r.a, r.b, r.d)
+        for r in sdf.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (a, b, con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0])
+        for a, b in pairs
+    )
+    assert got == want
+
+
+def test_levenshtein_unicode_divergence_documented(spark):
+    """Known cross-engine divergence, pinned so a silent change in either
+    engine is noticed: Spark counts codepoints, DuckDB counts UTF-8
+    bytes. Any operator comparing non-ASCII text across engines must
+    normalize first (e.g. compare on a hex/byte representation)."""
+    spark_d = (
+        spark.createDataFrame([("", "\x80")], ["a", "b"])
+        .select(F.levenshtein("a", "b").alias("d"))
+        .collect()[0]
+        .d
+    )
+    duck_d = duckdb.connect().execute("SELECT levenshtein('', chr(128))").fetchone()[0]
+    assert spark_d == 1, "Spark: one codepoint edit"
+    assert duck_d == 2, "DuckDB: two UTF-8 byte edits"
+
+
+@given(
+    st.integers(min_value=1, max_value=6),   # frames
+    st.integers(min_value=1, max_value=7),   # height
+    st.integers(min_value=1, max_value=7),   # width
+    st.integers(min_value=1, max_value=60),  # fps
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_avi_roundtrip_property(n, h, w, fps, seed):
+    """encode_avi/decode_avi roundtrip across arbitrary tiny geometries —
+    odd widths exercise the 4-byte DIB row padding every time."""
+    import numpy as np
+
+    from nrg_etl_airflow_spark_emr_spark.operators import multimodal as mm
+
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    gw, gh, gn, gfps, decoded = mm.decode_avi(mm.encode_avi(frames, fps=fps))
+    assert (gw, gh, gn, gfps) == (w, h, n, fps)
+    assert np.array_equal(decoded, frames)
