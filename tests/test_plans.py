@@ -331,3 +331,37 @@ def test_plan_audit_api(spark, sf_dir):
     assert audit(df).codegen_spans >= 1
     b = audit(SPECS["sim_knn_numpy"].builder(spark, sf_dir))
     assert b.python_nodes >= 1 and b.row_python_nodes == 0
+
+
+def test_fuzzy_pairs_blocking_is_equi_join(spark, sf_dir):
+    """Levenshtein candidates must come from the first-token equi-join —
+    a BNLJ here would mean the blocking key fell out and every pair gets
+    a DP distance computation."""
+    from nrg_etl_airflow_spark_emr_spark.plans.inspect import audit
+
+    a = audit(SPECS["text_fuzzy_pairs"].builder(spark, sf_dir))
+    assert a.nested_loop_joins == 0 and a.cartesian_products == 0
+    assert a.broadcast_hash_joins + a.sort_merge_joins + a.shuffled_hash_joins >= 1
+
+
+def test_rollup_two_level_is_two_exchanges_no_join(spark, sf_dir):
+    """The hierarchical rollup must be exactly one exchange per level
+    (hourly partials, then daily from partials) and never join back to
+    raw events."""
+    from nrg_etl_airflow_spark_emr_spark.plans.inspect import audit
+
+    a = audit(SPECS["events_rollup_two_level"].builder(spark, sf_dir))
+    assert a.shuffles == 2, a.shuffles
+    assert a.joins == 0
+    assert a.scans == 1, "raw events scanned exactly once"
+
+
+def test_lateral_subquery_decorrelates_to_joins(spark, sf_dir):
+    """Catalyst must rewrite the correlated LATERAL top-k into joins +
+    ranking — a nested-loop per outer row would be a per-region subquery
+    execution."""
+    from nrg_etl_airflow_spark_emr_spark.plans.inspect import audit
+
+    a = audit(SPECS["sub6_lateral_topn"].builder(spark, sf_dir))
+    assert a.nested_loop_joins == 0 and a.cartesian_products == 0
+    assert a.broadcast_hash_joins + a.sort_merge_joins + a.shuffled_hash_joins >= 2
