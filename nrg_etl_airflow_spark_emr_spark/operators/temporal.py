@@ -376,3 +376,47 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric.alias("metric"),
         F.last(metric, ignorenulls=True).over(w).alias("metric_ff"),
     )
+
+
+@register(
+    "events_daily_dense",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS mn,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS mx
+        FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT d.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM days d LEFT JOIN daily ON daily.day = d.day
+    """,
+    tags=("temporal", "agg", "generator"),
+    doc="Calendar densification: daily event counts with MISSING days "
+    "explicitly present as zero rows — sequence() over the observed "
+    "[min, max] date range exploded into a day spine, left-joined "
+    "against the aggregated counts. The gap-filling prerequisite for "
+    "any window/trailing computation that assumes contiguous time "
+    "(moving averages, anomaly baselines: a silently absent day skews "
+    "every frame that spans it). The spine is tiny at any data scale "
+    "(days, not events) and broadcasts; raw events aggregate once.",
+)
+def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    bounds = ev.agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(days)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"))
+    )
