@@ -494,3 +494,49 @@ def train_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("bench_doc_id").alias("hit_bench_docs"),
         )
     )
+
+
+NEG_K = 4                    # negatives per anchor document
+NEG_A = 2654435761           # Knuth multiplicative constants — any odd
+NEG_B = 40503                # co-prime pair works; fixed for determinism
+
+
+@register(
+    "train_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    anchors AS (
+        SELECT doc_id, unnest(range({NEG_K})) AS i FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id,
+               CAST(a.i AS INTEGER) AS i,
+               (a.doc_id * {NEG_A} + (a.i + 1) * {NEG_B}) % n.c AS neg_id
+        FROM anchors a CROSS JOIN n
+    )
+    SELECT doc_id, i, neg_id
+    FROM cand
+    WHERE neg_id != doc_id
+    """,
+    tags=("training",),
+    doc=f"Deterministic negative sampling for contrastive training: each "
+    f"anchor document gets {NEG_K} pseudo-random negative partners via "
+    "fixed multiplicative hashing over the dense doc_id space — no RNG, "
+    "so every epoch, engine, and retry derives the identical pair set "
+    "(the property train_split_assign relies on for splits). Pure "
+    "projection + explode: zero shuffles, embarrassingly parallel at "
+    "any scale; self-collisions are dropped (≈K/n of rows, never a "
+    "biased resample). Pair with sim_knn_* hard negatives when "
+    "curriculum requires semantically-close pairs.",
+)
+def train_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    anchors = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("i")
+    )
+    neg = (F.col("doc_id") * NEG_A + (F.col("i") + 1) * NEG_B) % F.lit(n_docs)
+    return (
+        anchors.select("doc_id", F.col("i").cast("int").alias("i"), neg.alias("neg_id"))
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
