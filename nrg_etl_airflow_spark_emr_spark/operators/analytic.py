@@ -712,3 +712,96 @@ def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "a11_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                    THEN CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)
+                    END) AS DOUBLE) / 10000 AS disc_revenue,
+           MAX(l_shipdate) FILTER (WHERE l_linestatus = 'F') AS last_f_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "conditional"),
+    doc="Conditional (FILTER-clause) aggregation — one scan computing "
+    "overall and predicate-restricted aggregates side by side, the "
+    "pattern that replaces N self-joined filtered subqueries with a "
+    "single map-side-combinable pass. Spark expresses the filters as "
+    "count_if / sum(CASE); DuckDB uses FILTER (WHERE ...) — identical "
+    "semantics (filtered SUM over zero rows is NULL in both). Revenue "
+    "summed in fixed-point int64 for cross-engine exactness.",
+)
+def a11_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import fixed
+
+    disc = F.col("l_discount") > 0.05
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(disc).alias("n_discounted"),
+            (
+                F.sum(F.when(disc, fixed("l_extendedprice"))).cast("double") / 10000
+            ).alias("disc_revenue"),
+            F.max(F.when(F.col("l_linestatus") == "F", F.col("l_shipdate"))).alias(
+                "last_f_ship"
+            ),
+        )
+    )
+
+
+_TRAIL_7D_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "w9_trailing_7d",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           COUNT(*) OVER w AS n_7d,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_7d
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_TRAIL_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "temporal"),
+    doc="Time-interval trailing RANGE frame: per event, the user's event "
+    "count and exact fixed-point value total over the preceding 7 days "
+    "(inclusive). Complements w7's numeric RANGE frame with the TIME-"
+    "based rolling-metric shape (ordering key = epoch microseconds, so "
+    "the frame bound is exact int64 arithmetic in both engines; RANGE "
+    "includes all ts peers, making ties deterministic). One shuffle on "
+    "user_id, per-partition sort — the canonical per-entity rolling "
+    "feature at 100 TB: no self-join, no explode, state is the frame.",
+)
+def w9_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import fixed
+
+    base = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        fixed("value").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_TRAIL_7D_US, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum("cents").over(w).alias("cents_7d"),
+    )

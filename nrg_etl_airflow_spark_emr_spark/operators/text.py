@@ -905,3 +905,85 @@ def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.cast("int").alias("lev_dist"))
         .filter(F.col("lev_dist") <= LEV_MAX)
     )
+
+
+CHUNK_WORDS = 10
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, (pos - 1) // {CHUNK_WORDS} AS chunk_idx,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS h
+        FROM ex GROUP BY doc_id, chunk_idx
+    ),
+    own AS (
+        SELECT h, MIN(doc_id * 1000000 + chunk_idx) AS own_key
+        FROM ch GROUP BY h
+    ),
+    owned AS (
+        SELECT CAST(own_key // 1000000 AS BIGINT) AS doc_id, COUNT(*) AS n_owned
+        FROM own GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_chunks, COALESCE(o.n_owned, CAST(0 AS BIGINT)) AS n_owned
+    FROM per_doc p LEFT JOIN owned o USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+    doc=f"Passage-level exact dedup (the C4/RefinedWeb repeated-span "
+    f"primitive): each document is cut into non-overlapping "
+    f"{CHUNK_WORDS}-word chunks, every distinct chunk is owned by its "
+    "first occurrence (min (doc_id, chunk_idx)), and each doc reports "
+    "how many of its chunks it owns — n_owned << n_chunks flags "
+    "boilerplate-heavy docs. The ownership groupBy shuffles 32-byte MD5 "
+    "digests, never chunk text (identical hex in Spark and DuckDB, so "
+    "the oracle pins the same keying the 100 TB plan uses). Chunks are "
+    "built by array slice — order-preserving without a window sort; "
+    "2 digest-keyed shuffles + 1 doc-keyed join, no all-pairs anywhere.",
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(CHUNK_WORDS)).cast("long")
+    chunks = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        "w",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "w",
+                    (F.col("chunk_idx") * CHUNK_WORDS + 1).cast("int"),
+                    CHUNK_WORDS,
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    own = chunks.groupBy("h").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("own_key")
+    )
+    owned = (
+        own.select(F.expr("own_key div 1000000").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_owned"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return per_doc.join(owned, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_owned", F.lit(0).cast("long")).alias("n_owned"),
+    )

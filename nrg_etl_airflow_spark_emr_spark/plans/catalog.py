@@ -79,94 +79,110 @@ def register(
     return deco
 
 
+_LOAD_DEPTH = 0  # >0 while module imports are in flight (may reenter)
+
+
 def _load() -> None:
+    global _LOAD_DEPTH
     import importlib
 
-    for mod in _MODULES:
-        importlib.import_module(mod)
+    _LOAD_DEPTH += 1
+    try:
+        for mod in _MODULES:
+            importlib.import_module(mod)
+    finally:
+        _LOAD_DEPTH -= 1
 
 
 # Driver-window rotation. The external verify harness checks the FIRST 50
 # entries of all_specs() per round, so ordering is evidence policy: queries
-# that have never received a driver-side correctness row go first. Round 1
-# covered the first 50 registration-order entries (relational, analytic,
-# scalar_funcs, advanced[:7]); this round the window holds the previously
-# unchecked TPC-H suite, temporal joins, advanced tail, streaming batch
-# twins, dedup, similarity, and graph queries, plus the two queries whose
-# round-1 rows failed on array-typed outputs (now scalar). Still queued for
-# the next rotation: text, training, kmeans, grouped, corpus, skew,
-# multimodal. Regenerate CATALOG.md after editing (scripts/gen_catalog.py).
+# that have never received a driver-side correctness row go first. Rounds
+# 1-2 greened 97 queries (relational/analytic/scalar/advanced/TPC-H/
+# temporal/streaming/dedup/similarity); round 3's window is the remaining
+# oracle-gated tail — the whole text/training family, multimodal's one
+# oracle query, graph/skew/corpus, the round-2 additions — topped up to
+# exactly 50 with this round's new queries. Rows-only (oracle=None) specs
+# are NEVER window-priority: the driver records err:"no_oracle" for them
+# (cannot score), so they sort behind every oracle-gated query (see
+# all_specs) and a recorded no_oracle row counts as terminal evidence.
+# Regenerate CATALOG.md after editing (scripts/gen_catalog.py).
 _DRIVER_WINDOW_PRIORITY = (
-    # round-1 FAILs, re-shaped to scalar outputs
-    "f8_array_agg_funcs",
-    "a6_exact_percentiles",
-    # TPC-H suite (operators/tpch.py) — never driver-checked
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class_counts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_classes",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    # temporal joins / sessionization
-    "j5_asof_join",
-    "j6_range_join",
-    "w5_sessionize",
-    "funnel_stages",
-    # advanced tail (past position 50 in round 1)
-    "g3_grouping_sets",
-    "approx_sketches",
-    "f10_string_agg",
-    "f11_variant_extract",
-    # streaming batch twins
-    "st_tumbling_daily",
-    "st_sliding_2d_1d",
-    "st_session_windows",
-    "st_dedup_first",
-    "st_user_totals",
-    "st_click_purchase_join",
-    "st_mktsegment_counts",
-    "events_retention_cohorts",
-    # dedup family (incl. the new scale-path variants)
-    "dedup_exact_keep_first",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_simhash_banded",
-    "dedup_embedding_cosine",
-    "dedup_embedding_ivf",
-    # similarity family (incl. the new candidate-filtered pairs)
-    "sim_cosine_pairs",
-    "sim_cosine_lsh_pairs",
-    "sim_knn_brute",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
-    # connected components
-    "dedup_clusters",
+    # text family (operators/text.py) — never driver-checked
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_rolling_fingerprint",
+    "text_langid_ngram",
+    "text_gopher_filter",
+    "text_top_ngram_frac",
+    "text_word_freq_topk",
+    "text_remove_stopwords",
+    "text_tfidf_pairs",
+    "text_tfidf_topk_capped",
+    "text_fuzzy_pairs",
+    # training-data pipeline family (pipelines/training.py)
+    "train_split_assign",
+    "train_sample_hash",
+    "train_sample_stratified",
+    "train_pack_sequences",
+    "train_importance_sample",
+    "train_epoch_order",
+    "train_split_leakage",
+    "train_split_by_cluster",
+    "train_mixture_weights",
+    "train_contamination_check",
+    "train_negative_pairs",
+    # multimodal (the one oracle-gated mm query)
+    "mm_binary_meta",
+    # graph / skew / composed pipeline
+    "graph_pagerank",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "corpus_clean",
+    # dedup/similarity stragglers
+    "dedup_jaccard_prefix",
+    "sim_knn_numpy",
+    "sim_knn_sq8",
+    "sim_knn_classify",
+    # round-2 additions that missed the round-2 window
+    "j8_bloom_semijoin",
+    "j9_nullsafe_join",
+    "a8_exact_corr",
+    "a9_mad_outliers",
+    "a10_histogram",
+    "f12_bitwise_aggs",
+    "f13_posexplode",
+    "sub6_lateral_topn",
+    "events_locf_fill",
+    "events_daily_dense",
+    "events_anomaly_score",
+    "events_rollup_two_level",
+    # round-3 additions
+    "st_session_timeout",
+    "a11_conditional_agg",
+    "w9_trailing_7d",
+    "text_chunk_dedup",
 )
 
 
 def _driver_green_names() -> set[str]:
-    """Names with a fully-green row in any recorded driver CORRECTNESS
-    file (repo root). Used to auto-rotate the driver window: once a query
-    has hard driver-side evidence, it yields its window slot to queries
-    that have none. For rows-only specs (oracle=None — iterative or
-    Python-kernel ops), a recorded rows_match is the strongest evidence
-    the driver can ever produce, so it counts as green; requiring the
-    (forever-null) hash would pin those names in the window for every
-    remaining round."""
+    """Names whose driver-side evidence is TERMINAL, i.e. no further
+    window exposure can improve it. Used to auto-rotate the driver
+    window: a terminal query yields its slot to queries that have none.
+
+    - Oracle-gated specs: terminal only when a recorded row is fully
+      green (rows + schema + hash).
+    - Rows-only specs (oracle=None — iterative or Python-kernel ops):
+      the driver cannot score them at all; it records
+      ``err: "no_oracle"`` with rows/schema/hash all null (observed for
+      approx_sketches in CORRECTNESS_r02.json — schema_match is null
+      too, so no partial evidence exists to require). ANY recorded row
+      is therefore the strongest evidence the driver will ever produce;
+      treating it as terminal stops these specs from pinning a window
+      slot every remaining round. Their real gate is the local oracle
+      mirror + invariant tests."""
     import glob
     import json
     import os
@@ -184,34 +200,41 @@ def _driver_green_names() -> set[str]:
             if not isinstance(r, dict):
                 continue
             spec_ = _REGISTRY.get(name)
-            needed = (
-                ("rows_match",)
-                if spec_ is not None and spec_.oracle is None
-                else ("rows_match", "schema_match", "hash_match")
-            )
-            if all(r.get(k) for k in needed):
+            if spec_ is not None and spec_.oracle is None:
+                green.add(name)  # any recorded row is terminal (see above)
+            elif all(r.get(k) for k in ("rows_match", "schema_match", "hash_match")):
                 green.add(name)
     return green
 
 
 def all_specs() -> dict[str, QuerySpec]:
     """Load all operator modules and return the full registry, ordered for
-    the driver's 50-entry correctness window: hand-priority names first
-    (see _DRIVER_WINDOW_PRIORITY), then everything else in registration
-    order — with every query that already has a fully-green driver row in
-    a recorded CORRECTNESS_r*.json demoted behind those that don't. The
-    demotion makes the window self-rotating across rounds: no manual
-    reordering needed for the round-3+ tail (text/training/multimodal/
-    corpus/skew/grouped/kmeans), and a query that ever FAILS a driver
-    check keeps (or regains) a window slot until it goes green."""
+    the driver's 50-entry correctness window:
+
+    1. hand-priority names (_DRIVER_WINDOW_PRIORITY) lacking terminal
+       driver evidence,
+    2. other oracle-gated queries lacking evidence, registration order,
+    3. rows-only (oracle=None) queries lacking a recorded driver row —
+       demoted behind every scoreable query because the driver can only
+       record an unscoreable ``no_oracle`` row for them,
+    4. everything with terminal evidence (see _driver_green_names).
+
+    The demotion makes the window self-rotating across rounds, and a
+    query that ever FAILS a driver check keeps (or regains) a window
+    slot until it goes green."""
     _load()
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in _REGISTRY]
-    if missing:
+    if missing and _LOAD_DEPTH == 0:
+        # A priority name may legitimately be absent during a reentrant
+        # call from a module that is itself still importing (corpus.py
+        # composes its oracle from other specs at import time).
         raise KeyError(f"_DRIVER_WINDOW_PRIORITY names not registered: {missing}")
-    base = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY}
+    base = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY if n in _REGISTRY}
     base.update((n, s) for n, s in _REGISTRY.items() if n not in base)
     green = _driver_green_names()
-    ordered = {n: s for n, s in base.items() if n not in green}
+    pending = [n for n in base if n not in green]
+    ordered = {n: base[n] for n in pending if base[n].oracle is not None}
+    ordered.update((n, base[n]) for n in pending if base[n].oracle is None)
     ordered.update((n, s) for n, s in base.items() if n in green)
     return ordered
 

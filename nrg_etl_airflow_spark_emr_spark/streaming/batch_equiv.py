@@ -202,6 +202,74 @@ def st_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_US = 30 * 60 * 1_000_000  # sessionize gap (operators/temporal.py)
+_WM_US = 30 * 60 * 1_000_000  # session_close_on_timeout watermark delay
+
+
+@register(
+    "st_session_timeout",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    seqd AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id,
+               MIN(CAST(epoch_us(ts) AS BIGINT)) AS session_start_us,
+               MAX(CAST(epoch_us(ts) AS BIGINT)) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM seqd GROUP BY user_id, session_seq
+    ),
+    marked AS (
+        SELECT user_id, session_start_us, session_end_us, n_events,
+               MAX(session_end_us) OVER (PARTITION BY user_id) AS last_end,
+               (SELECT MAX(CAST(epoch_us(ts) AS BIGINT)) FROM events) AS gmax
+        FROM sessions
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM marked
+    WHERE session_end_us < last_end
+       OR session_end_us + {_GAP_US} <= gmax - {_WM_US}
+    """,
+    tags=("streaming", "agg", "session"),
+    doc="Batch twin of session_close_on_timeout (streaming/jobs.py:236): "
+    "the deterministic set of sessions a full availableNow replay emits. "
+    "A session is CLOSED either by data (a later out-of-gap event exists "
+    "for the user, i.e. it is not the user's last session) or by event-"
+    "time timeout (the final watermark, global max ts minus the 30-min "
+    "delay, passes session end + the 30-min gap). Gap-merge rule matches "
+    "sessionize(): merge when gap <= 30 min. The oracle derives sessions "
+    "via lag+cumsum and applies the identical close predicate on exact "
+    "int64 microseconds.",
+)
+def st_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sessions = sessionize(ev)
+    gmax = ev.agg(F.max(F.unix_micros("ts")).alias("gmax"))
+    last_end = F.max("session_end_us").over(Window.partitionBy("user_id"))
+    return (
+        sessions.withColumn("last_end", last_end)
+        .crossJoin(F.broadcast(gmax))
+        .filter(
+            (F.col("session_end_us") < F.col("last_end"))
+            | (F.col("session_end_us") + _GAP_US <= F.col("gmax") - _WM_US)
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
 @register(
     "st_user_totals",
     oracle="""
