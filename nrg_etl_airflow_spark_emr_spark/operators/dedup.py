@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -141,6 +141,27 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs_arr): distinct 60-bit shingle hashes per doc, cached.
+
+    Shuffle/join on 60-bit shingle hashes, not 3-word strings: the
+    inverted-index exchange carries fixed-width bigints (same count
+    semantics; hash60 injective on the corpus vocabulary in practice —
+    the caveat MinHash already carries). Hash INSIDE the array before
+    exploding: one md5 per (doc, shingle), row-local. The cache() is
+    the CollapseProject barrier (see dedup_simhash_banded): without it
+    the shingle+md5 construction re-runs on BOTH self-join sides and a
+    third time for sizes — measured 4× wall-clock on the fixture. The
+    frame is shared by dedup_jaccard_pairs AND dedup_jaccard_prefix
+    (identical plan → Spark's CacheManager resolves both to one
+    InMemoryRelation), so prefix's extra stages reuse, never re-derive.
+    """
+    docs = _doc_shingles(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.transform("shingles", lambda s: hash60(s)).alias("hs_arr")
+    ).cache()
+
+
 @register(
     "dedup_jaccard_pairs",
     bench=True,
@@ -166,18 +187,7 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline; candidate pruning at scale is dedup_minhash_lsh.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _doc_shingles(spark, sf_dir)
-    # Shuffle/join on 60-bit shingle hashes, not 3-word strings: the
-    # inverted-index exchange carries fixed-width bigints (same count
-    # semantics; hash60 injective on the corpus vocabulary in practice —
-    # the caveat MinHash already carries). Hash INSIDE the array before
-    # exploding: one md5 per (doc, shingle), row-local. The cache() is
-    # the CollapseProject barrier (see dedup_simhash_banded): without it
-    # the shingle+md5 construction re-runs on BOTH self-join sides and a
-    # third time for sizes — measured 4× wall-clock on the fixture.
-    hashed = docs.select(
-        "doc_id", F.transform("shingles", lambda s: hash60(s)).alias("hs_arr")
-    ).cache()
+    hashed = _hashed_shingles(spark, sf_dir)
     sizes = hashed.select("doc_id", F.size("hs_arr").alias("sz"))
     ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
     a = ex.alias("a")
@@ -220,58 +230,43 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup",),
     doc="Exact Jaccard near-dup pairs with PPJoin-style prefix filtering — "
-    "the scale shape of dedup_jaccard_pairs, zero recall loss (same "
-    "oracle). Each doc's shingles are ordered rare-first (global document "
-    "frequency); for threshold t only the first |X|-ceil(t*|X|)+1 "
-    "shingles can witness a qualifying pair (prefix-filter theorem), so "
-    "the inverted-index join runs on prefixes (~half the postings, and "
-    "frequent shingles — the quadratic blow-up — mostly fall outside "
-    "rare-first prefixes). A length filter (t*|A| <= |B| <= |A|/t) "
-    "prunes candidates before exact scoring via array_intersect on the "
-    "full shingle arrays.",
+    "zero recall loss (same oracle as dedup_jaccard_pairs). Each doc's "
+    "postings are ordered rare-first (global document frequency); for "
+    "threshold t only the first |X|-ceil(t*|X|)+1 postings can witness a "
+    "qualifying pair (prefix-filter theorem), so the inverted-index join "
+    "runs on ~half the postings — and the frequent shingles that drive "
+    "the quadratic posting-pair blow-up are exactly the ones rare-first "
+    "prefixes exclude. A length filter (t*|A| <= |B| <= |A|/t) prunes "
+    "candidates before exact array_intersect scoring against the SAME "
+    "cached hash frame the all-pairs query uses. Cost vs benefit: the "
+    "df-ordering adds one vocab aggregation + posting join + per-doc "
+    "window (3 exchanges of bigint postings) to save posting-pair work "
+    "in the candidate join; on the fixture's near-uniform vocabulary the "
+    "two run at parity (BASELINE.md), while on a Zipfian real corpus the "
+    "saved pair work grows with sum(df^2) and the prefix plan wins "
+    "asymptotically — that, not the fixture, is the 100 TB case for it.",
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_ = JACCARD_THRESHOLD
-    docs = _doc_shingles(spark, sf_dir).cache()
-    ex = explode_unpushed(docs, F.col("shingles"), "shingle", "doc_id")
-    # Work on 60-bit shingle hashes from here on: the candidate join keys
-    # and the intersect arrays become fixed-width bigints instead of
-    # 3-word strings — smaller shuffles, integer compares (measured ~2×).
-    # hash60 is injective on the fixture vocabulary in practice (birthday
-    # bound ~1e-10 at 27k shingles); MinHash carries the same caveat.
-    exh = ex.select("doc_id", hash60("shingle").alias("hs"))
+    hashed = _hashed_shingles(spark, sf_dir)
+    sized = hashed.select("doc_id", F.size("hs_arr").alias("sz"), "hs_arr")
+    exh = explode_unpushed(sized, F.col("hs_arr"), "hs", "doc_id", "sz")
     # Global document frequency per shingle; rare-first ordering minimizes
     # prefix collisions. Any shared total order is correct — (df, hash)
     # makes it deterministic.
     df_counts = exh.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
+    # Prefix selection: keep the L = sz - ceil(t*sz) + 1 rarest postings
+    # per doc, picked directly on the posting stream with a row_number
+    # window — no per-doc array rebuild (the old collect_list/array_sort/
+    # slice pipeline re-aggregated every doc and re-cached a second copy
+    # of the corpus; measured 17 exchanges vs 7 for this shape).
+    w = Window.partitionBy("doc_id").orderBy("df", "hs")
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(t_)).cast("int") + 1
+    pex = (
         exh.join(df_counts, "hs")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "hs"))),
-                lambda s: s["hs"],
-            ).alias("ordered_sh")
-        )
-        .select(
-            "doc_id",
-            "ordered_sh",
-            F.size("ordered_sh").alias("sz"),
-        )
-        # Prefix length L = sz - ceil(t*sz) + 1: two sets with Jaccard >= t
-        # sorted by the same global order must collide within their prefixes.
-        .withColumn(
-            "prefix",
-            F.slice(
-                F.col("ordered_sh"),
-                1,
-                F.col("sz") - F.ceil(F.col("sz") * F.lit(t_)).cast("int") + 1,
-            ),
-        )
-        .cache()
-    )
-    pex = ordered.select(
-        "doc_id", "sz", F.explode("prefix").alias("hs")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sz", "hs")
     )
     a = pex.alias("a")
     b = pex.alias("b")
@@ -288,10 +283,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = ordered.select(F.col("doc_id").alias("d1"), F.col("ordered_sh").alias("sh1"), F.col("sz").alias("sz1"))
-    s2 = ordered.select(F.col("doc_id").alias("d2"), F.col("ordered_sh").alias("sh2"), F.col("sz").alias("sz2"))
+    # Verify on the unsorted hashed arrays straight from the shared cache:
+    # array_intersect is set-intersection, so no ordered copy is needed.
+    s1 = hashed.select(F.col("doc_id").alias("d1"), F.col("hs_arr").alias("sh1"))
+    s2 = hashed.select(F.col("doc_id").alias("d2"), F.col("hs_arr").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
-    jacc = n_common.cast("double") / (F.col("sz1") + F.col("sz2") - n_common)
+    jacc = n_common.cast("double") / (
+        F.size("sh1") + F.size("sh2") - n_common
+    )
     return (
         cand.join(s1, "d1")
         .join(s2, "d2")

@@ -365,3 +365,88 @@ def test_lateral_subquery_decorrelates_to_joins(spark, sf_dir):
     a = audit(SPECS["sub6_lateral_topn"].builder(spark, sf_dir))
     assert a.nested_loop_joins == 0 and a.cartesian_products == 0
     assert a.broadcast_hash_joins + a.sort_merge_joins + a.shuffled_hash_joins >= 2
+
+
+def test_jaccard_prefix_bounded_exchanges(spark, sf_dir):
+    """The round-2 prefix implementation re-derived the shingle frame per
+    stage (17 exchanges, measured slower than the all-pairs sibling it
+    exists to beat). The rewritten shape — shared hashed-shingle cache,
+    window-based prefix selection, verify on the unsorted cached arrays —
+    must stay within its budget: df agg + df join + per-doc window +
+    candidate self-join + distinct + two scoring joins."""
+    spark.catalog.clearCache()
+    df = SPECS["dedup_jaccard_prefix"].builder(spark, sf_dir)
+    df.count()  # inspect the POST-AQE final plan (the initial plan
+    # re-prints every cached subtree per reference, inflating the count)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    # Dedup by plan_id: the printed tree repeats a cached subtree's
+    # exchanges once per InMemoryTableScan reference.
+    shuffles = {
+        _re.search(r"plan_id=(\d+)", line).group(1)
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+        and "plan_id=" in line
+    }
+    assert len(shuffles) <= 6, f"prefix plan regressed to {len(shuffles)} shuffles"
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "postings, and both verify sides, must consume the shared hashed cache"
+    )
+
+
+def test_sq8_scoring_broadcasts_queries_only(spark, sf_dir):
+    """Scalar-quantized kNN: the only nested-loop join allowed is the
+    broadcast of the tiny query frame against the reconstructed vectors
+    (the declared exhaustive-ADC scan); the dequant-params join must be a
+    broadcast hash join on the dimension position, and nothing may
+    cartesian the corpus against itself."""
+    plan = _plan(spark, sf_dir, "sim_knn_sq8")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        "only the broadcast-queries ADC scan may nested-loop"
+    )
+
+
+def test_pq_rerank_is_equi_join(spark, sf_dir):
+    """PQ with ADC shortlist: the expensive stage (exact re-rank) must
+    fetch true vectors through an equi hash join on vec_id, never a
+    nested loop; the only nested loop is the broadcast-queries ADC scan."""
+    plan = _plan(spark, sf_dir, "sim_knn_pq")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        "only the broadcast-queries ADC scan may nested-loop"
+    )
+    rerank = [
+        line
+        for line in plan.splitlines()
+        if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and "[vec_id" in line
+    ]
+    assert rerank, "exact re-rank must equi-join shortlist to vectors on vec_id"
+
+
+def test_ivfpq_probe_is_keyed_on_cell(spark, sf_dir):
+    """IVFADC: the candidate fetch must be an equi-join keyed on the coarse
+    cell id (probes × compressed vectors), so a query touches nprobe cells
+    of the corpus, never all of it. Nested loops are allowed only for the
+    two broadcast centroid passes (assignment + query probing)."""
+    plan = _plan(spark, sf_dir, "sim_knn_ivfpq")
+    assert "CartesianProduct" not in plan
+    # The plan text re-prints cached subtrees per reference, so an absolute
+    # BNLJ count is meaningless; the scale property is that every nested
+    # loop is a broadcast-build Cross (the k-centroid assignment/probing
+    # passes), never an inner-condition loop over corpus-sized sides.
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight, Cross" in l for l in bnlj), (
+        "nested loops must be broadcast-build centroid crosses only"
+    )
+    cell_join = [
+        line
+        for line in plan.splitlines()
+        if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and "[cid" in line
+    ]
+    assert cell_join, "probe join must key on cell id"
