@@ -695,6 +695,10 @@ def decode_avi(payload: bytes):
     w, h = avih[8], avih[9]
     if strf[5] != 0:
         raise NotImplementedError("only uncompressed BI_RGB AVI supported")
+    if strf[4] != 24:
+        # A 32-bit BI_RGB stream is valid AVI; decoding it with a 24-bit
+        # row stride would silently produce garbage pixels.
+        raise NotImplementedError("only 24-bit BI_RGB AVI supported")
     # strh: fccType, fccHandler, dwFlags, wPriority, wLanguage,
     # dwInitialFrames, dwScale, dwRate, ... → fps = dwRate / dwScale.
     fps = strh[7] // strh[6] if strh is not None and strh[6] else 0

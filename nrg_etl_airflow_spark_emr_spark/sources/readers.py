@@ -157,21 +157,3 @@ def read_binary_files(
         .load(path_glob)
     )
 
-
-def read_avro_table(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan, gated: spark-avro is an external module not bundled in
-    every distribution (absent in this environment). Fails with an
-    actionable message instead of Spark's raw DATA_SOURCE_NOT_FOUND; the
-    call signature and return contract match the other readers, so code
-    written against it is deploy-portable.
-    """
-    try:
-        return spark.read.format("avro").load(path)
-    except Exception as e:  # pragma: no cover - depends on classpath
-        if "avro" in str(e).lower() or "DATA_SOURCE" in str(e):
-            raise NotImplementedError(
-                "Avro source requires the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-                "it is not on this cluster's classpath."
-            ) from e
-        raise

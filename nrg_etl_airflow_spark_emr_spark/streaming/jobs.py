@@ -216,7 +216,12 @@ def _session_close_fn(key, pdf_iter, state):
     us_all = []
     for pdf in pdf_iter:
         # Normalize whatever datetime64 unit pandas handed us to µs.
-        us_all.extend(pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        # dropna first: a null ts (NaT) would survive the int64 cast as
+        # INT64_MIN, fabricating a far-past session whose timeout fires
+        # immediately — silent state corruption on null-bearing streams.
+        us_all.extend(
+            pdf["ts"].dropna().to_numpy().astype("datetime64[us]").astype("int64")
+        )
     for ts in sorted(us_all):
         ts = int(ts)
         if s is None:
@@ -226,6 +231,8 @@ def _session_close_fn(key, pdf_iter, state):
         else:
             closed.append((s, e, n))
             s, e, n = ts, ts, 1
+    if s is None:  # batch was all-null ts and no session was open
+        return
     state.update((s, e, n))
     # Close the open session when the event-time watermark passes its
     # end + gap (ms resolution — the GroupState timeout clock).

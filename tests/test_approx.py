@@ -103,15 +103,23 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     assert all(n == 10 for n in per_q.values()), per_q
 
 
-def test_lsh_bucket_width_fixed_across_scale(spark):
+def test_lsh_bucket_width_fixed_across_scale(spark, sf_dir):
     """Scale-dependent regression guard: the SRP signature must stay
     LSH_PLANES bits wide at EVERY scale factor. The hyperplane rule
     (vec_id % 100 == 0) alone yields more planes as the corpus grows
     (10 at sf0.01, 20 at sf0.1), which silently put every vector in a
     singleton bucket and made the probing queries return zero rows."""
+    import os
+
+    import pytest
+
     from nrg_etl_airflow_spark_emr_spark.operators import similarity as S
 
-    sf = "/root/testdata/sf0.01"  # deliberately larger than the test sf
+    # Deliberately a LARGER scale than the test sf, derived from the same
+    # testdata root the sf_dir fixture uses.
+    sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"larger-scale fixture not present: {sf}")
     v = S._vectors(spark, sf)
     buckets = S._srp_signatures(v).agg({"bucket": "max"}).collect()[0][0]
     assert buckets < (1 << S.LSH_PLANES), f"bucket {buckets} exceeds 5 bits"

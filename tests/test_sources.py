@@ -158,21 +158,6 @@ def test_csv_malformed_row_handling(spark, tmp_path):
         read_csv_table(spark, str(p), schema=clean_schema, mode="FAILFAST").collect()
 
 
-def test_avro_reader_gated_without_package(spark, tmp_path):
-    """Without spark-avro on the classpath the reader must fail with the
-    actionable gating error (or succeed if a deployment bundles it)."""
-    import pytest
-
-    from nrg_etl_airflow_spark_emr_spark.sources.readers import read_avro_table
-
-    try:
-        read_avro_table(spark, str(tmp_path / "none.avro"))
-    except NotImplementedError as e:
-        assert "spark-avro" in str(e)
-    except Exception:
-        pytest.fail("expected the gated NotImplementedError")
-
-
 def test_parquet_schema_evolution_merge(spark, tmp_path):
     """Schema evolution across parquet files: a later writer adds a
     column; mergeSchema=true unions the schemas and backfills NULLs —
