@@ -1,0 +1,90 @@
+"""Format round-trip queries: ORC and JSON-lines sources/sinks.
+
+The reference is CSV+parquet only (`/root/reference/dags/scripts/spark/
+nrg_etl.py:24,59`; SURVEY.md §2.1 lists ORC/JSON among its absent
+formats). These queries close that gap with driver-visible evidence: each
+writes a fixture slice through the format under test into a per-sf temp
+dir, reads it back, and aggregates — the DuckDB oracle runs the same
+aggregation over the original parquet, so a lossy or misread column fails
+the value hash, not just a row count.
+
+Scale notes: both writers partition like any DataFrame sink (the temp dir
+gets one file per input partition, not a coalesce(1) bottleneck); ORC
+carries column stats/predicate pushdown like parquet, JSON-lines is the
+schemaless interchange format — read back with the WRITER's schema, never
+inference, so types survive (dates/decimals degrade to strings under
+inference).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ._util import dsum, sql_dsum, t
+
+_COLS = ("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+
+_AGG_ORACLE = f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")},
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """
+
+
+def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"rt_{fmt}_{key}")
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    doc="ORC sink + source round-trip: orders columns written to ORC, read "
+    "back, aggregated per priority (exact fixed-point money sum + date "
+    "min/max). The oracle aggregates the original parquet, so any type "
+    "or value drift through the ORC writer/reader breaks the hash. ORC "
+    "is Spark-native (no extra package) and carries the same predicate-"
+    "pushdown/column-stat machinery as parquet at scale.",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir("orc", sf_dir)
+    t(spark, sf_dir, "orders").select(*_COLS).write.mode("overwrite").orc(path)
+    return _agg(spark.read.orc(path))
+
+
+@register(
+    "src_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    doc="JSON-lines sink + source round-trip, schema-preserving: orders "
+    "columns written as JSONL, read back with the WRITER's schema (no "
+    "inference — inferred JSON dates come back as strings), aggregated "
+    "per priority against the parquet-side oracle. This is the events/"
+    "props-style interchange path (SURVEY.md §2.1 absent-format "
+    "gap-fill) with value-level evidence.",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir("json", sf_dir)
+    src = t(spark, sf_dir, "orders").select(*_COLS)
+    src.write.mode("overwrite").json(path)
+    return _agg(spark.read.schema(src.schema).json(path))

@@ -987,3 +987,66 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         F.coalesce("n_owned", F.lit(0).cast("long")).alias("n_owned"),
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+        SELECT word, COUNT(*) AS cnt FROM ex GROUP BY word
+    ),
+    ranked AS (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM freq
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(length(CAST(rnk AS VARCHAR))) AS BIGINT) AS surprisal_sum,
+           CAST(SUM(length(CAST(rnk AS VARCHAR))) AS DOUBLE) / COUNT(*)
+               AS avg_surprisal
+    FROM ex JOIN ranked USING (word)
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+    doc="Unigram-LM surprisal quality score (the CCNet/Gopher LM-filter "
+    "shape): rank every vocabulary word by global frequency, charge each "
+    "token the DIGIT COUNT of its rank — an exact-integer monotone proxy "
+    "for log10(rank), i.e. Zipf surprisal — and score each doc by total "
+    "and mean token surprisal. High scores flag rare-token gibberish, "
+    "low scores flag boilerplate. The integer proxy exists for the "
+    "oracle: true log-probs are one libm call away but never bit-match "
+    "across engines; digit-of-rank is deterministic everywhere. Scale "
+    "shape: vocab aggregation is corpus-shuffle #1, the rank window "
+    "sorts only the VOCABULARY (tiny vs corpus — the single-partition "
+    "window is deliberate and bounded), and the token-to-rank join "
+    "broadcasts the vocab; one further shuffle regroups per doc.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    words = explode_unpushed(
+        docs.select("doc_id", F.split("text", " ").alias("w")),
+        F.col("w"),
+        "word",
+        "doc_id",
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    rw = Window.orderBy(F.col("cnt").desc(), "word")
+    ranked = freq.select("word", F.row_number().over(rw).alias("rnk"))
+    digits = F.length(F.col("rnk").cast("string"))
+    return (
+        words.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(digits).alias("surprisal_sum"),
+            (F.sum(digits).cast("double") / F.count(F.lit(1))).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

@@ -35,6 +35,7 @@ _MODULES = (
     "nrg_etl_airflow_spark_emr_spark.operators.advanced",
     "nrg_etl_airflow_spark_emr_spark.operators.temporal",
     "nrg_etl_airflow_spark_emr_spark.operators.tpch",
+    "nrg_etl_airflow_spark_emr_spark.operators.formats",
     "nrg_etl_airflow_spark_emr_spark.operators.skew",
     "nrg_etl_airflow_spark_emr_spark.operators.graph",
     "nrg_etl_airflow_spark_emr_spark.operators.grouped",
