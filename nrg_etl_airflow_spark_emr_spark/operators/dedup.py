@@ -299,6 +299,69 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_THRESHOLD = 0.7
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT d1 AS doc_sub, d2 AS doc_sup,
+               CAST(n_common AS DOUBLE) / s1.sz AS containment
+        FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        UNION ALL
+        SELECT d2 AS doc_sub, d1 AS doc_sup,
+               CAST(n_common AS DOUBLE) / s2.sz AS containment
+        FROM inter JOIN sizes s2 ON d2 = s2.doc_id
+    )
+    SELECT doc_sub, doc_sup, containment
+    FROM scored WHERE containment >= {CONTAIN_THRESHOLD}
+    """,
+    tags=("dedup",),
+    doc="Shingle CONTAINMENT near-dup pairs — the asymmetric measure "
+    "Jaccard cannot express: C(A in B) = |A∩B| / |A| flags a short "
+    "document swallowed by a longer one (quote inclusion, boilerplate "
+    "wrapping, excerpt reposts) even when the symmetric Jaccard is "
+    "diluted far below threshold by the length gap. Same inverted-index "
+    "self-join and cached hashed-shingle frame as dedup_jaccard_pairs "
+    "(one intersection count per unordered pair), then each pair scores "
+    "in BOTH directions with one exact double division. Scale path at "
+    "100 TB is identical to Jaccard's: MinHash/LSH candidates first, "
+    "containment verify on candidates only.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = _hashed_shingles(spark, sf_dir)
+    sizes = hashed.select("doc_id", F.size("hs_arr").alias("sz"))
+    ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    fwd = inter.join(s1, F.col("d1") == F.col("s1.doc_id")).select(
+        F.col("d1").alias("doc_sub"),
+        F.col("d2").alias("doc_sup"),
+        (F.col("n_common").cast("double") / F.col("s1.sz")).alias("containment"),
+    )
+    rev = inter.join(s2, F.col("d2") == F.col("s2.doc_id")).select(
+        F.col("d2").alias("doc_sub"),
+        F.col("d1").alias("doc_sup"),
+        (F.col("n_common").cast("double") / F.col("s2.sz")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAIN_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

@@ -88,3 +88,24 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "orders").select(*_COLS)
     src.write.mode("overwrite").json(path)
     return _agg(spark.read.schema(src.schema).json(path))
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    doc="CSV sink + source round-trip with an EXPLICIT schema — the "
+    "reference's only interchange format (nrg_etl.py:24 reads gz-CSV "
+    "with header), exercised write-side too. Doubles survive because "
+    "Spark's CSV writer emits the shortest round-trippable decimal "
+    "repr and the reader parses back with the writer's schema (never "
+    "inferSchema, which costs an extra full scan at 100 TB and can "
+    "narrow types on partial reads); dates round-trip as ISO strings. "
+    "Aggregated against the parquet-side oracle so any quoting/type "
+    "drift breaks the value hash.",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir("csv", sf_dir)
+    src = t(spark, sf_dir, "orders").select(*_COLS)
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return _agg(spark.read.schema(src.schema).option("header", True).csv(path))

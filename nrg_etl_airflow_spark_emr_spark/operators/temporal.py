@@ -420,3 +420,89 @@ def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, "day", "left")
         .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"))
     )
+
+
+@register(
+    "events_transition_counts",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM c
+    """,
+    tags=("temporal", "window", "agg"),
+    doc="First-order Markov transition matrix over per-user event streams: "
+    "lag() pairs each event with its predecessor (one exchange on "
+    "user_id, the same partitioning every sessionize/LOCF window "
+    "reuses), then a (prev, next) count and a per-prev-state transition "
+    "probability. The probability is ONE double division of two exact "
+    "bigints — IEEE-identical across engines. The second window runs on "
+    "the aggregated |event_types|^2 frame (25 rows here; bounded by the "
+    "vocabulary, not the data, at any scale). This is the user-journey "
+    "building block (next-action prediction features, anomaly priors) "
+    "the w-series lag/lead windows did not yet compose into counts.",
+)
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = s.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("p"),
+    )
+
+
+@register(
+    "events_cumulative_users",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM first GROUP BY day)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    tags=("temporal", "window", "agg"),
+    doc="Daily new-user counts and EXACT cumulative distinct users — the "
+    "growth-accounting query that is usually faked with approximate "
+    "sketches. Exact and scalable because distinctness is resolved "
+    "structurally: each user collapses to their FIRST-seen day (one "
+    "groupBy on user_id — the only data-sized exchange), and the "
+    "cumulative sum then runs over the day-grain frame, whose size is "
+    "calendar days, not events, at any data scale. The unpartitioned "
+    "running-sum window is therefore bounded-input by construction "
+    "(contrast train_epoch_order, where the global window would carry "
+    "the full data and is bucket-decomposed instead).",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

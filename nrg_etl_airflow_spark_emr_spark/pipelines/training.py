@@ -540,3 +540,69 @@ def train_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors.select("doc_id", F.col("i").cast("int").alias("i"), neg.alias("neg_id"))
         .filter(F.col("neg_id") != F.col("doc_id"))
     )
+
+
+_BUDGET_TOKENS = 8000     # corpus token budget for the selection demo
+_BUDGET_BKT = 64          # n_chars range per priority bucket
+
+
+@register(
+    "train_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks)
+    WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+    tags=("training", "selection"),
+    doc=f"Token-budget corpus selection: documents are ranked by a priority "
+    "(longest-first here — any deterministic score works) and taken "
+    f"greedily until the cumulative token count exceeds {_BUDGET_TOKENS}. "
+    "This is the 'fill the training-token budget with the best data' "
+    "step every pretraining mix ends with. The oracle uses one global "
+    "running-sum window; the Spark plan deliberately does NOT — a "
+    "global-order window serializes the whole corpus onto one task. "
+    "Instead the train_epoch_order decomposition: bucket by a coarse "
+    f"priority range (n_chars div {_BUDGET_BKT}; bucket order refines to "
+    "global order), running-sum within buckets in parallel, and add "
+    "per-bucket token offsets from a tiny cumulative frame — exact "
+    "global cumulative counts with nothing wider than a bucket-count "
+    "broadcast.",
+)
+def train_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col("n_chars") / _BUDGET_BKT).alias("bkt"),
+    )
+    in_bucket = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = docs.select(
+        "doc_id", "bkt", "n_tokens", F.sum("n_tokens").over(in_bucket).alias("lc")
+    )
+    # Tiny side: bucket -> token total of all STRICTLY HIGHER buckets
+    # (buckets sort descending because priority is n_chars DESC).
+    counts = docs.groupBy("bkt").agg(F.sum("n_tokens").alias("c"))
+    off_w = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select("doc_id", "n_tokens", (F.col("off") + F.col("lc")).alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+    )

@@ -187,3 +187,110 @@ def scd2_apply(
     return hist.select(*key_cols, *attr_cols, start_col, end_col).unionByName(
         keep_cur
     ).unionByName(closed).unionByName(opened)
+
+
+# ---------------------------------------------------------------------------
+# Catalog query twins: driver-visible evidence for the merge kernels above.
+# ---------------------------------------------------------------------------
+
+from ..operators._util import t            # noqa: E402
+from ..plans.catalog import register       # noqa: E402
+
+
+@register(
+    "upsert_last_wins",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderdate AS last_orderdate,
+           o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+    FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC,
+                            o_totalprice DESC) AS rn
+        FROM orders)
+    WHERE rn = 1
+    """,
+    tags=("upsert", "window"),
+    doc="Last-wins batch deduplication — the dedupe_updates kernel that "
+    "every upsert_partitioned merge runs first, exercised as a query: "
+    "treating orders as an update stream keyed by customer, exactly one "
+    "row per key survives, the one with the highest (order date, order "
+    "key) under dedupe_updates' deterministic descending-column "
+    "tie-break. The oracle replays the identical ROW_NUMBER ordering. "
+    "One shuffle on the key; at 100 TB the same shape runs per touched "
+    "partition inside the dynamic-overwrite merge (see "
+    "upsert_partitioned), so cost tracks the increment, not the table.",
+)
+def upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    won = dedupe_updates(updates, ["o_custkey"], order_col="o_orderdate")
+    return won.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+_SCD2_EPOCH = "DATE '1992-01-01'"  # dimension load date (before all orders)
+
+
+@register(
+    "upsert_scd2_history",
+    oracle=f"""
+    WITH u AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS segment,
+               o_orderdate AS eff,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderpriority DESC) AS rn
+        FROM orders
+    ),
+    w AS (SELECT custkey, segment, eff FROM u WHERE rn = 1)
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           {_SCD2_EPOCH} AS valid_from, CAST(NULL AS DATE) AS valid_to
+    FROM customer c LEFT JOIN w ON w.custkey = c.c_custkey
+    WHERE w.custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, {_SCD2_EPOCH}, w.eff
+    FROM customer c JOIN w ON w.custkey = c.c_custkey
+    UNION ALL
+    SELECT w.custkey, w.segment, w.eff, CAST(NULL AS DATE)
+    FROM w
+    """,
+    tags=("upsert", "scd2"),
+    doc="Slowly-changing-dimension type 2 — the scd2_apply kernel as a "
+    "query: the customer dimension starts as one current version per "
+    "key (segment attribute, valid from the 1992 load date), an update "
+    "batch derived from orders (latest order's priority per customer, "
+    "dedupe_updates tie-break on effective date then attribute) is "
+    "applied, and the result is the full versioned history — changed "
+    "keys close their old version at the effective date and open a new "
+    "current one, untouched keys pass through open. The oracle rebuilds "
+    "the same three row classes relationally. One full-outer join on "
+    "the key; at 100 TB current rows live in an is_current partition so "
+    "the join never reads closed history.",
+)
+def upsert_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    existing = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("eff"),
+    )
+    return scd2_apply(
+        existing,
+        updates,
+        key_cols=["custkey"],
+        attr_cols=["segment"],
+        effective_col="eff",
+    ).select("custkey", "segment", "valid_from", "valid_to")

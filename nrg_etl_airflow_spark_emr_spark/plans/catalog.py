@@ -42,6 +42,7 @@ _MODULES = (
     "nrg_etl_airflow_spark_emr_spark.operators.kmeans",
     "nrg_etl_airflow_spark_emr_spark.pipelines.corpus",
     "nrg_etl_airflow_spark_emr_spark.pipelines.training",
+    "nrg_etl_airflow_spark_emr_spark.pipelines.upsert",
     "nrg_etl_airflow_spark_emr_spark.operators.dedup",
     "nrg_etl_airflow_spark_emr_spark.operators.similarity",
     "nrg_etl_airflow_spark_emr_spark.operators.text",

@@ -201,6 +201,37 @@ def test_jaccard_pairs_reads_hashed_shingles_from_cache(spark, sf_dir):
     )
 
 
+def test_containment_pairs_reads_hashed_shingles_from_cache(spark, sf_dir):
+    """Containment shares dedup_jaccard_pairs' inverted-index shape and
+    must also share its cached hashed-shingle frame: both exploded join
+    sides plus both directional size lookups read the cache, never
+    re-derive the shingle+md5 construction."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "dedup_containment_pairs")
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "join sides and size lookups must consume the cached hashes"
+    )
+
+
+def test_token_budget_has_no_global_window(spark, sf_dir):
+    """train_token_budget's cumulative sum must stay bucket-decomposed:
+    the only unpartitioned window runs on the tiny bucket-count frame,
+    never on the full documents scan (a global-order window serializes
+    the corpus onto one task)."""
+    plan = _plan(spark, sf_dir, "train_token_budget")
+    import re as _re
+
+    windows = [
+        line
+        for line in plan.splitlines()
+        if _re.search(r"\bWindow\b|RunningWindowFunction", line)
+    ]
+    doc_side = [w for w in windows if "n_tokens" in w and "lc" in w]
+    assert doc_side, "expected the per-bucket running-sum window"
+    for w in doc_side:
+        assert "bkt" in w, f"document-side window lost its bucket partition: {w}"
+
+
 def _keyed_pair_join_lines(plan: str, key: str) -> list[str]:
     return [
         line
