@@ -349,17 +349,33 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
-    fwd = inter.join(s1, F.col("d1") == F.col("s1.doc_id")).select(
-        F.col("d1").alias("doc_sub"),
-        F.col("d2").alias("doc_sup"),
-        (F.col("n_common").cast("double") / F.col("s1.sz")).alias("containment"),
+    # Join both sizes once, then explode the two directional scores from
+    # the SAME pair row — a union of two branches would re-run the whole
+    # inverted-index self-join per branch (measured ~6x wall-clock).
+    paired = inter.join(s1, F.col("d1") == F.col("s1.doc_id")).join(
+        s2, F.col("d2") == F.col("s2.doc_id")
     )
-    rev = inter.join(s2, F.col("d2") == F.col("s2.doc_id")).select(
-        F.col("d2").alias("doc_sub"),
-        F.col("d1").alias("doc_sup"),
-        (F.col("n_common").cast("double") / F.col("s2.sz")).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    both = paired.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("doc_sub"),
+                    F.col("d2").alias("doc_sup"),
+                    (F.col("n_common").cast("double") / F.col("s1.sz")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("d2").alias("doc_sub"),
+                    F.col("d1").alias("doc_sup"),
+                    (F.col("n_common").cast("double") / F.col("s2.sz")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return both.filter(F.col("containment") >= CONTAIN_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
