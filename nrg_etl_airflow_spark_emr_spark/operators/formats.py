@@ -109,3 +109,55 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "orders").select(*_COLS)
     src.write.mode("overwrite").option("header", True).csv(path)
     return _agg(spark.read.schema(src.schema).option("header", True).csv(path))
+
+
+@register(
+    "src_gzcsv_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    doc="Gzip-compressed CSV sink + source round-trip — the reference's "
+    "actual ingest format (nrg_etl.py:24 reads *.csv.gz globs): orders "
+    "written with codec gzip (one .csv.gz per partition, NOT a "
+    "coalesce(1) bottleneck), read back through read_csv_table with the "
+    "writer's schema (codec auto-detected from the extension), "
+    "aggregated against the parquet-side oracle. Scale caveat gzip "
+    "carries everywhere: the codec is NOT splittable, so one file = one "
+    "read task — at 100 TB keep individual .gz files small (the "
+    "many-file glob pattern the reference uses) or land bzip2/zstd.",
+)
+def src_gzcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_csv_table
+
+    path = _roundtrip_dir("gzcsv", sf_dir)
+    src = t(spark, sf_dir, "orders").select(*_COLS)
+    src.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    return _agg(read_csv_table(spark, path, schema=src.schema, header=True))
+
+
+@register(
+    "snk_partitioned_parquet",
+    oracle=_AGG_ORACLE,
+    tags=("sink", "format"),
+    doc="Hive-partitioned parquet sink round-trip (SURVEY.md S5/S6, the "
+    "reference's output contract nrg_etl.py:37,72): orders written "
+    "two-level partitioned by (order year, priority) through "
+    "write_partitioned_parquet — partitionOverwriteMode=dynamic, so a "
+    "re-run replaces only the partitions it produces — then read back "
+    "with partition discovery (the partition columns come from "
+    "directory keys, not data pages) and aggregated against the "
+    "parquet-side oracle. Any drift in partition encoding, dynamic "
+    "overwrite, or discovery breaks the value hash. At 100 TB this "
+    "layout is what makes partition pruning work: a year+priority "
+    "predicate never opens a non-matching file.",
+)
+def snk_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_parquet_table, write_partitioned_parquet
+
+    path = _roundtrip_dir("pparquet", sf_dir)
+    src = t(spark, sf_dir, "orders").select(
+        *_COLS, F.year("o_orderdate").alias("o_year")
+    )
+    write_partitioned_parquet(src, path, partition_cols=["o_year", "o_orderpriority"])
+    return _agg(read_parquet_table(spark, path))

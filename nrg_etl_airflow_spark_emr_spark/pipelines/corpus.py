@@ -152,3 +152,58 @@ def corpus_checks(min_docs: int = 1, max_empty_docs: int = 0) -> list:
             expected=0,
         ),
     ]
+
+
+@register(
+    "qc_documents_audit",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS id_nulls,
+               COUNT(CASE WHEN text IS NULL THEN 1 END) AS text_nulls,
+               COUNT(CASE WHEN lang IS NULL THEN 1 END) AS lang_nulls,
+               COUNT(CASE WHEN length(text) = 0 THEN 1 END) AS empty_text,
+               COUNT(CASE WHEN length(text) != n_chars THEN 1 END) AS bad_len,
+               COUNT(*) - COUNT(DISTINCT doc_id) AS dup_ids
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'documents_row_count_min_1' AS check_name,
+               CAST(n_rows AS BIGINT) AS actual, CAST(1 AS BIGINT) AS expected,
+               '>=' AS op, n_rows >= 1 AS passed FROM m
+        UNION ALL
+        SELECT 'documents_doc_id_nulls', CAST(id_nulls AS BIGINT),
+               CAST(0 AS BIGINT), '==', id_nulls = 0 FROM m
+        UNION ALL
+        SELECT 'documents_text_nulls', CAST(text_nulls AS BIGINT),
+               CAST(0 AS BIGINT), '==', text_nulls = 0 FROM m
+        UNION ALL
+        SELECT 'documents_lang_nulls', CAST(lang_nulls AS BIGINT),
+               CAST(0 AS BIGINT), '==', lang_nulls = 0 FROM m
+        UNION ALL
+        SELECT 'documents_empty_text', CAST(empty_text AS BIGINT),
+               CAST(0 AS BIGINT), '<=', empty_text <= 0 FROM m
+        UNION ALL
+        SELECT 'documents_n_chars_consistent', CAST(bad_len AS BIGINT),
+               CAST(0 AS BIGINT), '==', bad_len = 0 FROM m
+        UNION ALL
+        SELECT 'documents_doc_id_unique', CAST(dup_ids AS BIGINT),
+               CAST(0 AS BIGINT), '==', dup_ids = 0 FROM m
+    )
+    """,
+    tags=("qc", "pipeline"),
+    doc="The declarative QC framework with driver-visible evidence: the "
+    "documents corpus_checks (row count, null audits, empty-text cap, "
+    "n_chars consistency, key uniqueness) evaluated through "
+    "qc.audit_frame — ONE fused aggregate scan, every check one "
+    "aggregate column, unpivoted row-locally to (check, actual, "
+    "expected, op, passed) — against an oracle that recomputes each "
+    "audit from scratch. This is the reference's check taxonomy "
+    "(rows_count/nulls_count, bugs B1/B2/B3/B7 fixed) as a distributed "
+    "result set rather than collected driver scalars.",
+)
+def qc_documents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import qc
+
+    docs = t(spark, sf_dir, "documents")
+    return qc.audit_frame(docs, corpus_checks())

@@ -230,3 +230,35 @@ def evaluate_observed(
             }
         )
     return results
+
+
+def audit_frame(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate checks against ONE DataFrame and return the results AS A
+    DATAFRAME — (check_name, actual, expected, op, passed) — instead of
+    collected scalars.
+
+    Same single fused aggregate pass as ``evaluate`` (every check is one
+    aggregate column over one scan), but the result stays distributed:
+    at 100 TB the audit report is itself data you want to write to a
+    sink, join against prior runs for drift detection, or gate a
+    downstream job on — never a driver-side Python list. The unpivot to
+    one row per check runs on the single aggregated row (stack is
+    row-local; no shuffle anywhere beyond the aggregate itself).
+    """
+    row = df.agg(*[c.agg.cast("long").alias(f"v{i}") for i, c in enumerate(checks)])
+    parts = ", ".join(
+        f"'{c.name}', v{i}, CAST({int(c.expected)} AS BIGINT), '{c.op}'"
+        for i, c in enumerate(checks)
+    )
+    stacked = row.selectExpr(
+        f"stack({len(checks)}, {parts}) AS (check_name, actual, expected, op)"
+    )
+    passed = (
+        F.when(F.col("op") == "==", F.col("actual") == F.col("expected"))
+        .when(F.col("op") == ">=", F.col("actual") >= F.col("expected"))
+        .when(F.col("op") == "<=", F.col("actual") <= F.col("expected"))
+        .when(F.col("op") == "<", F.col("actual") < F.col("expected"))
+        .when(F.col("op") == ">", F.col("actual") > F.col("expected"))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return stacked.select("check_name", "actual", "expected", "op", passed.alias("passed"))
