@@ -118,3 +118,38 @@ def test_corpus_checks_pass_on_fixture(spark, sf_dir):
     results = qc.evaluate({"documents": corrupted}, corpus_checks())
     bad = {r["check"] for r in results if not r["passed"]}
     assert bad == {"documents_n_chars_consistent"}
+
+
+def test_audit_frame_matches_evaluate(spark, sf_dir):
+    """audit_frame's distributed result must agree row-for-row with the
+    collected evaluate() on the same checks — same actuals, same verdicts."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import corpus_checks
+    from nrg_etl_airflow_spark_emr_spark.sources import load_tables
+
+    tables = load_tables(spark, sf_dir, ("documents",))
+    checks = corpus_checks()
+    via_eval = {
+        r["check"]: (r["actual"], r["passed"])
+        for r in qc.evaluate(tables, checks)
+    }
+    via_frame = {
+        r.check_name: (r.actual, r.passed)
+        for r in qc.audit_frame(tables["documents"], checks).collect()
+    }
+    assert via_frame == via_eval
+
+
+def test_audit_frame_flags_failures(spark, sf_dir):
+    """A corrupt frame must surface passed=False with the offending count —
+    the failure direction the reference's QC could never take (bug B2)."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import corpus_checks
+    from nrg_etl_airflow_spark_emr_spark.sources import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corrupt = docs.withColumn(
+        "doc_id", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("doc_id"))
+    )
+    rows = {r.check_name: r for r in qc.audit_frame(corrupt, corpus_checks()).collect()}
+    nulls = rows["documents_doc_id_nulls"]
+    assert nulls.passed is False and nulls.actual > 0
+    assert rows["documents_text_nulls"].passed is True

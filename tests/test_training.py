@@ -80,3 +80,39 @@ def test_mixture_weights_feasible_and_water_filled(spark, sf_dir):
     # kept share ∝ target share: chars * keep_rate / target_share constant.
     ratios = [r.chars * r.keep_rate / r.target_share for r in rows]
     assert max(ratios) / min(ratios) < 1 + 1e-9
+
+
+def test_token_budget_is_prefix_of_priority_order(spark, sf_dir):
+    """The selected set must be exactly the maximal prefix of the
+    (n_chars DESC, doc_id) priority order whose running token total stays
+    within budget — no doc skipped mid-prefix, none past the boundary."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines.training import (
+        _BUDGET_TOKENS,
+        train_token_budget,
+    )
+    from nrg_etl_airflow_spark_emr_spark.sources import load_table
+
+    out = train_token_budget(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "budget selects at least one document on every fixture"
+    assert max(r.cum_tokens for r in rows) <= _BUDGET_TOKENS
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    ordered = sorted(docs, key=lambda r: (-r.n_chars, r.doc_id))
+    cum, expect = 0, {}
+    for r in ordered:
+        cum += r.n_tokens
+        if cum > _BUDGET_TOKENS:
+            break
+        expect[r.doc_id] = cum
+    assert {r.doc_id: r.cum_tokens for r in rows} == expect
