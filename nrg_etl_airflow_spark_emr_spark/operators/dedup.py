@@ -162,6 +162,26 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def _pair_intersections(spark: SparkSession, sf_dir: str):
+    """(sizes, inter): per-doc shingle-set sizes and per-unordered-pair
+    intersection counts from the cached hashed-shingle inverted index —
+    the shared kernel of every exact set-overlap score (Jaccard,
+    containment). One exploded self-join keyed on the shingle hash; the
+    ``d1 < d2`` convention and the explode_unpushed guard live HERE so
+    the scoring variants cannot drift apart."""
+    hashed = _hashed_shingles(spark, sf_dir)
+    sizes = hashed.select("doc_id", F.size("hs_arr").alias("sz"))
+    ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return sizes, inter
+
+
 @register(
     "dedup_jaccard_pairs",
     bench=True,
@@ -187,16 +207,7 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline; candidate pruning at scale is dedup_minhash_lsh.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = _hashed_shingles(spark, sf_dir)
-    sizes = hashed.select("doc_id", F.size("hs_arr").alias("sz"))
-    ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    sizes, inter = _pair_intersections(spark, sf_dir)
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jacc = F.col("n_common").cast("double") / (
@@ -337,16 +348,7 @@ CONTAIN_THRESHOLD = 0.7
     "containment verify on candidates only.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = _hashed_shingles(spark, sf_dir)
-    sizes = hashed.select("doc_id", F.size("hs_arr").alias("sz"))
-    ex = explode_unpushed(hashed, F.col("hs_arr"), "hs", "doc_id")
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    sizes, inter = _pair_intersections(spark, sf_dir)
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     # Join both sizes once, then explode the two directional scores from

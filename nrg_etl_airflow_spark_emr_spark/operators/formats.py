@@ -41,9 +41,14 @@ _AGG_ORACLE = f"""
     """
 
 
-def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+def _roundtrip_dir(spark: SparkSession, fmt: str, sf_dir: str) -> str:
+    # Keyed on the Spark applicationId as well as (format, sf): two
+    # concurrent sessions running the same round-trip would otherwise race
+    # one side's overwrite against the other's read-back listing. Within a
+    # session the path is stable, so re-runs exercise mode=overwrite.
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"rt_{fmt}_{key}")
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"rt_{app}_{fmt}_{key}")
 
 
 def _agg(df: DataFrame) -> DataFrame:
@@ -67,7 +72,7 @@ def _agg(df: DataFrame) -> DataFrame:
     "pushdown/column-stat machinery as parquet at scale.",
 )
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir("orc", sf_dir)
+    path = _roundtrip_dir(spark, "orc", sf_dir)
     t(spark, sf_dir, "orders").select(*_COLS).write.mode("overwrite").orc(path)
     return _agg(spark.read.orc(path))
 
@@ -84,7 +89,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gap-fill) with value-level evidence.",
 )
 def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir("json", sf_dir)
+    path = _roundtrip_dir(spark, "json", sf_dir)
     src = t(spark, sf_dir, "orders").select(*_COLS)
     src.write.mode("overwrite").json(path)
     return _agg(spark.read.schema(src.schema).json(path))
@@ -105,7 +110,7 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift breaks the value hash.",
 )
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir("csv", sf_dir)
+    path = _roundtrip_dir(spark, "csv", sf_dir)
     src = t(spark, sf_dir, "orders").select(*_COLS)
     src.write.mode("overwrite").option("header", True).csv(path)
     return _agg(spark.read.schema(src.schema).option("header", True).csv(path))
@@ -128,7 +133,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_gzcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import read_csv_table
 
-    path = _roundtrip_dir("gzcsv", sf_dir)
+    path = _roundtrip_dir(spark, "gzcsv", sf_dir)
     src = t(spark, sf_dir, "orders").select(*_COLS)
     src.write.mode("overwrite").option("header", True).option(
         "compression", "gzip"
@@ -155,7 +160,7 @@ def src_gzcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snk_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import read_parquet_table, write_partitioned_parquet
 
-    path = _roundtrip_dir("pparquet", sf_dir)
+    path = _roundtrip_dir(spark, "pparquet", sf_dir)
     src = t(spark, sf_dir, "orders").select(
         *_COLS, F.year("o_orderdate").alias("o_year")
     )

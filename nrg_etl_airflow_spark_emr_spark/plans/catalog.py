@@ -202,9 +202,15 @@ def _driver_green_names() -> set[str]:
             if not isinstance(r, dict):
                 continue
             spec_ = _REGISTRY.get(name)
+            keys = ("rows_match", "schema_match", "hash_match")
             if spec_ is not None and spec_.oracle is None:
-                green.add(name)  # any recorded row is terminal (see above)
-            elif all(r.get(k) for k in ("rows_match", "schema_match", "hash_match")):
+                # Terminal unless the driver recorded an EXPLICIT failure
+                # (False, not null): an unscoreable no_oracle row retires
+                # the spec, but a genuinely failing rows-only check must
+                # keep its window slot until it goes green.
+                if not any(r.get(k) is False for k in keys):
+                    green.add(name)
+            elif all(r.get(k) for k in keys):
                 green.add(name)
     return green
 

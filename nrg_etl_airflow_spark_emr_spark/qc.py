@@ -245,6 +245,10 @@ def audit_frame(df: DataFrame, checks: list[Check]) -> DataFrame:
     one row per check runs on the single aggregated row (stack is
     row-local; no shuffle anywhere beyond the aggregate itself).
     """
+    if not checks:  # stack(0, ...) is a parse error; mirror evaluate([]) == []
+        spark = df.sparkSession
+        schema = "check_name string, actual long, expected long, op string, passed boolean"
+        return spark.createDataFrame([], schema)
     row = df.agg(*[c.agg.cast("long").alias(f"v{i}") for i, c in enumerate(checks)])
     parts = ", ".join(
         f"'{c.name}', v{i}, CAST({int(c.expected)} AS BIGINT), '{c.op}'"
@@ -253,12 +257,19 @@ def audit_frame(df: DataFrame, checks: list[Check]) -> DataFrame:
     stacked = row.selectExpr(
         f"stack({len(checks)}, {parts}) AS (check_name, actual, expected, op)"
     )
-    passed = (
-        F.when(F.col("op") == "==", F.col("actual") == F.col("expected"))
-        .when(F.col("op") == ">=", F.col("actual") >= F.col("expected"))
-        .when(F.col("op") == "<=", F.col("actual") <= F.col("expected"))
-        .when(F.col("op") == "<", F.col("actual") < F.col("expected"))
-        .when(F.col("op") == ">", F.col("actual") > F.col("expected"))
-        .otherwise(F.lit(None).cast("boolean"))
-    )
+    # One branch per _OPS entry, so audit_frame can never score a subset of
+    # the operators Check/__post_init__/evaluate accept. Checks were
+    # validated at construction, so the chain is total — no otherwise(NULL)
+    # for an unscored verdict to hide behind.
+    _COLUMN_OPS = {
+        "==": lambda a, e: a == e,
+        "!=": lambda a, e: a != e,
+        "<=": lambda a, e: a <= e,
+        ">=": lambda a, e: a >= e,
+    }
+    assert set(_COLUMN_OPS) == set(_OPS), "audit_frame op table drifted from _OPS"
+    passed = None
+    for op, fn in sorted(_COLUMN_OPS.items()):
+        branch = (F.col("op") == op, fn(F.col("actual"), F.col("expected")))
+        passed = F.when(*branch) if passed is None else passed.when(*branch)
     return stacked.select("check_name", "actual", "expected", "op", passed.alias("passed"))

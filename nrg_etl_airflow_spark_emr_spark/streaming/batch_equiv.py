@@ -239,7 +239,7 @@ _WM_US = 30 * 60 * 1_000_000  # session_close_on_timeout watermark delay
     SELECT user_id, session_start_us, session_end_us, n_events
     FROM marked
     WHERE session_end_us < last_end
-       OR session_end_us + {_GAP_US} <= gmax - {_WM_US}
+       OR (session_end_us + {_GAP_US}) // 1000 < gmax // 1000 - {_WM_US // 1000}
     """,
     tags=("streaming", "agg", "session"),
     doc="Batch twin of session_close_on_timeout (streaming/jobs.py:236): "
@@ -259,13 +259,19 @@ def st_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize(ev)
     gmax = ev.agg(F.max(F.unix_micros("ts")).alias("gmax"))
     last_end = F.max("session_end_us").over(Window.partitionBy("user_id"))
+    # Timeout clause mirrors GroupState's clock EXACTLY: the streaming job
+    # sets setTimeoutTimestamp((end+gap)//1000) (ms floor) and Spark fires
+    # EventTimeTimeout only when the ms watermark STRICTLY exceeds it
+    # (timeout_ms < wm_ms), with wm_ms itself floored from the max event
+    # time. An inclusive µs comparison would close sessions the real
+    # stream never times out at the equality/sub-millisecond boundary.
+    timeout_fired = F.expr(f"(session_end_us + {_GAP_US}) div 1000") < (
+        F.expr("gmax div 1000") - _WM_US // 1000
+    )
     return (
         sessions.withColumn("last_end", last_end)
         .crossJoin(F.broadcast(gmax))
-        .filter(
-            (F.col("session_end_us") < F.col("last_end"))
-            | (F.col("session_end_us") + _GAP_US <= F.col("gmax") - _WM_US)
-        )
+        .filter((F.col("session_end_us") < F.col("last_end")) | timeout_fired)
         .select("user_id", "session_start_us", "session_end_us", "n_events")
     )
 

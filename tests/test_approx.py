@@ -116,10 +116,25 @@ def test_lsh_bucket_width_fixed_across_scale(spark, sf_dir):
     from nrg_etl_airflow_spark_emr_spark.operators import similarity as S
 
     # Deliberately a LARGER scale than the test sf, derived from the same
-    # testdata root the sf_dir fixture uses.
-    sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-    if not os.path.isdir(sf):
-        pytest.skip(f"larger-scale fixture not present: {sf}")
+    # testdata root the sf_dir fixture uses. The guard is vacuous unless
+    # the probed scale strictly exceeds the test scale (the plane-count
+    # regression only appears as the corpus GROWS), so pick the smallest
+    # sibling fixture larger than sf_dir and skip loudly when none exists.
+    def _sf_of(d: str) -> float:
+        return float(os.path.basename(d.rstrip("/")).removeprefix("sf"))
+
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    larger = sorted(
+        (
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("sf") and _sf_of(d) > _sf_of(sf_dir)
+        ),
+        key=_sf_of,
+    )
+    if not larger:
+        pytest.skip(f"no fixture larger than {sf_dir} under {root}")
+    sf = larger[0]
     v = S._vectors(spark, sf)
     buckets = S._srp_signatures(v).agg({"bucket": "max"}).collect()[0][0]
     assert buckets < (1 << S.LSH_PLANES), f"bucket {buckets} exceeds 5 bits"
