@@ -197,6 +197,69 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # attribution expiry: 7 days
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, ts, event_id AS src_id, 0 AS kind,
+               CAST(epoch_us(ts) AS BIGINT) AS vts, event_id AS vid
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1, NULL, NULL
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT user_id, ts, src_id, kind,
+               last_value(vid IGNORE NULLS) OVER w AS click_id,
+               last_value(vts IGNORE NULLS) OVER w AS click_ts_us
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, src_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT src_id AS purchase_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
+           CASE WHEN CAST(epoch_us(ts) AS BIGINT) - click_ts_us
+                     <= {ATTR_LOOKBACK_US}
+                THEN click_id END AS click_id,
+           CASE WHEN CAST(epoch_us(ts) AS BIGINT) - click_ts_us
+                     <= {ATTR_LOOKBACK_US}
+                THEN CAST((CAST(epoch_us(ts) AS BIGINT) - click_ts_us)
+                          // 86400000000 AS INTEGER) END AS click_age_days
+    FROM m WHERE kind = 1
+    """,
+    tags=("temporal", "join", "attribution"),
+    doc="Last-touch attribution with expiry: every purchase keeps the same "
+    "user's most recent prior click — but only if it happened within the "
+    "7-day lookback; older touches attribute to NOTHING (click_id NULL), "
+    "which is the semantics j5's unbounded as-of cannot express and the "
+    "reason attribution is its own operator. Same sort-based union+"
+    "window kernel (asof_join), so one exchange on user_id; the expiry "
+    "is a row-local filter AFTER the carry-forward, preserving every "
+    "purchase row (conversion denominators need unattributed purchases). "
+    "Age in whole days by exact integer division of microsecond deltas.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    age_us = F.col("purchase_ts_us") - F.col("view_ts_us")
+    in_window = age_us <= ATTR_LOOKBACK_US
+    return m.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_us",
+        F.when(in_window, F.col("view_id")).alias("click_id"),
+        F.when(in_window, F.expr(f"(purchase_ts_us - view_ts_us) div {86400000000}"))
+        .cast("int")
+        .alias("click_age_days"),
+    )
+
+
 @register(
     "j6_range_join",
     oracle=f"""
@@ -419,6 +482,62 @@ def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(days)
         .join(daily, "day", "left")
         .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"))
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM ud) d
+        JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+    tags=("temporal", "agg", "window"),
+    doc="Exact DAU / trailing-7-day WAU / stickiness per observed day. "
+    "Distinctness collapses FIRST (one groupBy to user-day grain — the "
+    "only data-sized exchange); the trailing window is then an "
+    "offset-EXPLODE equi-join (each user-day claims membership in the 7 "
+    "windows it falls into), never a date-range theta join that would "
+    "plan as a nested loop. The oracle states the same window as a "
+    "BETWEEN join, which DuckDB can afford at day grain. Stickiness is "
+    "one IEEE division of two exact bigints. At 100 TB the exploded "
+    "frame is 7x the user-day grain — orders of magnitude under raw "
+    "events — and both aggregations share the day key.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    member = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, off)").alias("day"))
+    wau = member.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
     )
 
 
