@@ -481,3 +481,45 @@ def test_ivfpq_probe_is_keyed_on_cell(spark, sf_dir):
         and "[cid" in line
     ]
     assert cell_join, "probe join must key on cell id"
+
+
+def test_dau_wau_window_membership_is_equi_join(spark, sf_dir):
+    """The trailing-7-day WAU must stay an offset-explode equi-join on the
+    day key; a date-range theta join would plan as a nested loop and
+    melt at scale."""
+    plan = _plan(spark, sf_dir, "events_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_is_single_exchange_asof(spark, sf_dir):
+    """events_attribution rides the sort-based union+window asof kernel:
+    one user_id exchange, no join between the purchase and click sides
+    (the union replaces it)."""
+    spark.catalog.clearCache()
+    df = SPECS["events_attribution"].builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    shuffles = {
+        _re.search(r"plan_id=(\d+)", line).group(1)
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+        and "plan_id=" in line
+    }
+    assert len(shuffles) <= 1, f"asof attribution regressed to {len(shuffles)} shuffles"
+    assert "Join" not in plan, "union-window kernel must not plan a join"
+
+
+def test_tfidf_pairs_reads_weights_from_cache(spark, sf_dir):
+    """The weighted-postings frame fans out to both self-join sides and
+    the norms branch; all three must consume the single cached copy, not
+    re-derive the gram explode + tf/df aggregation."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "text_tfidf_pairs")
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "join sides and norms must consume the cached tf-idf weights"
+    )
