@@ -606,3 +606,44 @@ def train_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", (F.col("off") + F.col("lc")).alias("cum_tokens"))
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
     )
+
+
+_N_SHARDS = 16  # output shards for the export manifest
+
+
+@register(
+    "train_shard_manifest",
+    oracle=f"""
+    SELECT CAST({sql_hash60("'shard:' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
+               AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("training", "sink"),
+    doc=f"Deterministic shard manifest — the closing step of the training "
+    f"export pipeline (select -> pack -> shard -> manifest): each "
+    f"document lands in one of {_N_SHARDS} shards by salted hash (no "
+    "RNG, so every engine/retry shards identically and a resumed export "
+    "rewrites exactly the shards it owns), and the manifest row per "
+    "shard carries the doc/token/char totals plus the id range a "
+    "consumer needs to validate a download without opening it. One "
+    "groupBy on the shard key; the physical write of each shard is "
+    "snk_partitioned_parquet's dynamic-overwrite path with shard_id as "
+    "the partition column. Shard count scales to executor count at "
+    "100 TB; the hash keeps shard sizes balanced regardless of doc_id "
+    "clustering.",
+)
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shard = (hash60(_salted("shard:")) % _N_SHARDS).alias("shard_id")
+    return docs.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
