@@ -47,7 +47,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     both = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-    both = both.distinct().localCheckpoint()
+    # Lazy checkpoints throughout (see graph_pagerank): lineage still
+    # truncates, but blocks materialize inside the round's convergence
+    # count instead of one standalone eager job per round.
+    both = both.distinct().localCheckpoint(eager=False)
 
     labels = nodes.select(F.col("node"), F.col("node").alias("lbl"))
     for _ in range(MAX_ITERATIONS):
@@ -75,8 +78,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                 F.least(F.col("slbl"), F.col("tlbl")).alias("new_lbl"),
                 "old_lbl",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # The convergence count doubles as the checkpoint materialization.
         changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
