@@ -263,6 +263,101 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.hashing import sql_hash60 as _sql_hash60  # noqa: E402
+
+KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # hash60 range; exactly representable in double
+
+
+@register(
+    "approx_kmv_distinct",
+    oracle=f"""
+    WITH dh AS (
+        SELECT DISTINCT l_returnflag,
+               {_sql_hash60("'kmv:' || CAST(l_partkey AS VARCHAR)")} AS h
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT l_returnflag, h,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS r
+        FROM dh
+    ),
+    sk AS (
+        SELECT l_returnflag, MAX(h) AS kth, COUNT(*) AS n_seen
+        FROM ranked WHERE r <= {KMV_K}
+        GROUP BY l_returnflag
+    ),
+    ex AS (
+        SELECT l_returnflag, COUNT(*) AS n_exact FROM dh GROUP BY l_returnflag
+    )
+    SELECT sk.l_returnflag,
+           CASE WHEN ex.n_exact >= {KMV_K}
+                THEN {float(KMV_K - 1)} * {_KMV_SPACE} / CAST(sk.kth AS DOUBLE)
+                ELSE CAST(ex.n_exact AS DOUBLE) END AS est_distinct,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           ABS(CASE WHEN ex.n_exact >= {KMV_K}
+                    THEN {float(KMV_K - 1)} * {_KMV_SPACE} / CAST(sk.kth AS DOUBLE)
+                    ELSE CAST(ex.n_exact AS DOUBLE) END
+               - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE)
+               AS rel_err
+    FROM sk JOIN ex ON ex.l_returnflag = sk.l_returnflag
+    """,
+    tags=("agg", "sketch"),
+    doc=f"K-minimum-values distinct-count sketch — the ENGINE-PORTABLE "
+    "sketch: unlike HLL (approx_sketches, whose internals differ per "
+    f"engine and can only be rows-checked), KMV over the deterministic "
+    f"hash60 is replayable anywhere, so the ESTIMATE ITSELF is oracle-"
+    f"gated to the bit. Keep the {KMV_K} smallest distinct hash values "
+    f"per group; the {KMV_K}th smallest h estimates distinct count as "
+    f"(k-1)·2^60/h (uniform order statistics), falling back to the exact "
+    "count when a group has fewer than k distinct values. All float "
+    "steps are a constant times one division — IEEE-identical across "
+    "engines. Mergeability is the scale story: union two groups' "
+    "k-minima and re-take the k smallest — the distributed combine a "
+    "100 TB rollup needs; the relational rank formulation here is its "
+    "oracle-replayable equivalent.",
+)
+def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import hash60
+
+    li = t(spark, sf_dir, "lineitem")
+    dh = li.select(
+        "l_returnflag",
+        hash60(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string"))).alias("h"),
+    ).distinct()
+    ranked = dh.select(
+        "l_returnflag",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("h"))
+        .alias("r"),
+    )
+    sk = (
+        ranked.filter(F.col("r") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen"))
+    )
+    ex = dh.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_exact") >= KMV_K,
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("kth").cast("double"),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return (
+        sk.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            est.alias("est_distinct"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
 @register(
     "f10_string_agg",
     oracle="""

@@ -43,12 +43,35 @@ def _ewma_group(pdf):
 
 @register(
     "events_user_ewma",
-    oracle=None,  # sequential recurrence; pinned by tests/test_grouped.py
+    oracle=f"""
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, value, rn, value AS ewma
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+               (CAST({1 - EWMA_ALPHA} AS DOUBLE) * s.ewma
+                + CAST({EWMA_ALPHA} AS DOUBLE) * o.value)
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma FROM s
+    """,
     tags=("udf", "temporal"),
     doc=f"Per-user EWMA (α={EWMA_ALPHA}) over time-ordered events via "
     "applyInPandas — the sanctioned grouped-map custom-operator path for "
     "sequential-state recurrences. One shuffle on user_id; Arrow-batched; "
-    "ties broken by event_id so the sequence is total-order deterministic.",
+    "ties broken by event_id so the sequence is total-order deterministic. "
+    "Oracle-gated bit-for-bit: pandas ewm(adjust=False) evaluates "
+    "y = ((1-α)·y + α·x) / ((1-α)+α) in float64, the weight-sum divisor "
+    "rounds to exactly 1.0 (round-to-even), so a recursive CTE replaying "
+    "the identical fl((1-α)·y) + fl(α·x) sequence in DuckDB reproduces "
+    "every double exactly — IEEE ops are deterministic given identical "
+    "operand order.",
 )
 def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
