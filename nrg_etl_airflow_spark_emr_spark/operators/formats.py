@@ -143,6 +143,7 @@ def src_gzcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snk_partitioned_parquet",
+    bench=True,
     oracle=_AGG_ORACLE,
     tags=("sink", "format"),
     doc="Hive-partitioned parquet sink round-trip (SURVEY.md S5/S6, the "

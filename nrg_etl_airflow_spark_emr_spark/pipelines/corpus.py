@@ -156,6 +156,7 @@ def corpus_checks(min_docs: int = 1, max_empty_docs: int = 0) -> list:
 
 @register(
     "qc_documents_audit",
+    bench=True,
     oracle="""
     WITH m AS (
         SELECT COUNT(*) AS n_rows,

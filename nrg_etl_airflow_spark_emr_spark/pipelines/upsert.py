@@ -240,6 +240,7 @@ _SCD2_EPOCH = "DATE '1992-01-01'"  # dimension load date (before all orders)
 
 @register(
     "upsert_scd2_history",
+    bench=True,
     oracle=f"""
     WITH u AS (
         SELECT o_custkey AS custkey, o_orderpriority AS segment,
