@@ -283,7 +283,7 @@ _KMV_SPACE = float(1 << 60)  # hash60 range; exactly representable in double
         FROM dh
     ),
     sk AS (
-        SELECT l_returnflag, MAX(h) AS kth, COUNT(*) AS n_seen
+        SELECT l_returnflag, MAX(h) AS kth
         FROM ranked WHERE r <= {KMV_K}
         GROUP BY l_returnflag
     ),
@@ -337,7 +337,7 @@ def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
         ranked.filter(F.col("r") <= KMV_K)
         .groupBy("l_returnflag")
-        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen"))
+        .agg(F.max("h").alias("kth"))
     )
     ex = dh.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_exact"))
     est = F.when(

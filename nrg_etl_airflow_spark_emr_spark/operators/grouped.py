@@ -34,10 +34,23 @@ _OUT_SCHEMA = (
 
 
 def _ewma_group(pdf):
-    import pandas as pd  # noqa: F401 (worker-side import)
+    import numpy as np
 
+    # Explicit recurrence, NOT pandas .ewm(): pandas short-circuits the
+    # update when the running average exactly equals the incoming value
+    # (a constant-series guard in its Cython kernel), which diverges from
+    # the plain y = (1-α)y + αx by 1 ulp on equal-valued runs — owning
+    # the loop makes the float op sequence exactly the one the recursive-
+    # CTE oracle replays, pandas-version-independent.
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    out = np.empty(len(vals), dtype=np.float64)
+    y = 0.0
+    beta = 1.0 - EWMA_ALPHA  # same double the oracle embeds via repr()
+    for i in range(len(vals)):
+        y = vals[i] if i == 0 else beta * y + EWMA_ALPHA * vals[i]
+        out[i] = y
+    pdf["ewma"] = out
     return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 
 
@@ -66,12 +79,12 @@ def _ewma_group(pdf):
     "applyInPandas — the sanctioned grouped-map custom-operator path for "
     "sequential-state recurrences. One shuffle on user_id; Arrow-batched; "
     "ties broken by event_id so the sequence is total-order deterministic. "
-    "Oracle-gated bit-for-bit: pandas ewm(adjust=False) evaluates "
-    "y = ((1-α)·y + α·x) / ((1-α)+α) in float64, the weight-sum divisor "
-    "rounds to exactly 1.0 (round-to-even), so a recursive CTE replaying "
-    "the identical fl((1-α)·y) + fl(α·x) sequence in DuckDB reproduces "
-    "every double exactly — IEEE ops are deterministic given identical "
-    "operand order.",
+    "Oracle-gated bit-for-bit: the kernel owns the recurrence as an "
+    "explicit float64 loop (NOT pandas .ewm(), whose Cython kernel "
+    "short-circuits on constant runs and drifts 1 ulp from the plain "
+    "recurrence), so the DuckDB recursive CTE replaying the identical "
+    "fl((1-α)·y) + fl(α·x) sequence reproduces every double exactly — "
+    "IEEE ops are deterministic given identical operand order.",
 )
 def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")

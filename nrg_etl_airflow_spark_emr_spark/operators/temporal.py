@@ -157,25 +157,34 @@ def sessionize(
 
 
 
-@register(
-    "j5_asof_join",
-    oracle="""
-    WITH u AS (
+def _sql_asof_cte(ref_type: str, probe_type: str, ref_alias: str) -> str:
+    """u/m CTE pair for the sort-based as-of kernel — the single source of
+    the oracle's tie-break semantics (ref rows before probe at equal ts,
+    highest ref id wins), shared by j5_asof_join and events_attribution
+    so the two can never gate against drifted as-of definitions."""
+    return f"""
+    u AS (
         SELECT user_id, ts, event_id AS src_id, 0 AS kind,
                CAST(epoch_us(ts) AS BIGINT) AS vts, event_id AS vid
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = '{ref_type}'
         UNION ALL
         SELECT user_id, ts, event_id, 1, NULL, NULL
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = '{probe_type}'
     ),
     m AS (
         SELECT user_id, ts, src_id, kind,
-               last_value(vid IGNORE NULLS) OVER w AS view_id,
-               last_value(vts IGNORE NULLS) OVER w AS view_ts_us
+               last_value(vid IGNORE NULLS) OVER w AS {ref_alias}_id,
+               last_value(vts IGNORE NULLS) OVER w AS {ref_alias}_ts_us
         FROM u
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, src_id
                      ROWS UNBOUNDED PRECEDING)
-    )
+    )"""
+
+
+@register(
+    "j5_asof_join",
+    oracle=f"""
+    WITH {_sql_asof_cte("view", "purchase", "view")}
     SELECT src_id AS purchase_id, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
            view_id, view_ts_us
@@ -203,22 +212,7 @@ ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # attribution expiry: 7 days
 @register(
     "events_attribution",
     oracle=f"""
-    WITH u AS (
-        SELECT user_id, ts, event_id AS src_id, 0 AS kind,
-               CAST(epoch_us(ts) AS BIGINT) AS vts, event_id AS vid
-        FROM events WHERE event_type = 'click'
-        UNION ALL
-        SELECT user_id, ts, event_id, 1, NULL, NULL
-        FROM events WHERE event_type = 'purchase'
-    ),
-    m AS (
-        SELECT user_id, ts, src_id, kind,
-               last_value(vid IGNORE NULLS) OVER w AS click_id,
-               last_value(vts IGNORE NULLS) OVER w AS click_ts_us
-        FROM u
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, src_id
-                     ROWS UNBOUNDED PRECEDING)
-    )
+    WITH {_sql_asof_cte("click", "purchase", "click")}
     SELECT src_id AS purchase_id, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS purchase_ts_us,
            CASE WHEN CAST(epoch_us(ts) AS BIGINT) - click_ts_us

@@ -42,3 +42,32 @@ def test_ewma_plan_shuffles_once_on_user(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1, "grouped map must shuffle exactly once"
+
+
+def test_ewma_kernel_exact_on_constant_runs():
+    """Regression for the pandas .ewm() constant-series short-circuit:
+    pandas keeps ewma == value bit-exactly on equal-valued runs while the
+    plain recurrence lands 1 ulp off (0.7*3+0.3*3 = 2.9999999999999996).
+    The kernel must follow the PLAIN recurrence exactly — that is the
+    sequence the recursive-CTE oracle replays."""
+    import pandas as pd
+
+    from nrg_etl_airflow_spark_emr_spark.operators.grouped import _ewma_group
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]),
+            "value": [3.0, 3.0, 5.0, 5.0],
+        }
+    )
+    got = list(_ewma_group(pdf)["ewma"])
+    beta = 1.0 - EWMA_ALPHA
+    y = 3.0
+    want = [y]
+    for x in [3.0, 5.0, 5.0]:
+        y = beta * y + EWMA_ALPHA * x
+        want.append(y)
+    assert got == want  # EXACT — no tolerance
+    assert got[1] != 3.0, "constant-run short-circuit crept back in"
