@@ -805,3 +805,51 @@ def w9_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_7d"),
         F.sum("cents").over(w).alias("cents_7d"),
     )
+
+
+@register(
+    "w10_gaps_islands",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    anchored AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM ud
+    )
+    SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS INTEGER) AS run_days
+    FROM anchored
+    GROUP BY user_id, anchor
+    """,
+    tags=("window", "temporal"),
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE calendar days with "
+    "activity per user — the classic streak query (sessionize cuts on "
+    "elapsed-time gaps; this cuts on calendar discontinuity, which no "
+    "gap threshold can express). The textbook trick: day minus the "
+    "per-user day-rank is constant exactly within a consecutive run, so "
+    "one window plus one groupBy finds every island. Activity collapses "
+    "to user-day grain FIRST, so the window input is bounded by active "
+    "days, not events, and both the window and the island aggregation "
+    "reuse the same user_id exchange.",
+)
+def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    anchored = ud.select("user_id", "day", F.date_sub("day", rn).alias("anchor"))
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("int").alias("run_days"),
+        )
+        .drop("anchor")
+    )

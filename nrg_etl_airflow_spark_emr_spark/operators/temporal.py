@@ -536,6 +536,72 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rfm_segments",
+    oracle="""
+    WITH g AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS asof_day FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(max(date_trunc('day', ts)) AS DATE),
+                              (SELECT asof_day FROM g)) AS INTEGER) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+           CAST(NTILE(3) OVER (ORDER BY recency_days, user_id) * 100
+              + NTILE(3) OVER (ORDER BY frequency DESC, user_id) * 10
+              + NTILE(3) OVER (ORDER BY monetary_cents DESC, user_id)
+              AS INTEGER) AS segment
+    FROM base
+    """,
+    tags=("temporal", "window", "agg"),
+    doc="RFM customer segmentation: per-user recency (days since last "
+    "purchase, against the corpus max day), frequency, and exact "
+    "fixed-point monetary cents, each cut into terciles and composed "
+    "into a 3-digit segment code (111 = best). NTILE over a total order "
+    "(metric, then user_id) is deterministic in both engines. The "
+    "tercile windows here are unpartitioned over the USER-grain frame; "
+    "at 100 TB users outgrow one task, so the windows decompose exactly "
+    "like train_epoch_order's global rank (hash-range buckets + "
+    "broadcast offsets) — the aggregation below them already shuffles "
+    "only user-grain rows.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    p = ev.filter(F.col("event_type") == "purchase")
+    asof = p.agg(F.max(day).alias("asof"))
+    base = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(day).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "user_id",
+            F.datediff("asof", "last_day").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_t = F.ntile(3).over(Window.orderBy("recency_days", "user_id"))
+    f_t = F.ntile(3).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m_t = F.ntile(3).over(Window.orderBy(F.col("monetary_cents").desc(), "user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (r_t * 100 + f_t * 10 + m_t).cast("int").alias("segment"),
+    )
+
+
+@register(
     "events_transition_counts",
     oracle="""
     WITH s AS (

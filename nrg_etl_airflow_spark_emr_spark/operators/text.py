@@ -1155,3 +1155,57 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_VOCAB_BUCKET = 50  # docs per growth-curve bucket
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    first_seen AS (
+        SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY word
+    ),
+    bucketed AS (
+        SELECT first_doc // {_VOCAB_BUCKET} AS bucket, COUNT(*) AS new_words
+        FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(bucket * {_VOCAB_BUCKET} AS BIGINT) AS bucket_start,
+           CAST(new_words AS BIGINT) AS new_words,
+           CAST(SUM(new_words) OVER (
+               ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_vocab
+    FROM bucketed
+    """,
+    tags=("text", "agg", "window"),
+    doc=f"Vocabulary growth curve (Heaps'-law measurement): how many NEW "
+    f"distinct words each {_VOCAB_BUCKET}-document slab of the corpus "
+    "contributes, plus the cumulative vocabulary — the curve that tells "
+    "a data pipeline whether more data still buys lexical diversity or "
+    "the corpus has saturated (near-dup floods flatten it instantly, "
+    "so it doubles as a cheap dedup canary). Distinctness is structural, "
+    "as in events_cumulative_users: each word collapses to its FIRST "
+    "document (one groupBy on the word — the only data-sized exchange), "
+    "and the running sum runs on the bucket-grain frame, sized by "
+    "corpus/50, not by tokens.",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    first_seen = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    bucketed = first_seen.groupBy(
+        (F.col("first_doc") / _VOCAB_BUCKET).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_words"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        (F.col("bucket") * _VOCAB_BUCKET).alias("bucket_start"),
+        "new_words",
+        F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    )

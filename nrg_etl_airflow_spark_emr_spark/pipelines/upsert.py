@@ -295,3 +295,59 @@ def upsert_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["segment"],
         effective_col="eff",
     ).select("custkey", "segment", "valid_from", "valid_to")
+
+
+_IVM_SPLIT = "1997-06-01"  # orders before this date are the materialized state
+
+
+@register(
+    "upsert_incremental_agg",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 AS total_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("upsert", "incremental", "agg"),
+    doc="Incremental aggregate maintenance (IVM): the per-customer order "
+    "count and exact fixed-point revenue are maintained as STATE + DELTA "
+    "— the 'materialized' aggregate over history (orders before "
+    f"{_IVM_SPLIT}) is combined with the increment's partial aggregate "
+    "by a full-outer merge that SUMS commutative partials, never "
+    "recomputing history. The oracle aggregates everything from scratch; "
+    "matching it proves the merge law (count and fixed-point-sum are "
+    "both commutative monoids, so state ⊎ delta ≡ full recompute — the "
+    "property that makes a daily 100 TB rollup cost one increment, not "
+    "one table scan). Averages/ratios derive from maintained sums at "
+    "read time; non-decomposable aggs (exact median) need the scan and "
+    "are excluded by construction.",
+)
+def upsert_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    fp = F.floor(F.col("o_totalprice") * 10000)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(fp).alias("s")
+        )
+
+    state = partial(orders.filter(F.col("o_orderdate") < F.lit(_IVM_SPLIT)))
+    delta = partial(orders.filter(F.col("o_orderdate") >= F.lit(_IVM_SPLIT)))
+    s = state.select(
+        F.col("o_custkey"), F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    d = delta.select(
+        F.col("o_custkey"), F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    merged = s.join(d, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n_orders"),
+        (
+            (F.coalesce("s_a", F.lit(0)) + F.coalesce("s_b", F.lit(0))).cast("double")
+            / 10000
+        ).alias("total_price"),
+    )
+    return merged
