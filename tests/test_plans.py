@@ -523,3 +523,42 @@ def test_tfidf_pairs_reads_weights_from_cache(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3, (
         "join sides and norms must consume the cached tf-idf weights"
     )
+
+
+def test_gaps_islands_collapses_before_window(spark, sf_dir):
+    """w10_gaps_islands must aggregate events to user-day grain BEFORE the
+    ranking window — the window input is bounded by active days, and no
+    nested-loop shape may appear."""
+    plan = _plan(spark, sf_dir, "w10_gaps_islands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The day-grain collapse is a distinct (HashAggregate pair) feeding
+    # the window; the window must not sit directly on the raw scan.
+    assert plan.index("Window") < plan.index("Scan parquet"), (
+        "plan prints top-down: the window must consume the aggregated frame"
+    )
+    assert "HashAggregate" in plan[plan.index("Window"):], (
+        "no user-day collapse below the window"
+    )
+
+
+def test_vocab_growth_single_data_exchange(spark, sf_dir):
+    """text_vocab_growth's only data-sized exchange is the word groupBy;
+    the cumulative window runs on the bucket-grain frame."""
+    spark.catalog.clearCache()
+    df = SPECS["text_vocab_growth"].builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    shuffles = {
+        _re.search(r"plan_id=(\d+)", line).group(1)
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+        and "plan_id=" in line
+    }
+    # spread() round-robin + word groupBy + bucket groupBy + the tiny
+    # single-partition window exchange: anything beyond that regressed.
+    assert len(shuffles) <= 4, f"vocab growth regressed to {len(shuffles)} shuffles"
