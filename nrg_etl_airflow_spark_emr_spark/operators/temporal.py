@@ -570,16 +570,20 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only user-grain rows.",
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import fixed
+
     ev = t(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("date")
     p = ev.filter(F.col("event_type") == "purchase")
-    asof = p.agg(F.max(day).alias("asof"))
+    # Recency anchors to the corpus max day over ALL events (matching the
+    # oracle): the last observed day need not contain a purchase.
+    asof = ev.agg(F.max(day).alias("asof"))
     base = (
         p.groupBy("user_id")
         .agg(
             F.max(day).alias("last_day"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("monetary_cents"),
+            F.sum(fixed("value", 2)).cast("long").alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(asof))
         .select(

@@ -193,7 +193,7 @@ def scd2_apply(
 # Catalog query twins: driver-visible evidence for the merge kernels above.
 # ---------------------------------------------------------------------------
 
-from ..operators._util import t            # noqa: E402
+from ..operators._util import fixed, sql_dsum, t  # noqa: E402
 from ..plans.catalog import register       # noqa: E402
 
 
@@ -302,10 +302,9 @@ _IVM_SPLIT = "1997-06-01"  # orders before this date are the materialized state
 
 @register(
     "upsert_incremental_agg",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
-               / 10000 AS total_price
+           {sql_dsum("o_totalprice", "total_price")}
     FROM orders
     GROUP BY o_custkey
     """,
@@ -327,7 +326,7 @@ def upsert_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    fp = F.floor(F.col("o_totalprice") * 10000)
+    fp = fixed("o_totalprice")  # the shared scale-4 parity convention
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_custkey").agg(

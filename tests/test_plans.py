@@ -17,6 +17,29 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _shuffle_ids(spark, sf_dir, name: str) -> tuple[set, str]:
+    """Distinct data-shuffle plan_ids + the printed plan, AFTER running the
+    query once (clearCache first): cached subtrees re-print their
+    exchanges once per InMemoryTableScan reference, so dedup by plan_id —
+    and the run materializes caches so the plan shows InMemoryTableScan
+    where reuse is being asserted."""
+    import re
+
+    spark.catalog.clearCache()
+    df = SPECS[name].builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ids = {
+        m.group(1)
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+        and (m := re.search(r"plan_id=(\d+)", line))
+    }
+    return ids, plan
+
+
 def test_flagship_broadcasts_dimension_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "flagship_revenue_by_month")
     assert "BroadcastHashJoin" in plan, "orders-side join should broadcast"
@@ -405,23 +428,7 @@ def test_jaccard_prefix_bounded_exchanges(spark, sf_dir):
     window-based prefix selection, verify on the unsorted cached arrays —
     must stay within its budget: df agg + df join + per-doc window +
     candidate self-join + distinct + two scoring joins."""
-    spark.catalog.clearCache()
-    df = SPECS["dedup_jaccard_prefix"].builder(spark, sf_dir)
-    df.count()  # inspect the POST-AQE final plan (the initial plan
-    # re-prints every cached subtree per reference, inflating the count)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    import re as _re
-
-    # Dedup by plan_id: the printed tree repeats a cached subtree's
-    # exchanges once per InMemoryTableScan reference.
-    shuffles = {
-        _re.search(r"plan_id=(\d+)", line).group(1)
-        for line in plan.splitlines()
-        if "Exchange" in line
-        and "ReusedExchange" not in line
-        and "BroadcastExchange" not in line
-        and "plan_id=" in line
-    }
+    shuffles, plan = _shuffle_ids(spark, sf_dir, "dedup_jaccard_prefix")
     assert len(shuffles) <= 6, f"prefix plan regressed to {len(shuffles)} shuffles"
     assert plan.count("InMemoryTableScan") >= 3, (
         "postings, and both verify sides, must consume the shared hashed cache"
@@ -496,20 +503,7 @@ def test_attribution_is_single_exchange_asof(spark, sf_dir):
     """events_attribution rides the sort-based union+window asof kernel:
     one user_id exchange, no join between the purchase and click sides
     (the union replaces it)."""
-    spark.catalog.clearCache()
-    df = SPECS["events_attribution"].builder(spark, sf_dir)
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    import re as _re
-
-    shuffles = {
-        _re.search(r"plan_id=(\d+)", line).group(1)
-        for line in plan.splitlines()
-        if "Exchange" in line
-        and "ReusedExchange" not in line
-        and "BroadcastExchange" not in line
-        and "plan_id=" in line
-    }
+    shuffles, plan = _shuffle_ids(spark, sf_dir, "events_attribution")
     assert len(shuffles) <= 1, f"asof attribution regressed to {len(shuffles)} shuffles"
     assert "Join" not in plan, "union-window kernel must not plan a join"
 
@@ -545,20 +539,7 @@ def test_gaps_islands_collapses_before_window(spark, sf_dir):
 def test_vocab_growth_single_data_exchange(spark, sf_dir):
     """text_vocab_growth's only data-sized exchange is the word groupBy;
     the cumulative window runs on the bucket-grain frame."""
-    spark.catalog.clearCache()
-    df = SPECS["text_vocab_growth"].builder(spark, sf_dir)
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    import re as _re
-
-    shuffles = {
-        _re.search(r"plan_id=(\d+)", line).group(1)
-        for line in plan.splitlines()
-        if "Exchange" in line
-        and "ReusedExchange" not in line
-        and "BroadcastExchange" not in line
-        and "plan_id=" in line
-    }
+    shuffles, _ = _shuffle_ids(spark, sf_dir, "text_vocab_growth")
     # spread() round-robin + word groupBy + bucket groupBy + the tiny
     # single-partition window exchange: anything beyond that regressed.
     assert len(shuffles) <= 4, f"vocab growth regressed to {len(shuffles)} shuffles"
