@@ -380,6 +380,100 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.filter(F.col("containment") >= CONTAIN_THRESHOLD)
 
 
+def _sql_containment_lsh_oracle() -> str:
+    band_arms = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_arms.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_arms)
+    return f"""
+    WITH {_SQL_SHINGLES_CTE},
+    {_SQL_SIG_CTE},
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+        SELECT c.d1, c.d2, COUNT(*) AS n_common
+        FROM cand c
+        JOIN ex a ON a.doc_id = c.d1
+        JOIN ex b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY c.d1, c.d2
+    ),
+    scored AS (
+        SELECT d1 AS doc_sub, d2 AS doc_sup,
+               CAST(n_common AS DOUBLE) / s1.sz AS containment
+        FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        UNION ALL
+        SELECT d2 AS doc_sub, d1 AS doc_sup,
+               CAST(n_common AS DOUBLE) / s2.sz AS containment
+        FROM inter JOIN sizes s2 ON d2 = s2.doc_id
+    )
+    SELECT doc_sub, doc_sup, containment
+    FROM scored WHERE containment >= {CONTAIN_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_containment_lsh",
+    oracle=_sql_containment_lsh_oracle(),
+    tags=("dedup", "sketch"),
+    doc="LSH-routed containment — the scale path dedup_containment_pairs' "
+    "docstring promises: MinHash band keys generate the candidate pairs "
+    "(the only wide shuffle is keyed on band hashes, fan-in bounded), "
+    "then EXACT containment scores both directions of each candidate "
+    "from the cached hashed-shingle arrays — no all-pairs inverted-index "
+    "join anywhere. Same verify arithmetic as the exact op (integer "
+    "intersection / |A| in one IEEE division). Recall caveat is "
+    "MinHash's own, amplified for asymmetric pairs: a short doc inside "
+    "a much longer one has Jaccard ~ |A|/|B| and band-collision "
+    "probability follows JACCARD, not containment — so at extreme "
+    "length ratios route candidates by a containment-aware scheme "
+    "(e.g. band the SHORTER doc's prefix shingles) instead; the "
+    "candidate stage is the swappable half of this operator.",
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cand = _lsh_candidates(spark, sf_dir)
+    hashed = _hashed_shingles(spark, sf_dir)
+    h1 = hashed.select(F.col("doc_id").alias("d1"), F.col("hs_arr").alias("a1"))
+    h2 = hashed.select(F.col("doc_id").alias("d2"), F.col("hs_arr").alias("a2"))
+    n_common = F.size(F.array_intersect("a1", "a2"))
+    paired = (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .select("d1", "d2", n_common.alias("n_common"),
+                F.size("a1").alias("sz1"), F.size("a2").alias("sz2"))
+    )
+    both = paired.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("doc_sub"),
+                    F.col("d2").alias("doc_sup"),
+                    (F.col("n_common").cast("double") / F.col("sz1")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("d2").alias("doc_sub"),
+                    F.col("d1").alias("doc_sup"),
+                    (F.col("n_common").cast("double") / F.col("sz2")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return both.filter(F.col("containment") >= CONTAIN_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
@@ -433,18 +527,9 @@ def _sql_lsh_oracle() -> str:
     """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_sql_lsh_oracle(),
-    tags=("dedup", "sketch"),
-    bench=True,
-    doc=f"MinHash-LSH near-dup pairs: {LSH_BANDS} bands × {LSH_ROWS} rows; "
-    "candidates share a band key, scored by signature agreement. This is "
-    "the 100 TB dedup path: the only shuffle wider than (id, signature) "
-    "is keyed on band hashes, so matching cost tracks the number of true "
-    "near-dup candidates, not n².",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidates(spark: SparkSession, sf_dir: str):
+    """(cached signatures, band-keyed candidate pairs d1<d2) — the shared
+    candidate-generation stage for every LSH-routed dedup scorer."""
     sig = _signatures(spark, sf_dir).cache()
     # One pass over sig (not a LSH_BANDS-way union): posexplode an array of
     # per-band keys. Band id comes free as the array position.
@@ -471,6 +556,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    return sig, cand
+
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_lsh_oracle(),
+    tags=("dedup", "sketch"),
+    bench=True,
+    doc=f"MinHash-LSH near-dup pairs: {LSH_BANDS} bands × {LSH_ROWS} rows; "
+    "candidates share a band key, scored by signature agreement. This is "
+    "the 100 TB dedup path: the only shuffle wider than (id, signature) "
+    "is keyed on band hashes, so matching cost tracks the number of true "
+    "near-dup candidates, not n².",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig, cand = _lsh_candidates(spark, sf_dir)
     s1 = sig.alias("s1")
     s2 = sig.alias("s2")
     matches = reduce(
