@@ -543,3 +543,19 @@ def test_vocab_growth_single_data_exchange(spark, sf_dir):
     # spread() round-robin + word groupBy + bucket groupBy + the tiny
     # single-partition window exchange: anything beyond that regressed.
     assert len(shuffles) <= 4, f"vocab growth regressed to {len(shuffles)} shuffles"
+
+
+def test_containment_lsh_is_keyed_and_reads_caches(spark, sf_dir):
+    """dedup_containment_lsh must stay band-keyed + cache-fed: no
+    nested-loop/cartesian anywhere, and both the signature frame (for
+    candidates) and the hashed-shingle frame (for the directional verify)
+    must be consumed from cache."""
+    spark.catalog.clearCache()
+    df = SPECS["dedup_containment_lsh"].builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "candidate sides and verify arrays must come from the caches"
+    )
