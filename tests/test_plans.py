@@ -559,3 +559,29 @@ def test_containment_lsh_is_keyed_and_reads_caches(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3, (
         "candidate sides and verify arrays must come from the caches"
     )
+
+
+def test_bucketed_join_query_is_shuffle_free_on_join(spark, sf_dir):
+    """snk_bucketed_join's fact-fact join must read bucket layout from the
+    table metadata and skip the join exchange entirely; the only
+    hash-partitioning exchange left is the priority aggregation's. The
+    fixture's orders side is broadcast-sized, so disable broadcast to
+    surface the bucket-SMJ the query relies on at fact-fact scale."""
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(k, "-1")
+    try:
+        plan = _plan(spark, sf_dir, "snk_bucketed_join")
+    finally:
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.unset(k)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan, "scan must report bucket pruning info"
+    assert plan.count("Exchange hashpartitioning") <= 1, (
+        "bucketed join sides must not re-shuffle on the join key"
+    )
