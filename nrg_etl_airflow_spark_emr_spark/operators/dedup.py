@@ -313,6 +313,35 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_THRESHOLD = 0.7
 
 
+def _score_both_directions(paired: DataFrame) -> DataFrame:
+    """(d1, d2, n_common, sz1, sz2) → thresholded directional containment
+    rows (doc_sub, doc_sup, containment). One explode per pair row — a
+    union of two branches would re-run the whole upstream join per branch
+    (measured ~6x; see SCALE.md 'plan traps'). Shared by the exact and
+    LSH-routed containment ops so the scoring shape cannot drift."""
+    both = paired.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("doc_sub"),
+                    F.col("d2").alias("doc_sup"),
+                    (F.col("n_common").cast("double") / F.col("sz1")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("d2").alias("doc_sub"),
+                    F.col("d1").alias("doc_sup"),
+                    (F.col("n_common").cast("double") / F.col("sz2")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return both.filter(F.col("containment") >= CONTAIN_THRESHOLD)
+
+
 @register(
     "dedup_containment_pairs",
     oracle=f"""
@@ -351,36 +380,21 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, inter = _pair_intersections(spark, sf_dir)
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
-    # Join both sizes once, then explode the two directional scores from
-    # the SAME pair row — a union of two branches would re-run the whole
-    # inverted-index self-join per branch (measured ~6x wall-clock).
-    paired = inter.join(s1, F.col("d1") == F.col("s1.doc_id")).join(
-        s2, F.col("d2") == F.col("s2.doc_id")
+    paired = (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1", "d2", "n_common",
+            F.col("s1.sz").alias("sz1"), F.col("s2.sz").alias("sz2"),
+        )
     )
-    both = paired.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("d1").alias("doc_sub"),
-                    F.col("d2").alias("doc_sup"),
-                    (F.col("n_common").cast("double") / F.col("s1.sz")).alias(
-                        "containment"
-                    ),
-                ),
-                F.struct(
-                    F.col("d2").alias("doc_sub"),
-                    F.col("d1").alias("doc_sup"),
-                    (F.col("n_common").cast("double") / F.col("s2.sz")).alias(
-                        "containment"
-                    ),
-                ),
-            )
-        ).alias("x")
-    ).select("x.*")
-    return both.filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    return _score_both_directions(paired)
 
 
-def _sql_containment_lsh_oracle() -> str:
+def _sql_band_cte() -> str:
+    """The band-key UNION over sig — single SQL source of the LSH band
+    layout, kept in lockstep with the Spark-side keys in _lsh_candidates.
+    Used by both the minhash-LSH and containment-LSH oracles."""
     band_arms = []
     for b in range(LSH_BANDS):
         cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
@@ -388,7 +402,11 @@ def _sql_containment_lsh_oracle() -> str:
         band_arms.append(
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
-    bands = " UNION ALL ".join(band_arms)
+    return " UNION ALL ".join(band_arms)
+
+
+def _sql_containment_lsh_oracle() -> str:
+    bands = _sql_band_cte()
     return f"""
     WITH {_SQL_SHINGLES_CTE},
     {_SQL_SIG_CTE},
@@ -451,27 +469,7 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", n_common.alias("n_common"),
                 F.size("a1").alias("sz1"), F.size("a2").alias("sz2"))
     )
-    both = paired.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("d1").alias("doc_sub"),
-                    F.col("d2").alias("doc_sup"),
-                    (F.col("n_common").cast("double") / F.col("sz1")).alias(
-                        "containment"
-                    ),
-                ),
-                F.struct(
-                    F.col("d2").alias("doc_sub"),
-                    F.col("d1").alias("doc_sup"),
-                    (F.col("n_common").cast("double") / F.col("sz2")).alias(
-                        "containment"
-                    ),
-                ),
-            )
-        ).alias("x")
-    ).select("x.*")
-    return both.filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    return _score_both_directions(paired)
 
 
 # ---------------------------------------------------------------------------
@@ -496,14 +494,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lsh_oracle() -> str:
-    band_arms = []
-    for b in range(LSH_BANDS):
-        cols = [f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_arms.append(
-            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
-        )
-    bands = " UNION ALL ".join(band_arms)
+    bands = _sql_band_cte()
     matches = " + ".join(
         f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
     )

@@ -194,9 +194,22 @@ _BUCKETS = 8
     "sessions never collide in the shared metastore.",
 )
 def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     key = hashlib.md5(
         (spark.sparkContext.applicationId + sf_dir).encode()
     ).hexdigest()[:8]
+    # Reap PRIOR applications' leftovers: the per-app suffix prevents
+    # live-session collisions but would otherwise accumulate one table
+    # pair + two /tmp data dirs per application forever. Any bq_* table
+    # with a different suffix belongs to a dead app — drop it and its dir.
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("bq_") and not tbl.name.endswith(f"_{key}"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            shutil.rmtree(
+                os.path.join(tempfile.gettempdir(), f"bt_{tbl.name}"),
+                ignore_errors=True,
+            )
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     names = {}

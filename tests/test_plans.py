@@ -567,19 +567,21 @@ def test_bucketed_join_query_is_shuffle_free_on_join(spark, sf_dir):
     hash-partitioning exchange left is the priority aggregation's. The
     fixture's orders side is broadcast-sized, so disable broadcast to
     surface the bucket-SMJ the query relies on at fact-fact scale."""
-    for k in (
+    keys = (
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    ):
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
         spark.conf.set(k, "-1")
     try:
         plan = _plan(spark, sf_dir, "snk_bucketed_join")
     finally:
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        ):
-            spark.conf.unset(k)
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert "SortMergeJoin" in plan
     assert "SelectedBucketsCount" in plan, "scan must report bucket pruning info"
     assert plan.count("Exchange hashpartitioning") <= 1, (
