@@ -1,0 +1,87 @@
+"""Driver-window rotation rules (plans/catalog.py).
+
+The ordering of all_specs() IS the evidence policy: the external driver
+checks only the first 50 entries per round. A bug here silently wastes a
+whole round of correctness evidence (round 2 lost a slot to an
+unscoreable rows-only spec), so the rules are pinned against synthetic
+CORRECTNESS records:
+
+1. a fully-green oracle row is terminal (drops behind pending queries);
+2. a FAILED oracle row keeps (regains) a window slot;
+3. a rows-only ``no_oracle`` row is terminal (the driver can never score
+   it better);
+4. a rows-only row with an EXPLICIT False verdict keeps its slot;
+5. pending rows-only specs sort behind every pending oracle-gated spec.
+"""
+
+from __future__ import annotations
+
+import glob as glob_mod
+import json
+
+from nrg_etl_airflow_spark_emr_spark.plans import catalog as cat
+
+
+def _with_records(tmp_path, monkeypatch, records: dict) -> list[str]:
+    p = tmp_path / "CORRECTNESS_r99.json"
+    p.write_text(json.dumps(records))
+    monkeypatch.setattr(glob_mod, "glob", lambda pattern: [str(p)])
+    return list(cat.all_specs())
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+FAILED = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+NO_ORACLE = {
+    "rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"
+}
+ROWS_ONLY_FAIL = {"rows_match": False, "schema_match": None, "hash_match": None}
+
+
+def test_green_oracle_row_is_terminal(tmp_path, monkeypatch):
+    ordered = _with_records(
+        tmp_path, monkeypatch, {"q1_pricing_summary": GREEN}
+    )
+    # Terminal queries sort behind pending ones.
+    assert ordered.index("q1_pricing_summary") > ordered.index("q3_shipping_priority")
+
+
+def test_failed_oracle_row_keeps_window_slot(tmp_path, monkeypatch):
+    ordered = _with_records(
+        tmp_path, monkeypatch,
+        {"q1_pricing_summary": GREEN, "q3_shipping_priority": FAILED},
+    )
+    assert ordered.index("q3_shipping_priority") < ordered.index("q1_pricing_summary")
+    green = cat._driver_green_names()
+    assert "q1_pricing_summary" in green
+    assert "q3_shipping_priority" not in green
+
+
+def test_no_oracle_row_is_terminal_for_rows_only_spec(tmp_path, monkeypatch):
+    _with_records(tmp_path, monkeypatch, {"approx_sketches": NO_ORACLE})
+    assert "approx_sketches" in cat._driver_green_names()
+
+
+def test_explicit_false_keeps_rows_only_spec_pending(tmp_path, monkeypatch):
+    _with_records(tmp_path, monkeypatch, {"sim_knn_pq": ROWS_ONLY_FAIL})
+    assert "sim_knn_pq" not in cat._driver_green_names()
+
+
+def test_pending_rows_only_sorts_behind_pending_oracle_gated(tmp_path, monkeypatch):
+    ordered = _with_records(tmp_path, monkeypatch, {})
+    last_pending_oracle = max(
+        i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is not None
+    )
+    first_rows_only = min(
+        i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None
+    )
+    # With no evidence at all, every spec is pending: all rows-only specs
+    # must trail all oracle-gated ones.
+    assert first_rows_only > last_pending_oracle - len(
+        [n for n in ordered if cat._REGISTRY[n].oracle is None]
+    )
+    rows_only = [i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None]
+    oracle = [i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is not None]
+    assert min(rows_only) > max(oracle) - len(rows_only), (
+        "rows-only specs must occupy the tail positions"
+    )
+    assert rows_only == list(range(min(rows_only), min(rows_only) + len(rows_only)))
