@@ -41,6 +41,42 @@ _AGG_ORACLE = f"""
     """
 
 
+_REAP_AGE_S = 6 * 3600
+
+
+def _reap_stale_dirs(keep_fragment: str) -> None:
+    """Remove prior applications' round-trip (rt_*) and bucketed-table
+    (bt_*) temp dirs by filesystem listing + age. The catalog is NOT a
+    valid discovery channel for this: under the default in-memory catalog
+    a new application's listTables() never sees a dead app's bq_* tables,
+    and under a shared persistent metastore a different app-suffix could
+    belong to a concurrently LIVE application — so ownership is decided
+    by (a) the current app's id/key appearing in the dir name (never
+    reaped) and (b) mtime older than _REAP_AGE_S (a dir untouched for
+    6h belongs to a finished run; live queries rewrite their dirs every
+    execution)."""
+    import shutil
+    import time
+
+    root = tempfile.gettempdir()
+    now = time.time()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if not (name.startswith("rt_") or name.startswith("bt_")):
+            continue
+        if keep_fragment in name:
+            continue
+        path = os.path.join(root, name)
+        try:
+            if now - os.path.getmtime(path) > _REAP_AGE_S:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def _roundtrip_dir(spark: SparkSession, fmt: str, sf_dir: str) -> str:
     # Keyed on the Spark applicationId as well as (format, sf): two
     # concurrent sessions running the same round-trip would otherwise race
@@ -48,6 +84,7 @@ def _roundtrip_dir(spark: SparkSession, fmt: str, sf_dir: str) -> str:
     # session the path is stable, so re-runs exercise mode=overwrite.
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId
+    _reap_stale_dirs(app)
     return os.path.join(tempfile.gettempdir(), f"rt_{app}_{fmt}_{key}")
 
 
@@ -191,25 +228,20 @@ _BUCKETS = 8
     "aggregate matches the plain-join oracle, and the shuffle-free plan "
     "is pinned in tests (the only exchange left is the priority "
     "aggregation's). Tables are per-application-suffixed so concurrent "
-    "sessions never collide in the shared metastore.",
+    "sessions never collide in a shared metastore; dead apps' bt_* data "
+    "dirs are reaped by filesystem age (catalog listTables() cannot see "
+    "them under the default in-memory catalog, and under a shared "
+    "metastore a different suffix may belong to a LIVE app).",
 )
 def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     key = hashlib.md5(
         (spark.sparkContext.applicationId + sf_dir).encode()
     ).hexdigest()[:8]
-    # Reap PRIOR applications' leftovers: the per-app suffix prevents
-    # live-session collisions but would otherwise accumulate one table
-    # pair + two /tmp data dirs per application forever. Any bq_* table
-    # with a different suffix belongs to a dead app — drop it and its dir.
-    for tbl in spark.catalog.listTables():
-        if tbl.name.startswith("bq_") and not tbl.name.endswith(f"_{key}"):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
-            shutil.rmtree(
-                os.path.join(tempfile.gettempdir(), f"bt_{tbl.name}"),
-                ignore_errors=True,
-            )
+    # Reap PRIOR applications' leftover bt_* data dirs (age-based; the
+    # per-app suffix prevents live-session collisions but would otherwise
+    # accumulate two /tmp data dirs per application forever). Catalog
+    # entries need no reaping: the in-memory catalog dies with its app.
+    _reap_stale_dirs(key)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     names = {}

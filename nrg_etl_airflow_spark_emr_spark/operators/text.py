@@ -790,6 +790,12 @@ def text_tfidf_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a fresh 37 MB broadcast per call would pin executor storage
     # monotonically. One broadcast per sf_dir is the leak ceiling.
     key = (spark.sparkContext.applicationId, sf_dir)
+    # Evict dead applications' entries on access: a stopped session's
+    # Broadcast handle (and its driver-side matrix tuple) would otherwise
+    # stay pinned for the life of the Python process. Bounds the dict to
+    # the live app's sf_dirs.
+    for stale in [k for k in _TFIDF_BC_CACHE if k[0] != key[0]]:
+        del _TFIDF_BC_CACHE[stale]
     bc = _TFIDF_BC_CACHE.get(key)
     if bc is None:
         bc = spark.sparkContext.broadcast((ids, mat, sq))
@@ -1200,8 +1206,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     first_seen = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    # F.floor(x / N), not (x / N).cast('long'): double-divide-then-
+    # truncate only matches the oracle's integer floor division for
+    # non-negative keys; floor matches it on the full integer domain.
     bucketed = first_seen.groupBy(
-        (F.col("first_doc") / _VOCAB_BUCKET).cast("long").alias("bucket")
+        F.floor(F.col("first_doc") / _VOCAB_BUCKET).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("new_words"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return bucketed.select(

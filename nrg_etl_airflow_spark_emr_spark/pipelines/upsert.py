@@ -250,17 +250,26 @@ _SCD2_EPOCH = "DATE '1992-01-01'"  # dimension load date (before all orders)
                    ORDER BY o_orderdate DESC, o_orderpriority DESC) AS rn
         FROM orders
     ),
-    w AS (SELECT custkey, segment, eff FROM u WHERE rn = 1)
+    w AS (SELECT custkey, segment, eff FROM u WHERE rn = 1),
+    -- scd2_apply is no-op-safe: an update whose attrs equal the current
+    -- row's leaves history untouched. Mirror that changed-predicate here
+    -- (fixture columns are non-null, so <> matches ~eqNullSafe) instead
+    -- of assuming segment domains never collide.
+    ch AS (
+        SELECT w.custkey, w.segment, w.eff, c.c_mktsegment AS old_segment
+        FROM w JOIN customer c ON w.custkey = c.c_custkey
+        WHERE w.segment <> c.c_mktsegment
+    )
     SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
            {_SCD2_EPOCH} AS valid_from, CAST(NULL AS DATE) AS valid_to
-    FROM customer c LEFT JOIN w ON w.custkey = c.c_custkey
-    WHERE w.custkey IS NULL
+    FROM customer c LEFT JOIN ch ON ch.custkey = c.c_custkey
+    WHERE ch.custkey IS NULL
     UNION ALL
-    SELECT c.c_custkey, c.c_mktsegment, {_SCD2_EPOCH}, w.eff
-    FROM customer c JOIN w ON w.custkey = c.c_custkey
+    SELECT ch.custkey, ch.old_segment, {_SCD2_EPOCH}, ch.eff
+    FROM ch
     UNION ALL
-    SELECT w.custkey, w.segment, w.eff, CAST(NULL AS DATE)
-    FROM w
+    SELECT ch.custkey, ch.segment, ch.eff, CAST(NULL AS DATE)
+    FROM ch
     """,
     tags=("upsert", "scd2"),
     doc="Slowly-changing-dimension type 2 — the scd2_apply kernel as a "

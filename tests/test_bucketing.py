@@ -60,3 +60,30 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     assert "Exchange hashpartitioning" not in plan, (
         "aggregation on the bucket key reuses the bucketing, no shuffle"
     )
+
+
+def test_reap_stale_dirs_age_and_ownership(tmp_path, monkeypatch):
+    """The bt_*/rt_* reaper works by filesystem listing + age, never via
+    the catalog (which cannot see dead apps' tables under the in-memory
+    catalog): old foreign dirs go, fresh ones and the current app's stay."""
+    import os
+    import time
+
+    import nrg_etl_airflow_spark_emr_spark.operators.formats as fmts
+
+    monkeypatch.setattr(fmts.tempfile, "gettempdir", lambda: str(tmp_path))
+    old = time.time() - fmts._REAP_AGE_S - 60
+    for name, stale in (
+        ("rt_deadapp_csv_x", True),       # foreign + old -> reaped
+        ("bt_bq_orders_feedc0de", True),  # foreign + old -> reaped
+        ("rt_liveapp_csv_x", True),       # current app, old -> kept
+        ("rt_otherapp_csv_x", False),     # foreign but fresh -> kept
+        ("unrelated_dir", True),          # old but not rt_/bt_ -> kept
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        if stale:
+            os.utime(d, (old, old))
+    fmts._reap_stale_dirs("liveapp")
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["rt_liveapp_csv_x", "rt_otherapp_csv_x", "unrelated_dir"]
