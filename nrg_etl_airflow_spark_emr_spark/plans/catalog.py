@@ -169,10 +169,13 @@ _DRIVER_WINDOW_PRIORITY = (
 )
 
 
-def _driver_green_names() -> set[str]:
-    """Names whose driver-side evidence is TERMINAL, i.e. no further
-    window exposure can improve it. Used to auto-rotate the driver
-    window: a terminal query yields its slot to queries that have none.
+def _driver_evidence() -> dict[str, int]:
+    """``name -> round number of the most recent TERMINAL driver row``.
+    Terminal = no further window exposure can improve the evidence. Used
+    to auto-rotate the driver window: a terminal query yields its slot
+    to queries that have none, and among terminal queries the OLDEST
+    evidence re-verifies first (the freshness value here is the sort
+    key for the window's re-check tail).
 
     - Oracle-gated specs: terminal only when a recorded row is fully
       green (rows + schema + hash).
@@ -184,14 +187,20 @@ def _driver_green_names() -> set[str]:
       is therefore the strongest evidence the driver will ever produce;
       treating it as terminal stops these specs from pinning a window
       slot every remaining round. Their real gate is the local oracle
-      mirror + invariant tests."""
+      mirror + invariant tests.
+    - Later rounds override earlier ones per name: a query that goes
+      red AFTER a green round drops its terminal status and regains a
+      window slot until it is green again."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    evidence: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
@@ -208,11 +217,18 @@ def _driver_green_names() -> set[str]:
                 # (False, not null): an unscoreable no_oracle row retires
                 # the spec, but a genuinely failing rows-only check must
                 # keep its window slot until it goes green.
-                if not any(r.get(k) is False for k in keys):
-                    green.add(name)
-            elif all(r.get(k) for k in keys):
-                green.add(name)
-    return green
+                terminal = not any(r.get(k) is False for k in keys)
+            else:
+                terminal = all(r.get(k) for k in keys)
+            if terminal:
+                evidence[name] = rnd
+            else:
+                evidence.pop(name, None)
+    return evidence
+
+
+def _driver_green_names() -> set[str]:
+    return set(_driver_evidence())
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -225,7 +241,10 @@ def all_specs() -> dict[str, QuerySpec]:
     3. rows-only (oracle=None) queries lacking a recorded driver row —
        demoted behind every scoreable query because the driver can only
        record an unscoreable ``no_oracle`` row for them,
-    4. everything with terminal evidence (see _driver_green_names).
+    4. everything with terminal evidence, OLDEST evidence first — the
+       window slots left after the pending queries re-verify the greens
+       whose last driver row is most rounds stale, so long-green queries
+       cycle back through the window instead of never being re-checked.
 
     The demotion makes the window self-rotating across rounds, and a
     query that ever FAILS a driver check keeps (or regains) a window
@@ -239,11 +258,18 @@ def all_specs() -> dict[str, QuerySpec]:
         raise KeyError(f"_DRIVER_WINDOW_PRIORITY names not registered: {missing}")
     base = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY if n in _REGISTRY}
     base.update((n, s) for n, s in _REGISTRY.items() if n not in base)
-    green = _driver_green_names()
+    green = _driver_evidence()
+    base_idx = {n: i for i, n in enumerate(base)}
     pending = [n for n in base if n not in green]
     ordered = {n: base[n] for n in pending if base[n].oracle is not None}
     ordered.update((n, base[n]) for n in pending if base[n].oracle is None)
-    ordered.update((n, s) for n, s in base.items() if n in green)
+    ordered.update(
+        (n, base[n])
+        for n in sorted(
+            (n for n in base if n in green),
+            key=lambda n: (green[n], base_idx[n]),
+        )
+    )
     return ordered
 
 

@@ -85,3 +85,43 @@ def test_pending_rows_only_sorts_behind_pending_oracle_gated(tmp_path, monkeypat
         "rows-only specs must occupy the tail positions"
     )
     assert rows_only == list(range(min(rows_only), min(rows_only) + len(rows_only)))
+
+
+def _with_rounds(tmp_path, monkeypatch, per_round: dict) -> list[str]:
+    """per_round: {round_number: {name: record}} written as separate
+    CORRECTNESS_r{N}.json files, processed in round order."""
+    paths = []
+    for rnd, records in sorted(per_round.items()):
+        p = tmp_path / f"CORRECTNESS_r{rnd:02d}.json"
+        p.write_text(json.dumps(records))
+        paths.append(str(p))
+    monkeypatch.setattr(glob_mod, "glob", lambda pattern: paths)
+    return list(cat.all_specs())
+
+
+def test_terminal_greens_order_oldest_evidence_first(tmp_path, monkeypatch):
+    # q1 last green in r1, q3 refreshed green in r3: the re-check tail
+    # must put q1 (stalest evidence) before q3.
+    ordered = _with_rounds(
+        tmp_path, monkeypatch,
+        {1: {"q1_pricing_summary": GREEN, "q3_shipping_priority": GREEN},
+         3: {"q3_shipping_priority": GREEN}},
+    )
+    assert ordered.index("q1_pricing_summary") < ordered.index("q3_shipping_priority")
+    ev = cat._driver_evidence()
+    assert ev["q1_pricing_summary"] == 1 and ev["q3_shipping_priority"] == 3
+
+
+def test_later_red_overrides_earlier_green(tmp_path, monkeypatch):
+    # Green in r1 but red in r3: the query must regain a window slot.
+    ordered = _with_rounds(
+        tmp_path, monkeypatch,
+        {1: {"q1_pricing_summary": GREEN}, 3: {"q1_pricing_summary": FAILED}},
+    )
+    assert "q1_pricing_summary" not in cat._driver_green_names()
+    # Pending again => sorts with the pending oracle-gated group, i.e.
+    # ahead of every rows-only spec.
+    first_rows_only = min(
+        i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None
+    )
+    assert ordered.index("q1_pricing_summary") < first_rows_only
