@@ -252,10 +252,14 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cached hash frame the all-pairs query uses. Cost vs benefit: the "
     "df-ordering adds one vocab aggregation + posting join + per-doc "
     "window (3 exchanges of bigint postings) to save posting-pair work "
-    "in the candidate join; on the fixture's near-uniform vocabulary the "
-    "two run at parity (BASELINE.md), while on a Zipfian real corpus the "
-    "saved pair work grows with sum(df^2) and the prefix plan wins "
-    "asymptotically — that, not the fixture, is the 100 TB case for it.",
+    "in the candidate join; on the fixture's near-uniform ~50-word "
+    "vocabulary that overhead buys nothing and the prefix plan runs "
+    "2-2.5x SLOWER than the all-pairs sibling (BENCH_r2/r3). The win "
+    "condition is MEASURED, not assumed: on Zipfian corpora "
+    "(scripts/bench_zipf.py; BASELINE.md 'Zipfian crossover') the "
+    "all-pairs join's sum(df^2) blow-up crosses over by 10k docs "
+    "(1.8x faster at s=1.2) and reaches 15x faster at 20k docs — "
+    "that curve, not the fixture, is the 100 TB case for it.",
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_ = JACCARD_THRESHOLD

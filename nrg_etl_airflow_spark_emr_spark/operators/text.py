@@ -588,10 +588,22 @@ TFIDF_TOPK = 3
 
 
 def _tfidf_weights(spark: SparkSession, sf_dir: str):
-    """(w, norms, n_docs): integer bigram tf-idf weights (doc_id, word,
-    df, w) — cached, since every consumer joins it at least twice — and
-    per-doc squared norms. Shared by text_tfidf_pairs (exact inverted
-    index) and text_tfidf_topk_capped (rare-term candidates + re-rank)."""
+    """(w, norms, n_docs, dot_sum): integer bigram tf-idf weights
+    (doc_id, word, df, w) — cached, since every consumer joins it at
+    least twice — per-doc squared norms, and the dot-product aggregator
+    to use for pair scoring. Shared by text_tfidf_pairs (exact inverted
+    index) and text_tfidf_topk_capped (rare-term candidates + re-rank).
+
+    ``dot_sum(a, b)`` accumulates Σ a*b in BIGINT when the derived bound
+    max_w² · max-postings-per-doc < 2^63 proves every partial sum fits —
+    measured 3× faster than the decimal(38,0) path on the pair
+    aggregation (8.3s vs 26s for 36M products at sf0.1: precision-38
+    decimal falls out of Tungsten's fast arithmetic into BigDecimal).
+    Past the bound it falls back to the decimal accumulator instead of
+    silently wrapping — same derived-exactness contract as
+    text_tfidf_topk_numpy's float64 check, one tier up. Values are
+    identical either way (integer arithmetic, order-insensitive), so the
+    oracle never sees the difference."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
     grams = F.zip_with(
@@ -629,7 +641,21 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str):
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
     )
-    return w, norms, n_docs
+    bound = (
+        w.groupBy("doc_id")
+        .agg(F.max("w").alias("mw"), F.count(F.lit(1)).alias("len"))
+        .agg(F.max("mw").alias("max_w"), F.max("len").alias("max_len"))
+        .collect()
+    )
+    max_w = int(bound[0].max_w or 0)
+    max_len = int(bound[0].max_len or 0)
+    if max_w * max_w * max(max_len, 1) < 2**63:
+        def dot_sum(a, b):
+            return F.sum(F.col(a) * F.col(b))
+    else:
+        def dot_sum(a, b):
+            return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+    return w, norms, n_docs, dot_sum
 
 
 # Shared by text_tfidf_pairs (relational inverted index) and
@@ -706,14 +732,14 @@ _SQL_TFIDF_TOPK = f"""
 def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    w, norms, _ = _tfidf_weights(spark, sf_dir)
+    w, norms, _, dot_sum = _tfidf_weights(spark, sf_dir)
     a = w.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
     dots = (
         a.join(b, "word")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"))
+        .agg(dot_sum("wa", "wb").alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
@@ -763,7 +789,7 @@ def text_tfidf_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    w, norms, _ = _tfidf_weights(spark, sf_dir)
+    w, norms, _, _ = _tfidf_weights(spark, sf_dir)
     # Arrow-path collect + vectorized scatter: row-object collect() plus a
     # Python build loop measured ~5s of pure driver time at sf0.1.
     pdf0 = w.select("doc_id", "word", "w").toPandas()
@@ -927,7 +953,7 @@ TFIDF_SHORTLIST = 10   # candidate pairs per doc before exact re-rank
 def text_tfidf_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    w, norms, n_docs = _tfidf_weights(spark, sf_dir)
+    w, norms, n_docs, dot_sum = _tfidf_weights(spark, sf_dir)
     rare = w.filter(F.col("df") * TFIDF_CAND_SEL <= F.lit(n_docs))
     ra = rare.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
     rb = rare.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
@@ -935,7 +961,7 @@ def text_tfidf_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ra.join(rb, "word")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("cdot"))
+        .agg(dot_sum("wa", "wb").alias("cdot"))
     )
     aw = Window.partitionBy("doc_a").orderBy(F.col("cdot").desc(), F.col("doc_b"))
     shortlist = (
@@ -949,7 +975,7 @@ def text_tfidf_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist.join(wa_full, "doc_a")
         .join(wb_full, ["doc_b", "word"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"))
+        .agg(dot_sum("wa", "wb").alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
