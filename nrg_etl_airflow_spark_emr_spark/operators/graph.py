@@ -256,3 +256,157 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "node"
     )
+
+
+# --- Triangle counting (degree-oriented wedge join) -------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pe AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM pe e1
+        JOIN pe e2 ON e2.p1 = e1.p2
+        JOIN pe e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ), pernode AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    ), deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT p1 AS node FROM pe UNION ALL SELECT p2 FROM pe)
+        GROUP BY node
+    )
+    SELECT d.node, d.degree, p.n_tri,
+           2.0 * p.n_tri / (d.degree * (d.degree - 1.0)) AS clustering
+    FROM pernode p JOIN deg d ON d.node = p.node
+    """,
+    tags=("graph",),
+    doc="Per-node triangle counts + local clustering coefficient over the "
+    "part co-purchase graph (parts appearing in the same order are "
+    "connected; distinct undirected edges). Spark side uses the "
+    "DEGREE-ORIENTED wedge join (Schank/Wagner; the MapReduce variant is "
+    "Cohen 2009 / Suri-Vassilvitskii 2011): every edge is directed from "
+    "its lower-(degree, id) endpoint to the higher, wedges are generated "
+    "only at each node's oriented out-neighborhood, and a wedge closes "
+    "into a triangle iff the id-canonical edge between its two endpoints "
+    "exists. Orientation caps out-degree at O(sqrt(|E|)), so wedge "
+    "volume is O(|E|^1.5) instead of sum(deg^2) — the difference between "
+    "feasible and hopeless on a 100 TB power-law graph where hub nodes "
+    "have millions of neighbors. Each triangle is produced exactly once "
+    "(at its orientation-minimum vertex), then credited to all three "
+    "corners with one explode. The oracle counts the same triangles via "
+    "the id-canonical a<b<c three-way join — orientation changes the "
+    "plan, never the set. Clustering = 2T/(d(d-1)) in one final double "
+    "division (bit-identical in both engines).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient each edge toward the higher (degree, id) endpoint. deg is
+    # node-sized (tiny vs edges) — broadcast both lookups.
+    d1 = deg.select(F.col("node").alias("p1"), F.col("degree").alias("g1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("degree").alias("g2"))
+    lower_first = (F.col("g1") < F.col("g2")) | (
+        (F.col("g1") == F.col("g2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        e.join(F.broadcast(d1), "p1")
+        .join(F.broadcast(d2), "p2")
+        .select(
+            F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    # Wedges: unordered pairs of out-neighbors of one src (dst1 < dst2 by
+    # id — any strict order works, id keeps the closure join canonical).
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("u"),
+        F.col("o2.dst").alias("v"),
+    )
+    closed = wedges.join(
+        e, (F.col("u") == F.col("p1")) & (F.col("v") == F.col("p2"))
+    ).select("x", "u", "v")
+    pernode = (
+        closed.select(F.explode(F.array("x", "u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return pernode.join(deg, "node").select(
+        "node",
+        "degree",
+        "n_tri",
+        (
+            F.lit(2.0) * F.col("n_tri")
+            / (F.col("degree") * (F.col("degree") - F.lit(1.0)))
+        ).alias("clustering"),
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    csz AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csz GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "agg"),
+    doc="Duplicate-cluster size histogram — the dedup pipeline's "
+    "observability endpoint: how many singleton docs, how many pairs, "
+    "how big is the largest boilerplate cluster, what fraction of the "
+    "corpus would dedup remove (sum over size>1 of (size-1)·n_clusters). "
+    "Composes dedup_clusters' connected components (iterative Spark loop "
+    "vs recursive-CTE oracle, nested here the way corpus_clean nests its "
+    "stage oracles) with two tiny aggregations: components → sizes → "
+    "histogram, each smaller than the last. Watching this histogram "
+    "drift between ingests is how a 100 TB pipeline catches a scraper "
+    "loop (one giant cluster) or a broken shingler (all singletons) "
+    "before training on it.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_clusters(spark, sf_dir)
+    csz = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -185,3 +185,55 @@ def f13_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word")
         .filter(F.col("pos") <= 5)
     )
+
+
+@register(
+    "f14_array_hof_stats",
+    oracle="""
+    WITH fx AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+                for x in embedding] AS fe
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(fe) AS INTEGER) AS dim,
+           CAST(list_aggregate(fe, 'min') AS BIGINT) AS min_f,
+           CAST(list_aggregate(fe, 'max') AS BIGINT) AS max_f,
+           CAST(list_sum([x * x for x in fe]) AS BIGINT) AS norm2,
+           CAST(len(list_filter(fe, x -> x > 0)) AS INTEGER) AS n_pos
+    FROM fx
+    """,
+    tags=("function", "array"),
+    doc="Higher-order array functions over the embedding column — the "
+    "f-series coverage for Spark's HOF surface (transform / aggregate / "
+    "filter / array_min / array_max) applied with the similarity stack's "
+    "fixed-point discipline: floats quantize to 1e-7 bigints (the "
+    "operators/similarity.py FP_SCALE convention) so every fold is exact "
+    "integer arithmetic and order-insensitivity never matters — a raw "
+    "float list_sum would be summation-order-dependent and never "
+    "hash-match across engines. Per row: dimension, min/max component, "
+    "squared norm (aggregate fold), positive-component count (filter + "
+    "size). Pure map-side expression work, no shuffle; HOFs run "
+    "interpreted (not codegen'd), which is why the similarity kernels "
+    "spread() before them — one 64-wide array per row keeps the "
+    "interpretation cost linear in data.",
+)
+def f14_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fe = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(10_000_000.0))
+    )
+    base = t(spark, sf_dir, "embeddings").select("vec_id", fe.alias("fe"))
+    norm2 = F.aggregate(
+        F.zip_with("fe", "fe", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return base.select(
+        "vec_id",
+        F.size("fe").alias("dim"),
+        F.array_min("fe").alias("min_f"),
+        F.array_max("fe").alias("max_f"),
+        norm2.alias("norm2"),
+        F.size(F.filter("fe", lambda x: x > F.lit(0))).alias("n_pos"),
+    )

@@ -689,3 +689,59 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+PATH_TOPK = 20
+
+
+@register(
+    "events_path_topk",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events
+    ),
+    c AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n, rn FROM (
+        SELECT path, CAST(n AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INTEGER) AS rn
+        FROM c)
+    WHERE rn <= {PATH_TOPK}
+    """,
+    tags=("temporal", "window", "topk"),
+    doc=f"Top-{PATH_TOPK} three-step user paths (event trigrams) — the "
+    "sequence-mining sibling of events_transition_counts' first-order "
+    "matrix: lead(1)/lead(2) over the per-user timeline turn each event "
+    "into the path it starts, a count ranks the paths, and a "
+    "deterministic (count desc, path) row_number keeps the head. Both "
+    "leads share ONE window spec, so Spark evaluates them in a single "
+    "Window over a single user_id exchange — the same partitioning every "
+    "sessionize/lag query reuses. The count aggregates paths (bounded "
+    "by |event_types|^3, i.e. the vocabulary, not the data) and the "
+    "final top-k window sorts only that aggregate. At 100 TB: one "
+    "corpus exchange, map-side partial counts, a vocabulary-sized sort.",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counts = stepped.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counts.select("path", "n", F.row_number().over(rw).alias("rn"))
+        .filter(F.col("rn") <= PATH_TOPK)
+    )

@@ -587,6 +587,31 @@ TFIDF_SCALE = 1000   # integer idf = (N * SCALE) div df — exact in both engine
 TFIDF_TOPK = 3
 
 
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → exploded word-bigram stream (doc_id, word).
+    Adjacent-token pairs via two shifted array slices zipped map-side (no
+    join, no per-token window); the contains/startswith filters drop the
+    phantom grams empty tokens would create. Shared by _tfidf_weights and
+    text_bigram_surprisal so the gram definition cannot drift from the
+    oracles' grams0 CTE."""
+    grams = F.zip_with(
+        F.expr("slice(l, 1, size(l)-1)"),
+        F.expr("slice(l, 2, size(l)-1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 2)
+        .select("doc_id", F.explode(grams).alias("word"))
+        .filter(
+            ~F.col("word").contains("  ")
+            & ~F.col("word").startswith(" ")
+            & ~F.col("word").endswith(" ")
+        )
+    )
+
+
 def _tfidf_weights(spark: SparkSession, sf_dir: str):
     """(w, norms, n_docs, dot_sum): integer bigram tf-idf weights
     (doc_id, word, df, w) — cached, since every consumer joins it at
@@ -606,22 +631,7 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str):
     oracle never sees the difference."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
-    grams = F.zip_with(
-        F.expr("slice(l, 1, size(l)-1)"),
-        F.expr("slice(l, 2, size(l)-1)"),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    words = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("l"))
-        .filter(F.size("l") >= 2)
-        .select("doc_id", F.explode(grams).alias("word"))
-        .filter(
-            ~F.col("word").contains("  ")
-            & ~F.col("word").startswith(" ")
-            & ~F.col("word").endswith(" ")
-        )
-    )
+    words = _bigrams(docs)
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dft = (
         tf.groupBy("word")
@@ -1243,4 +1253,122 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * _VOCAB_BUCKET).alias("bucket_start"),
         "new_words",
         F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+KEYWORD_TOPK = 5
+
+
+@register(
+    "text_keyword_topk",
+    oracle=f"""
+    WITH grams0 AS (
+        SELECT doc_id,
+               unnest([l[i] || ' ' || l[i+1]
+                       for i in generate_series(1, len(l)-1)]) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM grams0
+        WHERE NOT contains(word, '  ')
+          AND word NOT LIKE ' %' AND word NOT LIKE '% '
+        GROUP BY doc_id, word
+    ), stats AS (SELECT COUNT(*) AS n FROM documents),
+    dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    w AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ((stats.n * {TFIDF_SCALE}) // dft.df) AS w
+        FROM tf JOIN dft USING (word) CROSS JOIN stats
+        WHERE dft.df * 2 <= stats.n
+    )
+    SELECT doc_id, word, w, rn FROM (
+        SELECT doc_id, word, w,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY w DESC, word) AS INTEGER) AS rn
+        FROM w)
+    WHERE rn <= {KEYWORD_TOPK}
+    """,
+    tags=("text", "topk"),
+    doc=f"Per-document keyword extraction: the top-{KEYWORD_TOPK} "
+    "highest-tf-idf bigrams per doc — the classic document-tagging / "
+    "summarization primitive, and deliberately a THIRD consumer of the "
+    "shared cached _tfidf_weights frame (pairs + capped + this all read "
+    "one materialization — the inverted index is built once per corpus, "
+    "every downstream op reuses it). After the weights, the whole query "
+    "is one per-doc row_number window with a deterministic (w desc, "
+    "word) order; WindowGroupLimit prunes to k rows per doc before the "
+    "exchange. Integer weights make the ranking engine-exact.",
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w, _, _, _ = _tfidf_weights(spark, sf_dir)
+    win = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "word")
+    return (
+        w.select("doc_id", "word", "w", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") <= KEYWORD_TOPK)
+    )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH grams0 AS (
+        SELECT doc_id,
+               unnest([l[i] || ' ' || l[i+1]
+                       for i in generate_series(1, len(l)-1)]) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ), ex AS (
+        SELECT doc_id, word FROM grams0
+        WHERE NOT contains(word, '  ')
+          AND word NOT LIKE ' %' AND word NOT LIKE '% '
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM ex GROUP BY word),
+    ranked AS (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM freq
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(length(CAST(rnk AS VARCHAR))) AS BIGINT) AS surprisal_sum,
+           CAST(SUM(length(CAST(rnk AS VARCHAR))) AS DOUBLE) / COUNT(*)
+               AS avg_surprisal
+    FROM ex JOIN ranked USING (word)
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+    doc="Bigram-LM surprisal quality score — text_unigram_surprisal's "
+    "context-sensitive sibling: adjacent-pair grams (shared _bigrams "
+    "kernel, identical to the tf-idf gram definition) are ranked by "
+    "global frequency and each occurrence charged the DIGIT COUNT of "
+    "its gram's rank (the exact-integer log10(rank) proxy — true "
+    "log-probs never bit-match across engines). A doc full of common "
+    "word PAIRS scores low even when unigram surprisal is unremarkable "
+    "(boilerplate detection); shuffled-word gibberish scores high even "
+    "when every unigram is common — the two scores bracket word-order "
+    "quality, which is why LM-based filters (CCNet) beat bag-of-words "
+    "ones. Same scale shape as the unigram op: one corpus exchange for "
+    "gram frequencies, a vocabulary-bounded rank window, a broadcast "
+    "token→rank join, one per-doc regroup.",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _bigrams(docs)
+    freq = grams.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    rw = Window.orderBy(F.col("cnt").desc(), "word")
+    ranked = freq.select("word", F.row_number().over(rw).alias("rnk"))
+    digits = F.length(F.col("rnk").cast("string"))
+    return (
+        grams.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(digits).alias("surprisal_sum"),
+            (F.sum(digits).cast("double") / F.count(F.lit(1))).alias(
+                "avg_surprisal"
+            ),
+        )
     )

@@ -647,3 +647,56 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "train_dataset_card",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               quantile_cont(n_chars, 0.5) AS p50_chars,
+               quantile_cont(n_chars, 0.9) AS p90_chars
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, total_chars, p50_chars, p90_chars,
+           CAST(n_tokens AS DOUBLE) /
+           CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM per_src
+    """,
+    tags=("training", "agg"),
+    doc="Per-source dataset card — the summary table every training-data "
+    "release ships (docs/tokens/chars per source, length quantiles, "
+    "mixture share): one fused aggregate scan per source computes "
+    "counts, exact token/char totals, and exact interpolated p50/p90 "
+    "document lengths (integer inputs + the shared p*(n-1) "
+    "interpolation both engines use — the a6_exact_percentiles parity "
+    "argument), then token_share is one double division against the "
+    "unpartitioned window total over the source-sized aggregate (rows "
+    "bounded by |sources|, not data). This is the observability "
+    "endpoint for train_mixture_weights: the card's token_share is the "
+    "measured mixture the weights op steers. At 100 TB: one corpus "
+    "scan, map-side partials, a final frame of a few dozen rows — "
+    "except the exact quantiles, which materialize each source's "
+    "length multiset; swap quantile_cont for approx_percentile when "
+    "exactness stops being worth that sort.",
+)
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    qs = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9)))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        qs.getItem(0).alias("p50_chars"),
+        qs.getItem(1).alias("p90_chars"),
+    )
+    return per_src.select(
+        "*",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(Window.partitionBy()).cast("double")
+        ).alias("token_share"),
+    )
