@@ -587,3 +587,46 @@ def test_bucketed_join_query_is_shuffle_free_on_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1, (
         "bucketed join sides must not re-shuffle on the join key"
     )
+
+
+def test_triangle_orientation_joins_broadcast_degrees(spark, sf_dir):
+    """graph_triangle_count's degree lookups are node-sized — they must
+    broadcast, and the wedge/closure joins must be hash-keyed (no BNLJ:
+    a nested-loop wedge join is quadratic in the out-neighborhood)."""
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert plan.count("BroadcastHashJoin") >= 2, "degree lookups must broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_path_topk_single_user_exchange(spark, sf_dir):
+    """Both lead() offsets share one window spec: the plan must contain
+    exactly one Window over user_id (two would mean the specs drifted
+    apart and the corpus exchanges twice)."""
+    ids, plan = _shuffle_ids(spark, sf_dir, "events_path_topk")
+    assert plan.count("Window") <= 2, (
+        "leads must share one user_id window (+ the top-k window):\n" + plan
+    )
+    # corpus exchange (user_id) + count exchange + top-k single partition
+    assert len(ids) <= 3, plan
+
+
+def test_keyword_topk_reads_weight_cache_and_group_limits(spark, sf_dir):
+    """text_keyword_topk must reuse the cached tf-idf weight frame (the
+    whole point of a shared inverted index) and push the per-doc top-k
+    into a WindowGroupLimit before the exchange."""
+    spark.catalog.clearCache()
+    SPECS["text_tfidf_pairs"].builder(spark, sf_dir).count()  # warm the cache
+    df = SPECS["text_keyword_topk"].builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "must read the shared cached weights"
+    assert "WindowGroupLimit" in plan, "per-doc top-k must prune pre-exchange"
+
+
+def test_bigram_surprisal_broadcasts_rank_join(spark, sf_dir):
+    """The token→rank join is vocabulary-sized: broadcast, never a
+    corpus-wide shuffle join."""
+    plan = _plan(spark, sf_dir, "text_bigram_surprisal")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
