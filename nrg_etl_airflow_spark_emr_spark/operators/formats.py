@@ -44,17 +44,19 @@ _AGG_ORACLE = f"""
 _REAP_AGE_S = 6 * 3600
 
 
-def _reap_stale_dirs(keep_fragment: str) -> None:
+def _reap_stale_dirs(*keep_fragments: str) -> None:
     """Remove prior applications' round-trip (rt_*) and bucketed-table
     (bt_*) temp dirs by filesystem listing + age. The catalog is NOT a
     valid discovery channel for this: under the default in-memory catalog
     a new application's listTables() never sees a dead app's bq_* tables,
     and under a shared persistent metastore a different app-suffix could
     belong to a concurrently LIVE application — so ownership is decided
-    by (a) the current app's id/key appearing in the dir name (never
-    reaped) and (b) mtime older than _REAP_AGE_S (a dir untouched for
-    6h belongs to a finished run; live queries rewrite their dirs every
-    execution)."""
+    by (a) ANY of the current app's id fragments appearing in the dir
+    name (never reaped — callers pass both the raw applicationId used in
+    rt_* names and its sanitized form used in bt_* names, so a >6h
+    session can never reap its own live dirs) and (b) mtime older than
+    _REAP_AGE_S (a dir untouched for 6h belongs to a finished run; live
+    queries rewrite their dirs every execution)."""
     import shutil
     import time
 
@@ -67,7 +69,7 @@ def _reap_stale_dirs(keep_fragment: str) -> None:
     for name in entries:
         if not (name.startswith("rt_") or name.startswith("bt_")):
             continue
-        if keep_fragment in name:
+        if any(frag and frag in name for frag in keep_fragments):
             continue
         path = os.path.join(root, name)
         try:
@@ -77,14 +79,24 @@ def _reap_stale_dirs(keep_fragment: str) -> None:
             continue
 
 
+def _app_fragments(spark: SparkSession) -> tuple[str, str]:
+    """(raw applicationId, identifier-safe form): rt_* dirs embed the raw
+    id, bq_*/bt_* names embed the sanitized one (table names cannot carry
+    '-'). Both are ownership fragments for _reap_stale_dirs."""
+    import re
+
+    app = spark.sparkContext.applicationId
+    return app, re.sub(r"\W", "_", app)
+
+
 def _roundtrip_dir(spark: SparkSession, fmt: str, sf_dir: str) -> str:
     # Keyed on the Spark applicationId as well as (format, sf): two
     # concurrent sessions running the same round-trip would otherwise race
     # one side's overwrite against the other's read-back listing. Within a
     # session the path is stable, so re-runs exercise mode=overwrite.
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    app = spark.sparkContext.applicationId
-    _reap_stale_dirs(app)
+    app, app_safe = _app_fragments(spark)
+    _reap_stale_dirs(app, app_safe)
     return os.path.join(tempfile.gettempdir(), f"rt_{app}_{fmt}_{key}")
 
 
@@ -234,14 +246,17 @@ _BUCKETS = 8
     "metastore a different suffix may belong to a LIVE app).",
 )
 def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = hashlib.md5(
-        (spark.sparkContext.applicationId + sf_dir).encode()
-    ).hexdigest()[:8]
-    # Reap PRIOR applications' leftover bt_* data dirs (age-based; the
-    # per-app suffix prevents live-session collisions but would otherwise
-    # accumulate two /tmp data dirs per application forever). Catalog
+    app, app_safe = _app_fragments(spark)
+    # The table suffix embeds the sanitized applicationId so the bt_*
+    # data dir is provably owned by this app — the ownership test the
+    # reaper needs (an opaque md5 would make the dir unprotectable from
+    # a sibling call site that only knows the appId).
+    key = f"{app_safe}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # Reap PRIOR applications' leftover bt_*/rt_* data dirs (age-based;
+    # the per-app suffix prevents live-session collisions but would
+    # otherwise accumulate dirs per application forever). Catalog
     # entries need no reaping: the in-memory catalog dies with its app.
-    _reap_stale_dirs(key)
+    _reap_stale_dirs(app, app_safe)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     names = {}

@@ -187,12 +187,16 @@ def f13_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .similarity import FP_SCALE as _FP_SCALE  # noqa: E402
+from .similarity import _dot, _fixed  # noqa: E402
+
+
 @register(
     "f14_array_hof_stats",
-    oracle="""
+    oracle=f"""
     WITH fx AS (
         SELECT vec_id,
-               [CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+               [CAST(floor(CAST(x AS DOUBLE) * {_FP_SCALE}) AS BIGINT)
                 for x in embedding] AS fe
         FROM embeddings
     )
@@ -220,15 +224,17 @@ def f13_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpretation cost linear in data.",
 )
 def f14_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fe = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * F.lit(10_000_000.0))
+    from ._util import spread
+
+    # _fixed/_dot ARE the similarity stack's quantizer and fold — imported,
+    # not re-implemented, so FP_SCALE can never drift between the f-series
+    # showcase and the kNN kernels. spread() per that stack's convention:
+    # interpreted HOF math must run on every core, not the fixture's one
+    # parquet split.
+    base = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", _fixed(F.col("embedding")).alias("fe")
     )
-    base = t(spark, sf_dir, "embeddings").select("vec_id", fe.alias("fe"))
-    norm2 = F.aggregate(
-        F.zip_with("fe", "fe", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    norm2 = _dot(F.col("fe"), F.col("fe"))
     return base.select(
         "vec_id",
         F.size("fe").alias("dim"),

@@ -651,20 +651,28 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str):
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("n2")
     )
-    bound = (
-        w.groupBy("doc_id")
-        .agg(F.max("w").alias("mw"), F.count(F.lit(1)).alias("len"))
-        .agg(F.max("mw").alias("max_w"), F.max("len").alias("max_len"))
-        .collect()
-    )
-    max_w = int(bound[0].max_w or 0)
-    max_len = int(bound[0].max_len or 0)
-    if max_w * max_w * max(max_len, 1) < 2**63:
-        def dot_sum(a, b):
+
+    # Lazily decided on first use: the bound derivation is one extra
+    # aggregation job over the cached weights, which text_tfidf_topk_numpy
+    # (own float64 bound) and text_keyword_topk (no pair scoring) never
+    # need — they must not pay it.
+    use_bigint: list[bool] = []
+
+    def dot_sum(a, b):
+        if not use_bigint:
+            bound = (
+                w.groupBy("doc_id")
+                .agg(F.max("w").alias("mw"), F.count(F.lit(1)).alias("len"))
+                .agg(F.max("mw").alias("max_w"), F.max("len").alias("max_len"))
+                .collect()
+            )
+            max_w = int(bound[0].max_w or 0)
+            max_len = int(bound[0].max_len or 0)
+            use_bigint.append(max_w * max_w * max(max_len, 1) < 2**63)
+        if use_bigint[0]:
             return F.sum(F.col(a) * F.col(b))
-    else:
-        def dot_sum(a, b):
-            return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+        return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+
     return w, norms, n_docs, dot_sum
 
 
