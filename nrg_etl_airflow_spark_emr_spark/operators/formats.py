@@ -283,3 +283,74 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_quantity", "total_qty"),
     )
+
+
+_SNAP_T1 = "1996-01-01"
+_SNAP_T2 = "1997-06-01"
+
+
+@register(
+    "snk_snapshot_timetravel",
+    oracle=f"""
+    SELECT 1 AS version, COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")},
+           MAX(o_orderdate) AS last_date
+    FROM orders WHERE o_orderdate < DATE '{_SNAP_T1}'
+    UNION ALL
+    SELECT 2, COUNT(*),
+           {sql_dsum("o_totalprice", "total_price")},
+           MAX(o_orderdate)
+    FROM orders WHERE o_orderdate < DATE '{_SNAP_T2}'
+    """,
+    tags=("sink", "snapshot"),
+    doc="Manifest-based snapshot isolation + time travel on plain parquet "
+    "— the Iceberg/Delta core idea stripped to its mechanism (SURVEY "
+    "§1.1 flags the real formats as the 100 TB upgrade; this shows the "
+    "engine's semantics don't depend on them): each commit writes NEW "
+    "parquet files only and records an immutable manifest (the explicit "
+    "file list of that version); a reader pins a manifest and reads "
+    "exactly those files — concurrent appends change no file a v1 "
+    "reader holds, so v1 stays byte-stable forever (no "
+    "read-while-overwrite races, O(1) rollback = point at an old "
+    "manifest). The query commits orders<T1 as v1, appends "
+    "[T1,T2) as v2, then aggregates BOTH versions through their "
+    "manifests; the oracle replays each version's predicate from the "
+    "base table, so a manifest that leaked or lost a file breaks the "
+    "value hash. At 100 TB the manifest lives in a transaction log, "
+    "not a directory listing — the listing here is the local-fs stand-"
+    "in for reading the committed file set.",
+)
+def snk_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _roundtrip_dir(spark, "snap", sf_dir)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def commit(batch: DataFrame, name: str) -> list[str]:
+        path = os.path.join(root, name)
+        batch.write.mode("overwrite").parquet(path)
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    v1_files = commit(
+        orders.filter(F.col("o_orderdate") < F.lit(_SNAP_T1)), "commit1"
+    )
+    v2_files = v1_files + commit(
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(_SNAP_T1))
+            & (F.col("o_orderdate") < F.lit(_SNAP_T2))
+        ),
+        "commit2",
+    )
+
+    def read_version(files: list[str], version: int) -> DataFrame:
+        snap = spark.read.parquet(*files)
+        return snap.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+            F.max("o_orderdate").alias("last_date"),
+        ).select(F.lit(version).alias("version"), "*")
+    return read_version(v1_files, 1).unionByName(read_version(v2_files, 2))

@@ -359,3 +359,106 @@ def upsert_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_price"),
     )
     return merged
+
+
+_CDC_T1 = "1996-01-01"  # snapshot v1: orders strictly before this date
+_CDC_T2 = "1997-06-01"  # snapshot v2: orders strictly before this date
+
+
+@register(
+    "upsert_cdc_diff",
+    oracle=f"""
+    WITH snap AS (
+        SELECT o_custkey AS custkey, o_orderdate, o_orderkey, o_totalprice,
+               o_orderdate < DATE '{_CDC_T1}' AS in_v1
+        FROM orders WHERE o_orderdate < DATE '{_CDC_T2}'
+    ),
+    v1 AS (
+        SELECT custkey, o_orderkey AS last_orderkey,
+               o_totalprice AS last_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC,
+                           o_totalprice DESC) AS rn
+              FROM snap WHERE in_v1)
+        WHERE rn = 1
+    ),
+    v2 AS (
+        SELECT custkey, o_orderkey AS last_orderkey,
+               o_totalprice AS last_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC,
+                           o_totalprice DESC) AS rn
+              FROM snap)
+        WHERE rn = 1
+    )
+    SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+           CASE WHEN a.custkey IS NULL THEN 'insert'
+                WHEN a.last_orderkey <> b.last_orderkey THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           a.last_orderkey AS old_orderkey,
+           b.last_orderkey AS new_orderkey,
+           a.last_totalprice AS old_totalprice,
+           b.last_totalprice AS new_totalprice
+    FROM v1 a FULL OUTER JOIN v2 b ON a.custkey = b.custkey
+    WHERE a.custkey IS NULL OR a.last_orderkey <> b.last_orderkey
+    """,
+    tags=("upsert", "cdc"),
+    doc=f"Change-data-capture diff between two table snapshots — the "
+    "third leg of the incremental stack after SCD "
+    "(upsert_scd2_history) and IVM (upsert_incremental_agg): the "
+    f"per-customer last-order state as of {_CDC_T1} (v1) and {_CDC_T2} "
+    "(v2) — both via the same dedupe_updates last-wins ordering the "
+    "merge kernel uses — are full-outer-joined on the key and each key "
+    "classified insert / update (unchanged keys are filtered out, "
+    "deletes cannot occur in an append-only order stream and would "
+    "appear as v2-null rows if they did). This is what feeds a "
+    "downstream consumer that cannot re-read the table: ship only the "
+    "diff. At 100 TB both snapshots prune to their partition ranges and "
+    "the join is key-bucketed; the diff's size tracks the CHANGE RATE, "
+    "not the table.",
+)
+def upsert_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._util import t
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+    def snap(upper: str) -> DataFrame:
+        won = dedupe_updates(
+            base.filter(F.col("o_orderdate") < F.lit(upper)),
+            ["custkey"],
+            order_col="o_orderdate",
+        )
+        return won.select(
+            "custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+
+    a = snap(_CDC_T1).alias("a")
+    b = snap(_CDC_T2).alias("b")
+    joined = a.join(b, F.col("a.custkey") == F.col("b.custkey"), "full_outer")
+    change = (
+        F.when(F.col("a.custkey").isNull(), F.lit("insert"))
+        .when(
+            F.col("a.last_orderkey") != F.col("b.last_orderkey"), F.lit("update")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("a.custkey"), F.col("b.custkey")).alias("custkey"),
+        change.alias("change_type"),
+        F.col("a.last_orderkey").alias("old_orderkey"),
+        F.col("b.last_orderkey").alias("new_orderkey"),
+        F.col("a.last_totalprice").alias("old_totalprice"),
+        F.col("b.last_totalprice").alias("new_totalprice"),
+    ).filter(
+        F.col("a.custkey").isNull()
+        | (F.col("a.last_orderkey") != F.col("b.last_orderkey"))
+    )
