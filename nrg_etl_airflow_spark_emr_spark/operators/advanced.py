@@ -482,3 +482,42 @@ def sub6_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("region", "nation", "customer"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_RECURSIVE_ROLLUP_SQL = """
+    WITH RECURSIVE anc(node, ancestor) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION ALL
+        SELECT node, CAST(FLOOR(ancestor / 10) AS BIGINT)
+        FROM anc WHERE ancestor > 0
+    )
+    SELECT a.ancestor,
+           COUNT(*) AS n_desc,
+           CAST(SUM(CAST(FLOOR(p.p_retailprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 AS subtree_price
+    FROM anc a JOIN part p ON p.p_partkey = a.node
+    GROUP BY a.ancestor
+    """
+
+
+@register(
+    "sub7_recursive_cte",
+    oracle=_RECURSIVE_ROLLUP_SQL,
+    tags=("subquery", "sql", "recursive"),
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE — new SQL surface the "
+    "engine gains for free by riding Catalyst): hierarchical subtree "
+    "rollup over the implicit decimal part hierarchy (parent = "
+    "floor(key/10), a 5-6 level tree), computing every ancestor's "
+    "descendant count and exact fixed-point subtree price. The SQL text "
+    "is engine-portable VERBATIM and doubles as the oracle — until now "
+    "recursion only appeared oracle-side (dedup_clusters' DuckDB CTE "
+    "replaying the DataFrame component loop); this runs the recursion "
+    "in BOTH engines. Depth is bounded by the key width (log10), so "
+    "the ancestor fan-out is rows x depth, not exponential; Spark "
+    "executes each recursion level as one self-union step, and the "
+    "final rollup is a single keyed aggregation. For unbounded-depth "
+    "100 TB graphs prefer the pointer-jumping DataFrame loop "
+    "(operators/graph.py) — O(log d) rounds vs the CTE's O(d).",
+)
+def sub7_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, ("part",), _RECURSIVE_ROLLUP_SQL)
