@@ -853,3 +853,82 @@ def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("anchor")
     )
+
+
+@register(
+    "a12_chisquare_cells",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), tot AS (
+        SELECT o_orderpriority, o_orderstatus, obs,
+               SUM(obs) OVER (PARTITION BY o_orderpriority) AS row_tot,
+               SUM(obs) OVER (PARTITION BY o_orderstatus) AS col_tot,
+               SUM(obs) OVER () AS n
+        FROM cells
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(obs AS BIGINT) AS obs,
+           CAST(row_tot AS BIGINT) AS row_tot,
+           CAST(col_tot AS BIGINT) AS col_tot,
+           CAST(n AS BIGINT) AS n,
+           CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expected,
+           CAST(CAST(obs AS HUGEINT) * CAST(n AS HUGEINT)
+                  - CAST(row_tot AS HUGEINT) * CAST(col_tot AS HUGEINT)
+                AS DOUBLE)
+             * CAST(CAST(obs AS HUGEINT) * CAST(n AS HUGEINT)
+                      - CAST(row_tot AS HUGEINT) * CAST(col_tot AS HUGEINT)
+                    AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+               AS chi2_contrib
+    FROM tot
+    """,
+    tags=("agg", "stats"),
+    doc="Chi-square contingency cells (priority x status independence "
+    "audit): observed count, marginals, expected count, and the cell's "
+    "chi-square contribution (obs - exp)^2 / exp for every category "
+    "pair. Emitting per-CELL rows instead of the summed statistic is "
+    "what keeps the gate exact: summing double contributions across "
+    "cells would re-introduce engine-ordered float addition, while each "
+    "cell's value here derives from exact integers via one fixed "
+    "expression — the difference obs*n - row*col is formed in "
+    "decimal(38,0)/HUGEINT (bounded by n^2, exact far past 10^10 rows), "
+    "and the algebraically equivalent contribution (obs*n - row*col)^2 "
+    "/ (n^2 * row * col) avoids dividing by a rounded 'expected'. One "
+    "corpus-scan hash aggregate; every window after it runs on the "
+    "category-pair frame, bounded by |priorities| x |statuses|, never "
+    "by the data.",
+)
+def a12_chisquare_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("o_orderpriority")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("o_orderstatus")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    diff = (
+        F.col("obs").cast(dec) * F.col("n").cast(dec)
+        - F.col("row_tot").cast(dec) * F.col("col_tot").cast(dec)
+    ).cast("double")
+    nd, rd, cd = [F.col(c).cast("double") for c in ("n", "row_tot", "col_tot")]
+    return tot.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        "row_tot",
+        "col_tot",
+        "n",
+        (rd * cd / nd).alias("expected"),
+        (diff * diff / (nd * nd * rd * cd)).alias("chi2_contrib"),
+    )

@@ -92,3 +92,74 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items")
     )
+
+
+SKEW_TOPK = 10
+
+
+@register(
+    "qc_key_skew_audit",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT l_suppkey, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               COUNT(*) AS n_keys
+        FROM per_key
+    ), ranked AS (
+        SELECT l_suppkey, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey)
+                    AS INTEGER) AS rank
+        FROM per_key
+    )
+    SELECT rank, l_suppkey, cnt, n_keys, total_rows,
+           CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+           CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+               / CAST(total_rows AS DOUBLE) AS hot_ratio
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {SKEW_TOPK}
+    """,
+    tags=("qc", "skew", "topk"),
+    doc=f"Join-key skew audit — the diagnostic that DECIDES between the "
+    "plain, salted, and AQE-split formulations before a 100 TB join: "
+    f"the top-{SKEW_TOPK} heaviest l_suppkey values with each key's row "
+    "count, corpus share, and hot_ratio (count / mean-count — 1.0 means "
+    "perfectly uniform; salting pays off roughly when hot_ratio x "
+    "mean-rows-per-key exceeds one task's worth of rows). One per-key "
+    "hash aggregate (map-side partials) is the only data-sized shuffle; "
+    "the totals are a second aggregate OVER THE KEY FRAME (never the "
+    "corpus) broadcast onto the top-k, and the top-k itself is "
+    "TakeOrdered over per-key counts. Shares are exact-integer ratios "
+    "through one fixed IEEE expression.",
+)
+def qc_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_key = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = per_key.orderBy(F.col("cnt").desc(), "l_suppkey").limit(SKEW_TOPK)
+    rw = Window.orderBy(F.col("cnt").desc(), "l_suppkey")
+    ranked = top.select(
+        F.row_number().over(rw).alias("rank"), "l_suppkey", "cnt"
+    )
+    cd, kd, td = (
+        F.col("cnt").cast("double"),
+        F.col("n_keys").cast("double"),
+        F.col("total_rows").cast("double"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "l_suppkey",
+        "cnt",
+        "n_keys",
+        "total_rows",
+        (cd / td).alias("share"),
+        (cd * kd / td).alias("hot_ratio"),
+    )

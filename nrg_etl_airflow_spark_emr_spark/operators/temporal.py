@@ -745,3 +745,272 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("path", "n", F.row_number().over(rw).alias("rn"))
         .filter(F.col("rn") <= PATH_TOPK)
     )
+
+
+ERR_IVL_US = 10 * 60 * 1_000_000   # error attention window: 10 minutes
+CLK_IVL_US = 5 * 60 * 1_000_000    # click attention window: 5 minutes
+IVL_BUCKET_US = ERR_IVL_US         # quantum = the longer interval class
+NEAREST_TOL_US = 30 * 60 * 1_000_000  # nearest-asof tolerance: 30 minutes
+
+
+@register(
+    "j10_interval_overlap",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id AS error_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS es,
+               CAST(epoch_us(ts) AS BIGINT) + {ERR_IVL_US} AS ee
+        FROM events WHERE event_type = 'error'
+    ), c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS cs,
+               CAST(epoch_us(ts) AS BIGINT) + {CLK_IVL_US} AS ce
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT e.user_id, error_id, click_id,
+           LEAST(ee, ce) - GREATEST(es, cs) AS overlap_us
+    FROM e JOIN c ON c.user_id = e.user_id
+       AND es <= ce AND cs <= ee
+    """,
+    tags=("join", "temporal"),
+    doc="Interval-overlap join — the interval x interval sibling of "
+    "j6_range_join's point-in-window probe: every (error, click) pair by "
+    "the same user whose attention windows ([ts, ts+10min] for errors, "
+    "[ts, ts+5min] for clicks) overlap, with the exact overlap length. "
+    "Both interval sets explode to the bucket-width quanta they cover "
+    "(sequence() over [start div W, end div W] — interval/W + 1 rows, "
+    "bounded by the interval class, never data-dependent), equi-join on "
+    "(user_id, bucket), and a pair is kept only in the ONE bucket "
+    "containing GREATEST(starts) — every overlapping pair survives "
+    "exactly once, so there is no DISTINCT re-shuffle. The oracle states "
+    "the naive theta join; the Spark plan is a hash-partitionable "
+    "equi-join whose cost tracks matches, not |errors|x|clicks|.",
+)
+def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    W = IVL_BUCKET_US
+
+    def covered(df: DataFrame, id_alias: str, length_us: int, s: str, e: str):
+        return df.select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            F.col("us").alias(s),
+            (F.col("us") + length_us).alias(e),
+            F.explode(
+                F.sequence(
+                    F.expr(f"us div {W}"),
+                    F.expr(f"(us + {length_us}) div {W}"),
+                )
+            ).alias("bucket"),
+        )
+
+    errs = covered(ev.filter(F.col("event_type") == "error"),
+                   "error_id", ERR_IVL_US, "es", "ee")
+    clks = covered(ev.filter(F.col("event_type") == "click"),
+                   "click_id", CLK_IVL_US, "cs", "ce")
+    start_max = F.greatest("es", "cs")
+    return (
+        errs.join(clks, ["user_id", "bucket"])
+        .filter(
+            (F.col("es") <= F.col("ce"))
+            & (F.col("cs") <= F.col("ee"))
+            & (F.col("bucket") == F.expr(f"greatest(es, cs) div {W}"))
+        )
+        .select(
+            "user_id",
+            "error_id",
+            "click_id",
+            (F.least("ee", "ce") - start_max).alias("overlap_us"),
+        )
+    )
+
+
+@register(
+    "j11_asof_nearest",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+               event_id AS src_id, 0 AS kind,
+               CAST(epoch_us(ts) AS BIGINT) AS vts, event_id AS vid
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT), event_id, 1, NULL, NULL
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT user_id, us, src_id, kind,
+               last_value(vid IGNORE NULLS) OVER wb AS b_vid,
+               last_value(vts IGNORE NULLS) OVER wb AS b_vts,
+               first_value(vid IGNORE NULLS) OVER wf AS f_vid,
+               first_value(vts IGNORE NULLS) OVER wf AS f_vts
+        FROM u
+        WINDOW wb AS (PARTITION BY user_id ORDER BY us, kind, src_id
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY us, kind, src_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), p AS (
+        SELECT user_id, us, src_id,
+               b_vid, b_vts, f_vid, f_vts,
+               (b_vid IS NOT NULL AND us - b_vts <= {NEAREST_TOL_US}) AS bok,
+               (f_vid IS NOT NULL AND f_vts - us <= {NEAREST_TOL_US}) AS fok
+        FROM m WHERE kind = 1
+    )
+    SELECT src_id AS purchase_id, user_id, us AS purchase_ts_us,
+           CASE WHEN bok AND fok
+                THEN CASE WHEN us - b_vts <= f_vts - us THEN b_vid ELSE f_vid END
+                WHEN bok THEN b_vid WHEN fok THEN f_vid END AS view_id,
+           CASE WHEN bok AND fok
+                THEN CASE WHEN us - b_vts <= f_vts - us THEN b_vts ELSE f_vts END
+                WHEN bok THEN b_vts WHEN fok THEN f_vts END AS view_ts_us,
+           CASE WHEN bok AND fok
+                THEN CASE WHEN us - b_vts <= f_vts - us
+                          THEN b_vts - us ELSE f_vts - us END
+                WHEN bok THEN b_vts - us WHEN fok THEN f_vts - us
+           END AS delta_us,
+           CASE WHEN bok AND fok
+                THEN CASE WHEN us - b_vts <= f_vts - us THEN 'b' ELSE 'f' END
+                WHEN bok THEN 'b' WHEN fok THEN 'f' END AS direction
+    FROM p
+    """,
+    tags=("join", "temporal"),
+    doc="Nearest-direction as-of join (pandas merge_asof direction="
+    "'nearest' with tolerance): each purchase matched to the same user's "
+    "nearest view in EITHER direction within 30 minutes — backward "
+    "candidate = most recent view at-or-before (equal-ts views count as "
+    "before, highest id wins, j5's convention), forward candidate = "
+    "earliest view strictly after (lowest id wins), equidistant ties "
+    "prefer backward; no candidate in tolerance -> NULLs, preserving "
+    "every purchase row. One union + ONE sorted window pass computes "
+    "BOTH directions: the preceding-frame and following-frame specs "
+    "share the same (user_id; us, kind, src_id) sort, so Spark plans a "
+    "single exchange + single sort — the kind tag makes equal-ts views "
+    "sort before the purchase, which simultaneously yields at-or-before "
+    "backward and strictly-after forward semantics with no second pass. "
+    "delta_us is signed (negative = view before purchase).",
+)
+def j11_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    r = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("src_id"),
+        F.lit(0).alias("kind"),
+        F.unix_micros("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+    )
+    p_ = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("src_id"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vts"),
+        F.lit(None).cast("long").alias("vid"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "src_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "src_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        r.unionByName(p_)
+        .select(
+            "user_id",
+            "us",
+            "src_id",
+            "kind",
+            F.last("vid", ignorenulls=True).over(wb).alias("b_vid"),
+            F.last("vts", ignorenulls=True).over(wb).alias("b_vts"),
+            F.first("vid", ignorenulls=True).over(wf).alias("f_vid"),
+            F.first("vts", ignorenulls=True).over(wf).alias("f_vts"),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    bd = F.col("us") - F.col("b_vts")
+    fd = F.col("f_vts") - F.col("us")
+    bok = F.col("b_vid").isNotNull() & (bd <= NEAREST_TOL_US)
+    fok = F.col("f_vid").isNotNull() & (fd <= NEAREST_TOL_US)
+    back_wins = bd <= fd
+
+    def pick(b, f):
+        return (
+            F.when(bok & fok, F.when(back_wins, b).otherwise(f))
+            .when(bok, b)
+            .when(fok, f)
+        )
+
+    return m.select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_ts_us"),
+        pick(F.col("b_vid"), F.col("f_vid")).alias("view_id"),
+        pick(F.col("b_vts"), F.col("f_vts")).alias("view_ts_us"),
+        pick(F.col("b_vts") - F.col("us"), fd).alias("delta_us"),
+        pick(F.lit("b"), F.lit("f")).alias("direction"),
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               LEAD(CAST(epoch_us(ts) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(nxt - us) AS BIGINT) AS span_us,
+           CAST(SUM(CAST(cents AS HUGEINT) * (nxt - us)) AS DOUBLE)
+               / CAST(SUM(nxt - us) AS DOUBLE) AS twap_cents
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("temporal", "window", "agg"),
+    doc="Per-user time-weighted average (TWAP): each event's value holds "
+    "until the user's next event, so the mean weights every reading by "
+    "its holding time — the irregular-timeseries average that a plain "
+    "AVG gets wrong whenever sampling is bursty. lead(ts) over the "
+    "(user_id; ts, event_id) sort turns each row into a [us, next_us) "
+    "holding interval (the final open-ended reading drops out, as in "
+    "any TWAP); the weighted numerator accumulates exactly — cents x "
+    "microseconds in decimal(38,0)/HUGEINT, bounded by corpus-span x "
+    "max-cents per user, so partial-sum order can never perturb it — "
+    "and ONE identical IEEE division lands both engines on the same "
+    "double. Same single user_id exchange as every sessionize/lag "
+    "query; the groupBy reuses the window's partitioning.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).alias("cents"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    )
+    dt = F.col("nxt") - F.col("us")
+    agg = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(dt).alias("span_us"),
+            F.sum((F.col("cents") * dt).cast("decimal(38,0)")).alias("num"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        "span_us",
+        (F.col("num").cast("double") / F.col("span_us").cast("double")).alias(
+            "twap_cents"
+        ),
+    )
