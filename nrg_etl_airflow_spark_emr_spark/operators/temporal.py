@@ -753,6 +753,53 @@ IVL_BUCKET_US = ERR_IVL_US         # quantum = the longer interval class
 NEAREST_TOL_US = 30 * 60 * 1_000_000  # nearest-asof tolerance: 30 minutes
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_us: int,
+    key: str = "user_id",
+) -> DataFrame:
+    """Generic interval x interval overlap join. ``left``/``right`` carry
+    (<id col>, key, <s>/<e> start/end epoch-us bigints) with disjoint
+    column names; returns one row per overlapping (closed-interval) pair
+    with the exact overlap length. Each side explodes to the bucket
+    quanta its interval covers (interval/bucket + 1 rows — bounded by the
+    interval class, never data-dependent), the pair meets in an equi-join
+    on (key, bucket), and survives ONLY in the bucket containing
+    GREATEST(starts) — which both covered ranges contain whenever the
+    intervals overlap — so every pair emits exactly once with no
+    DISTINCT re-shuffle."""
+    ls, le = left.columns[2], left.columns[3]
+    rs, re_ = right.columns[2], right.columns[3]
+
+    def covered(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} div {bucket_us}"), F.expr(f"{e} div {bucket_us}")
+                )
+            ),
+        )
+
+    return (
+        covered(left, ls, le)
+        .join(covered(right, rs, re_), [key, "bucket"])
+        .filter(
+            (F.col(ls) <= F.col(re_))
+            & (F.col(rs) <= F.col(le))
+            & (F.col("bucket") == F.expr(f"greatest({ls}, {rs}) div {bucket_us}"))
+        )
+        .select(
+            key,
+            left.columns[0],
+            right.columns[0],
+            (F.least(le, re_) - F.greatest(ls, rs)).alias("overlap_us"),
+        )
+    )
+
+
+
 @register(
     "j10_interval_overlap",
     oracle=f"""
@@ -790,41 +837,103 @@ def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    W = IVL_BUCKET_US
 
-    def covered(df: DataFrame, id_alias: str, length_us: int, s: str, e: str):
-        return df.select(
+    def ivl(etype: str, id_alias: str, length_us: int, s: str, e: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
             F.col("event_id").alias(id_alias),
             "user_id",
             F.col("us").alias(s),
             (F.col("us") + length_us).alias(e),
-            F.explode(
-                F.sequence(
-                    F.expr(f"us div {W}"),
-                    F.expr(f"(us + {length_us}) div {W}"),
-                )
-            ).alias("bucket"),
         )
 
-    errs = covered(ev.filter(F.col("event_type") == "error"),
-                   "error_id", ERR_IVL_US, "es", "ee")
-    clks = covered(ev.filter(F.col("event_type") == "click"),
-                   "click_id", CLK_IVL_US, "cs", "ce")
-    start_max = F.greatest("es", "cs")
-    return (
-        errs.join(clks, ["user_id", "bucket"])
-        .filter(
-            (F.col("es") <= F.col("ce"))
-            & (F.col("cs") <= F.col("ee"))
-            & (F.col("bucket") == F.expr(f"greatest(es, cs) div {W}"))
-        )
+    return interval_overlap_join(
+        ivl("error", "error_id", ERR_IVL_US, "es", "ee"),
+        ivl("click", "click_id", CLK_IVL_US, "cs", "ce"),
+        IVL_BUCKET_US,
+    )
+
+
+def nearest_asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    tol_us: int = NEAREST_TOL_US,
+    key: str = "user_id",
+    ts: str = "ts",
+    probe_id: str = "event_id",
+    ref_id: str = "event_id",
+) -> DataFrame:
+    """Generic nearest-direction as-of join (pandas merge_asof
+    direction='nearest' with tolerance): each probe row gets the ref row
+    nearest in time within tol_us — backward candidate = latest ref
+    at-or-before (equal-ts refs count as before, highest id wins),
+    forward candidate = earliest ref strictly after (lowest id wins),
+    equidistant ties prefer backward; no candidate in tolerance keeps
+    the probe row with NULLs. Both directions come from ONE union +
+    sorted window pass (a preceding and a following frame over the same
+    (key; us, kind, id) sort — one exchange, one sort)."""
+    r = ref.select(
+        F.col(key).alias("user_id"),
+        F.unix_micros(ts).alias("us"),
+        F.col(ref_id).alias("src_id"),
+        F.lit(0).alias("kind"),
+        F.unix_micros(ts).alias("vts"),
+        F.col(ref_id).alias("vid"),
+    )
+    p_ = probe.select(
+        F.col(key).alias("user_id"),
+        F.unix_micros(ts).alias("us"),
+        F.col(probe_id).alias("src_id"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vts"),
+        F.lit(None).cast("long").alias("vid"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "src_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "src_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        r.unionByName(p_)
         .select(
             "user_id",
-            "error_id",
-            "click_id",
-            (F.least("ee", "ce") - start_max).alias("overlap_us"),
+            "us",
+            "src_id",
+            "kind",
+            F.last("vid", ignorenulls=True).over(wb).alias("b_vid"),
+            F.last("vts", ignorenulls=True).over(wb).alias("b_vts"),
+            F.first("vid", ignorenulls=True).over(wf).alias("f_vid"),
+            F.first("vts", ignorenulls=True).over(wf).alias("f_vts"),
         )
+        .filter(F.col("kind") == 1)
     )
+    bd = F.col("us") - F.col("b_vts")
+    fd = F.col("f_vts") - F.col("us")
+    bok = F.col("b_vid").isNotNull() & (bd <= tol_us)
+    fok = F.col("f_vid").isNotNull() & (fd <= tol_us)
+    back_wins = bd <= fd
+
+    def pick(b, f):
+        return (
+            F.when(bok & fok, F.when(back_wins, b).otherwise(f))
+            .when(bok, b)
+            .when(fok, f)
+        )
+
+    return m.select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_ts_us"),
+        pick(F.col("b_vid"), F.col("f_vid")).alias("view_id"),
+        pick(F.col("b_vts"), F.col("f_vts")).alias("view_ts_us"),
+        pick(F.col("b_vts") - F.col("us"), fd).alias("delta_us"),
+        pick(F.lit("b"), F.lit("f")).alias("direction"),
+    )
+
 
 
 @register(
@@ -891,67 +1000,48 @@ def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j11_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    r = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        F.col("event_id").alias("src_id"),
-        F.lit(0).alias("kind"),
-        F.unix_micros("ts").alias("vts"),
-        F.col("event_id").alias("vid"),
+    return nearest_asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
     )
-    p_ = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        F.col("event_id").alias("src_id"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("long").alias("vts"),
-        F.lit(None).cast("long").alias("vid"),
-    )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "kind", "src_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "kind", "src_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    m = (
-        r.unionByName(p_)
-        .select(
-            "user_id",
-            "us",
-            "src_id",
-            "kind",
-            F.last("vid", ignorenulls=True).over(wb).alias("b_vid"),
-            F.last("vts", ignorenulls=True).over(wb).alias("b_vts"),
-            F.first("vid", ignorenulls=True).over(wf).alias("f_vid"),
-            F.first("vts", ignorenulls=True).over(wf).alias("f_vts"),
-        )
-        .filter(F.col("kind") == 1)
-    )
-    bd = F.col("us") - F.col("b_vts")
-    fd = F.col("f_vts") - F.col("us")
-    bok = F.col("b_vid").isNotNull() & (bd <= NEAREST_TOL_US)
-    fok = F.col("f_vid").isNotNull() & (fd <= NEAREST_TOL_US)
-    back_wins = bd <= fd
 
-    def pick(b, f):
-        return (
-            F.when(bok & fok, F.when(back_wins, b).otherwise(f))
-            .when(bok, b)
-            .when(fok, f)
-        )
 
-    return m.select(
-        F.col("src_id").alias("purchase_id"),
-        "user_id",
-        F.col("us").alias("purchase_ts_us"),
-        pick(F.col("b_vid"), F.col("f_vid")).alias("view_id"),
-        pick(F.col("b_vts"), F.col("f_vts")).alias("view_ts_us"),
-        pick(F.col("b_vts") - F.col("us"), fd).alias("delta_us"),
-        pick(F.lit("b"), F.lit("f")).alias("direction"),
+def time_weighted_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "value",
+) -> DataFrame:
+    """Generic per-key time-weighted average: each row's value holds
+    until the key's next event (its holding interval from lead(ts)); the
+    final open-ended reading drops out. Weighted numerator accumulates
+    exactly (cents x microseconds in decimal(38,0)); one IEEE division
+    at the end. One exchange on the key, reused by the groupBy."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    s = events.select(
+        key,
+        F.floor(F.col(value) * 100).alias("cents"),
+        F.unix_micros(ts).alias("us"),
+        F.lead(F.unix_micros(ts)).over(w).alias("nxt"),
+    )
+    dt = F.col("nxt") - F.col("us")
+    agg = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(dt).alias("span_us"),
+            F.sum((F.col("cents") * dt).cast("decimal(38,0)")).alias("num"),
+        )
+    )
+    return agg.select(
+        key,
+        "n_intervals",
+        "span_us",
+        (F.col("num").cast("double") / F.col("span_us").cast("double")).alias(
+            "twap_cents"
+        ),
     )
 
 
@@ -989,28 +1079,4 @@ def j11_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query; the groupBy reuses the window's partitioning.",
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = t(spark, sf_dir, "events").select(
-        "user_id",
-        F.floor(F.col("value") * 100).alias("cents"),
-        F.unix_micros("ts").alias("us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
-    )
-    dt = F.col("nxt") - F.col("us")
-    agg = (
-        s.filter(F.col("nxt").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_intervals"),
-            F.sum(dt).alias("span_us"),
-            F.sum((F.col("cents") * dt).cast("decimal(38,0)")).alias("num"),
-        )
-    )
-    return agg.select(
-        "user_id",
-        "n_intervals",
-        "span_us",
-        (F.col("num").cast("double") / F.col("span_us").cast("double")).alias(
-            "twap_cents"
-        ),
-    )
+    return time_weighted_avg(t(spark, sf_dir, "events"))

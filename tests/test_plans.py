@@ -630,3 +630,50 @@ def test_bigram_surprisal_broadcasts_rank_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bigram_surprisal")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nearest_asof_single_pass(spark, sf_dir):
+    """Both as-of directions must come from ONE sorted window pass: the
+    preceding- and following-frame specs share the same (user_id; us,
+    kind, src_id) sort, so two Window nodes / two sorts / two exchanges
+    would mean the frames drifted apart and the union exchanges twice."""
+    plan = _plan(spark, sf_dir, "j11_asof_nearest")
+    assert plan.count("Window [") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_is_keyed_equi_join(spark, sf_dir):
+    """The interval x interval theta predicate must run as a keyed hash
+    join on (user_id, bucket) with no nested-loop fallback, and the
+    unique-bucket rule means no distinct/dedup aggregate after it."""
+    plan = _plan(spark, sf_dir, "j10_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "HashAggregate" not in plan, (
+        "pair uniqueness is structural (GREATEST-starts bucket), not a "
+        "deduplicating aggregate:\n" + plan
+    )
+
+
+def test_chisquare_windows_stay_on_cell_frame(spark, sf_dir):
+    """The corpus contributes exactly one hash-aggregate exchange; every
+    window (marginals + grand total) must run on the category-pair frame
+    after it, never re-shuffling the corpus."""
+    ids, plan = _shuffle_ids(spark, sf_dir, "a12_chisquare_cells")
+    # corpus groupBy + 3 tiny window exchanges over the <=15-row cell frame
+    assert len(ids) <= 4, plan
+    first = plan.index("HashAggregate")
+    assert "Scan parquet" in plan[first:], (
+        "the only corpus-sized operator is the leading aggregate:\n" + plan
+    )
+
+
+def test_key_skew_audit_take_ordered(spark, sf_dir):
+    """Top-k hot keys must plan as TakeOrderedAndProject over the per-key
+    aggregate (never a global sort), and the totals join is a broadcast
+    of a one-row frame."""
+    plan = _plan(spark, sf_dir, "qc_key_skew_audit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") <= 2, "per-key counts come from one scan per side"
