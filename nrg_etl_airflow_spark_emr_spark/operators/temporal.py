@@ -768,7 +768,20 @@ def interval_overlap_join(
     on (key, bucket), and survives ONLY in the bucket containing
     GREATEST(starts) — which both covered ranges contain whenever the
     intervals overlap — so every pair emits exactly once with no
-    DISTINCT re-shuffle."""
+    DISTINCT re-shuffle.
+
+    Column contract is positional and validated: each side must be
+    exactly (id, key, start, end) — a frame with extra or reordered
+    columns fails loudly here instead of producing silently-wrong
+    overlaps."""
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    for side, df in (("left", left), ("right", right)):
+        if len(df.columns) != 4 or df.columns[1] != key:
+            raise ValueError(
+                f"{side} frame must be exactly (id, {key}, start, end); "
+                f"got {df.columns}"
+            )
     ls, le = left.columns[2], left.columns[3]
     rs, re_ = right.columns[2], right.columns[3]
 
@@ -861,6 +874,8 @@ def nearest_asof_join(
     ts: str = "ts",
     probe_id: str = "event_id",
     ref_id: str = "event_id",
+    probe_out: str = "purchase",
+    ref_out: str = "view",
 ) -> DataFrame:
     """Generic nearest-direction as-of join (pandas merge_asof
     direction='nearest' with tolerance): each probe row gets the ref row
@@ -870,7 +885,13 @@ def nearest_asof_join(
     equidistant ties prefer backward; no candidate in tolerance keeps
     the probe row with NULLs. Both directions come from ONE union +
     sorted window pass (a preceding and a following frame over the same
-    (key; us, kind, id) sort — one exchange, one sort)."""
+    (key; us, kind, id) sort — one exchange, one sort).
+
+    Returns (<probe_out>_id, <key>, <probe_out>_ts_us, <ref_out>_id,
+    <ref_out>_ts_us, delta_us, direction) — the key keeps its caller
+    name, and probe_out/ref_out name the id/ts outputs (defaults match
+    the j11 purchase/view binding). tol_us defaults to the catalog's
+    30-minute business window; pass your own for other domains."""
     r = ref.select(
         F.col(key).alias("user_id"),
         F.unix_micros(ts).alias("us"),
@@ -925,11 +946,11 @@ def nearest_asof_join(
         )
 
     return m.select(
-        F.col("src_id").alias("purchase_id"),
-        "user_id",
-        F.col("us").alias("purchase_ts_us"),
-        pick(F.col("b_vid"), F.col("f_vid")).alias("view_id"),
-        pick(F.col("b_vts"), F.col("f_vts")).alias("view_ts_us"),
+        F.col("src_id").alias(f"{probe_out}_id"),
+        F.col("user_id").alias(key),
+        F.col("us").alias(f"{probe_out}_ts_us"),
+        pick(F.col("b_vid"), F.col("f_vid")).alias(f"{ref_out}_id"),
+        pick(F.col("b_vts"), F.col("f_vts")).alias(f"{ref_out}_ts_us"),
         pick(F.col("b_vts") - F.col("us"), fd).alias("delta_us"),
         pick(F.lit("b"), F.lit("f")).alias("direction"),
     )
@@ -1012,16 +1033,24 @@ def time_weighted_avg(
     ts: str = "ts",
     tiebreak: str = "event_id",
     value: str = "value",
+    scale: int = 100,
+    out: str = "twap_cents",
 ) -> DataFrame:
     """Generic per-key time-weighted average: each row's value holds
     until the key's next event (its holding interval from lead(ts)); the
-    final open-ended reading drops out. Weighted numerator accumulates
-    exactly (cents x microseconds in decimal(38,0)); one IEEE division
-    at the end. One exchange on the key, reused by the groupBy."""
+    final open-ended reading drops out. Values are fixed-pointed as
+    floor(value * scale) BEFORE weighting so the numerator accumulates
+    exactly (integer x microseconds in decimal(38,0)) — the result
+    column ``out`` is therefore in 1/scale units (cents at the default
+    scale=100; pass the scale that matches your column's precision, or
+    scale=1 for already-integral readings). One IEEE division at the
+    end. One exchange on the key, reused by the groupBy."""
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     s = events.select(
         key,
-        F.floor(F.col(value) * 100).alias("cents"),
+        F.floor(F.col(value) * scale).alias("cents"),
         F.unix_micros(ts).alias("us"),
         F.lead(F.unix_micros(ts)).over(w).alias("nxt"),
     )
@@ -1039,9 +1068,7 @@ def time_weighted_avg(
         key,
         "n_intervals",
         "span_us",
-        (F.col("num").cast("double") / F.col("span_us").cast("double")).alias(
-            "twap_cents"
-        ),
+        (F.col("num").cast("double") / F.col("span_us").cast("double")).alias(out),
     )
 
 

@@ -664,9 +664,14 @@ def test_chisquare_windows_stay_on_cell_frame(spark, sf_dir):
     ids, plan = _shuffle_ids(spark, sf_dir, "a12_chisquare_cells")
     # corpus groupBy + 3 tiny window exchanges over the <=15-row cell frame
     assert len(ids) <= 4, plan
-    first = plan.index("HashAggregate")
-    assert "Scan parquet" in plan[first:], (
-        "the only corpus-sized operator is the leading aggregate:\n" + plan
+    # Below the DEEPEST aggregate (the map-side partial over the scan)
+    # nothing corpus-sized may appear: a Window or Exchange printed after
+    # it would mean the corpus is re-sorted/re-shuffled before being
+    # aggregated.
+    below_partial = plan[plan.rindex("HashAggregate"):]
+    assert "Scan parquet" in below_partial, plan
+    assert "Window" not in below_partial and "Exchange" not in below_partial, (
+        "no corpus-sized operator below the partial aggregate:\n" + plan
     )
 
 
