@@ -142,3 +142,115 @@ def test_avi_roundtrip_property(n, h, w, fps, seed):
     gw, gh, gn, gfps, decoded = mm.decode_avi(mm.encode_avi(frames, fps=fps))
     assert (gw, gh, gn, gfps) == (w, h, n, fps)
     assert np.array_equal(decoded, frames)
+
+
+# ---------------------------------------------------------------------------
+# Temporal-kernel properties: the bucket-quantized interval join and the
+# single-pass nearest as-of must equal their brute-force specifications on
+# ARBITRARY inputs — and for the interval join, for ARBITRARY bucket
+# widths, since bucket width is a pure performance knob that must never
+# change the answer.
+# ---------------------------------------------------------------------------
+
+_interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # key
+        st.integers(min_value=0, max_value=500),      # start
+        st.integers(min_value=0, max_value=300),      # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_interval_rows, _interval_rows, st.integers(min_value=1, max_value=700))
+@settings(max_examples=12, deadline=None)
+def test_interval_overlap_matches_bruteforce_for_any_bucket(spark, lrows, rrows, bucket):
+    from nrg_etl_airflow_spark_emr_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, s, s + n) for i, (k, s, n) in enumerate(lrows)],
+        "a_id long, user_id long, as_ long, ae long",
+    )
+    right = spark.createDataFrame(
+        [(i, k, s, s + n) for i, (k, s, n) in enumerate(rrows)],
+        "b_id long, user_id long, bs long, be long",
+    )
+    got = {
+        (r.a_id, r.b_id): r.overlap_us
+        for r in interval_overlap_join(left, right, bucket).collect()
+    }
+    want = {
+        (i, j): min(ls + ln, rs + rn) - max(ls, rs)
+        for i, (lk, ls, ln) in enumerate(lrows)
+        for j, (rk, rs, rn) in enumerate(rrows)
+        if lk == rk and ls <= rs + rn and rs <= ls + ln
+    }
+    assert got == want
+
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=120),   # ts (seconds)
+        st.booleans(),                             # is_probe
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(_event_rows, st.integers(min_value=1, max_value=90))
+@settings(max_examples=12, deadline=None)
+def test_nearest_asof_matches_bruteforce_spec(spark, rows, tol_s):
+    """Brute-force the spec per probe: backward = latest ref at-or-before
+    (ties: max id), forward = earliest ref strictly after (ties: min id),
+    nearest within tolerance, equidistant prefers backward."""
+    import datetime
+
+    from nrg_etl_airflow_spark_emr_spark.operators.temporal import nearest_asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, k, "p" if isp else "r", base + datetime.timedelta(seconds=ts))
+            for i, (k, ts, isp) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.purchase_id: (r.view_id, r.delta_us, r.direction)
+        for r in nearest_asof_join(
+            ev.filter(F.col("event_type") == "p"),
+            ev.filter(F.col("event_type") == "r"),
+            tol_us=tol_s * 1_000_000,
+        ).collect()
+    }
+    tol_us = tol_s * 1_000_000
+    want = {}
+    for i, (k, ts, isp) in enumerate(rows):
+        if not isp:
+            continue
+        us = ts * 1_000_000
+        refs = [
+            (j, rts * 1_000_000)
+            for j, (rk, rts, risp) in enumerate(rows)
+            if not risp and rk == k
+        ]
+        back = max(
+            ((v, j) for j, v in refs if v <= us), default=None
+        )  # (vts, id): max ts then max id
+        fwd = min(
+            ((v, j) for j, v in refs if v > us), default=None
+        )  # min ts then min id
+        bok = back is not None and us - back[0] <= tol_us
+        fok = fwd is not None and fwd[0] - us <= tol_us
+        if bok and (not fok or us - back[0] <= fwd[0] - us):
+            want[i] = (back[1], back[0] - us, "b")
+        elif fok:
+            want[i] = (fwd[1], fwd[0] - us, "f")
+        else:
+            want[i] = (None, None, None)
+    assert got == want
