@@ -773,7 +773,16 @@ def interval_overlap_join(
     Column contract is positional and validated: each side must be
     exactly (id, key, start, end) — a frame with extra or reordered
     columns fails loudly here instead of producing silently-wrong
-    overlaps."""
+    overlaps.
+
+    bucket_us is a pure performance knob (property-tested: any width
+    gives identical answers). Tune it to the ~median interval length:
+    smaller buckets explode long intervals into more quantum rows
+    (row count = total covered time / bucket), larger buckets raise the
+    per-(key, bucket) join fan-in. Interval sets with a heavy long tail
+    should be segmented upstream (cap interval length at the bucket
+    width and emit segments) so one always-on interval cannot dominate
+    a partition."""
     if bucket_us <= 0:
         raise ValueError(f"bucket_us must be positive, got {bucket_us}")
     for side, df in (("left", left), ("right", right)):
