@@ -50,26 +50,57 @@ def _reap_stale_dirs(*keep_fragments: str) -> None:
     valid discovery channel for this: under the default in-memory catalog
     a new application's listTables() never sees a dead app's bq_* tables,
     and under a shared persistent metastore a different app-suffix could
-    belong to a concurrently LIVE application — so ownership is decided
-    by (a) ANY of the current app's id fragments appearing in the dir
-    name (never reaped — callers pass both the raw applicationId used in
-    rt_* names and its sanitized form used in bt_* names, so a >6h
-    session can never reap its own live dirs) and (b) mtime older than
-    _REAP_AGE_S (a dir untouched for 6h belongs to a finished run; live
-    queries rewrite their dirs every execution)."""
+    belong to a concurrently LIVE application. Protection is therefore:
+
+    (a) ANY of the current app's id fragments in the dir name — callers
+        pass both the raw applicationId (rt_* names) and its sanitized
+        form (bt_* names), so a session can never reap its own dirs;
+    (b) a FRESH heartbeat file (hb_<fragment>, touched on every formats
+        call by any app) whose fragment appears in the dir name — this
+        covers the held-DataFrame case: a sibling app that materialized
+        a frame over its temp dir and keeps re-executing it without
+        re-invoking the builder never rewrites the dir (mtime goes
+        stale), but as long as it runs ANY formats op its heartbeat
+        stays fresh and all its dirs stay protected. Residual window:
+        an app idle on formats ops for >_REAP_AGE_S while still holding
+        lazy frames over its dirs can lose them — /tmp scratch contract;
+    (c) mtime older than _REAP_AGE_S.
+    """
     import shutil
     import time
 
     root = tempfile.gettempdir()
     now = time.time()
+    # Touch this app's own heartbeats first so (b) protects us from
+    # sibling apps' reapers even when our dirs' mtimes go stale.
+    for frag in keep_fragments:
+        if frag:
+            try:
+                with open(os.path.join(root, f"hb_{frag}"), "w") as fh:
+                    fh.write(str(now))
+            except OSError:
+                pass
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    live_frags = []
+    for name in entries:
+        if name.startswith("hb_"):
+            path = os.path.join(root, name)
+            try:
+                if now - os.path.getmtime(path) <= _REAP_AGE_S:
+                    live_frags.append(name[3:])
+                else:
+                    os.unlink(path)
+            except OSError:
+                continue
     for name in entries:
         if not (name.startswith("rt_") or name.startswith("bt_")):
             continue
         if any(frag and frag in name for frag in keep_fragments):
+            continue
+        if any(frag in name for frag in live_frags):
             continue
         path = os.path.join(root, name)
         try:
@@ -221,6 +252,28 @@ def snk_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETS = 8
 
 
+def _drop_dangling_bucketed_tables(spark: SparkSession, own_safe: str) -> None:
+    """Drop bq_* catalog entries whose backing bt_* data dir no longer
+    exists. Under the default in-memory catalog foreign entries are never
+    visible and this is a no-op; under a shared persistent metastore it
+    re-establishes the cleanup the age-based dir reaper alone cannot:
+    once a dead app's data dir is reaped, its entry points at nothing —
+    provably dead, safe to drop regardless of which app owns it (a LIVE
+    app's entry always has a live dir: the heartbeat protects the dir
+    for as long as the app touches any formats op)."""
+    try:
+        tables = spark.catalog.listTables()
+    except Exception:
+        return
+    for tb in tables:
+        if not tb.name.startswith("bq_") or own_safe in tb.name:
+            continue
+        path = os.path.join(tempfile.gettempdir(), f"bt_{tb.name}")
+        if not os.path.exists(path):
+            spark.sql(f"DROP TABLE IF EXISTS {tb.name}")
+
+
+
 @register(
     "snk_bucketed_join",
     oracle=f"""
@@ -241,9 +294,11 @@ _BUCKETS = 8
     "is pinned in tests (the only exchange left is the priority "
     "aggregation's). Tables are per-application-suffixed so concurrent "
     "sessions never collide in a shared metastore; dead apps' bt_* data "
-    "dirs are reaped by filesystem age (catalog listTables() cannot see "
-    "them under the default in-memory catalog, and under a shared "
-    "metastore a different suffix may belong to a LIVE app).",
+    "dirs are reaped by filesystem age + heartbeat (catalog listTables() "
+    "cannot see them under the default in-memory catalog, and under a "
+    "shared metastore a different suffix may belong to a LIVE app), and "
+    "catalog entries left pointing at a reaped dir are then dropped as "
+    "provably dead.",
 )
 def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     app, app_safe = _app_fragments(spark)
@@ -254,9 +309,12 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{app_safe}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     # Reap PRIOR applications' leftover bt_*/rt_* data dirs (age-based;
     # the per-app suffix prevents live-session collisions but would
-    # otherwise accumulate dirs per application forever). Catalog
-    # entries need no reaping: the in-memory catalog dies with its app.
+    # otherwise accumulate dirs per application forever), then drop any
+    # catalog entries left pointing at reaped dirs (no-op under the
+    # in-memory catalog, which dies with its app; required under a
+    # shared persistent metastore, where entries outlive apps).
     _reap_stale_dirs(app, app_safe)
+    _drop_dangling_bucketed_tables(spark, app_safe)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     names = {}

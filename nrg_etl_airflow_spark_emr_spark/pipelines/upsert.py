@@ -458,7 +458,4 @@ def upsert_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.last_orderkey").alias("new_orderkey"),
         F.col("a.last_totalprice").alias("old_totalprice"),
         F.col("b.last_totalprice").alias("new_totalprice"),
-    ).filter(
-        F.col("a.custkey").isNull()
-        | (F.col("a.last_orderkey") != F.col("b.last_orderkey"))
-    )
+    ).filter(F.col("change_type") != "unchanged")

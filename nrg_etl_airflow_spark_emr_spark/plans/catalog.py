@@ -198,9 +198,14 @@ def _driver_evidence() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     evidence: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    def _round_of(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # Numeric sort: later rounds must override earlier ones, and plain
+    # lexicographic ordering breaks at 3-digit rounds (r100 < r99).
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of):
+        rnd = _round_of(path)
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):

@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -105,9 +107,23 @@ def main() -> None:
             df = spec(name).builder(spark, sf_dir)
             n_out = df.count()
             best = min(best, time.perf_counter() - t0)
-        rows[name] = (best, n_out)
-    assert rows[names[0]][1] == rows[names[1]][1], (
-        "prefix filter must be lossless: " + repr(rows)
+        # Losslessness is a SET claim, not a count claim: hash the full
+        # sorted (d1, d2) pair set so one dropped true pair plus one
+        # spurious pair cannot cancel out.
+        pair_hash = (
+            spec(name)
+            .builder(spark, sf_dir)
+            .select(F.concat_ws(":", "d1", "d2").alias("p"))
+            .agg(
+                F.md5(F.concat_ws(",", F.array_sort(F.collect_list("p")))).alias("h")
+            )
+            .collect()[0]
+            .h
+        )
+        rows[name] = (best, n_out, pair_hash)
+    assert rows[names[0]][1:] == rows[names[1]][1:], (
+        "prefix filter must be lossless (same pair SET, not just count): "
+        + repr(rows)
     )
     print(
         f"zipf s={args.s} docs={args.docs}: "

@@ -78,12 +78,26 @@ def test_reap_stale_dirs_age_and_ownership(tmp_path, monkeypatch):
         ("bt_bq_orders_feedc0de", True),  # foreign + old -> reaped
         ("rt_liveapp_csv_x", True),       # current app, old -> kept
         ("rt_otherapp_csv_x", False),     # foreign but fresh -> kept
+        ("rt_hbapp_csv_x", True),         # foreign + old, FRESH heartbeat -> kept
         ("unrelated_dir", True),          # old but not rt_/bt_ -> kept
     ):
         d = tmp_path / name
         d.mkdir()
         if stale:
             os.utime(d, (old, old))
+    # hbapp ran a formats op recently: its heartbeat protects its stale
+    # dir (the held-DataFrame case). A dead app's STALE heartbeat
+    # protects nothing and is itself removed.
+    (tmp_path / "hb_hbapp").write_text("x")
+    (tmp_path / "hb_deadapp").write_text("x")
+    os.utime(tmp_path / "hb_deadapp", (old, old))
     fmts._reap_stale_dirs("liveapp")
     left = sorted(p.name for p in tmp_path.iterdir())
-    assert left == ["rt_liveapp_csv_x", "rt_otherapp_csv_x", "unrelated_dir"]
+    assert left == [
+        "hb_hbapp",
+        "hb_liveapp",  # written by the call itself
+        "rt_hbapp_csv_x",
+        "rt_liveapp_csv_x",
+        "rt_otherapp_csv_x",
+        "unrelated_dir",
+    ]
