@@ -101,3 +101,37 @@ def test_reap_stale_dirs_age_and_ownership(tmp_path, monkeypatch):
         "rt_otherapp_csv_x",
         "unrelated_dir",
     ]
+
+
+def test_drop_dangling_bucketed_tables(spark, tmp_path):
+    """A bq_* catalog entry whose bt_* data dir no longer exists is
+    provably dead and must be dropped; entries with live dirs and the
+    current app's own entries survive. (Simulated in-session: the
+    in-memory catalog plays the role of the shared metastore.)"""
+    import os
+    import shutil
+    import tempfile
+
+    import nrg_etl_airflow_spark_emr_spark.operators.formats as fmts
+
+    tmp_root = tempfile.gettempdir()
+    dead, live = "bq_probe_deadapp_x", "bq_probe_liveapp_x"
+    for name in (dead, live):
+        path = os.path.join(tmp_root, f"bt_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            spark.range(3)
+            .write.option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    shutil.rmtree(os.path.join(tmp_root, f"bt_{dead}"), ignore_errors=True)
+    try:
+        fmts._drop_dangling_bucketed_tables(spark, own_safe="thisapp")
+        names = {tb.name for tb in spark.catalog.listTables()}
+        assert dead not in names, "entry with reaped dir must be dropped"
+        assert live in names, "entry with a live dir must survive"
+    finally:
+        for name in (dead, live):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(tmp_root, f"bt_{name}"), ignore_errors=True)
