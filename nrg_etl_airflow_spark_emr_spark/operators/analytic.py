@@ -932,3 +932,73 @@ def a12_chisquare_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rd * cd / nd).alias("expected"),
         (diff * diff / (nd * nd * rd * cd)).alias("chi2_contrib"),
     )
+
+
+@register(
+    "a13_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS r
+        FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+        SELECT s.s_nationkey, rev.r,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.s_nationkey
+                                       ORDER BY rev.r, rev.l_suppkey)
+                    AS BIGINT) AS i
+        FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    )
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(r) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(CAST(i AS HUGEINT) * r)
+                  - (COUNT(*) + 1) * CAST(SUM(CAST(r AS HUGEINT)) AS HUGEINT)
+                AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)) AS gini
+    FROM ranked
+    GROUP BY s_nationkey
+    """,
+    tags=("agg", "stats", "window"),
+    doc="Per-nation Gini coefficient of supplier revenue — the Lorenz "
+    "concentration audit (is revenue spread across suppliers or owned "
+    "by a few?) that pairs with qc_key_skew_audit's top-k view: Gini "
+    "0 = uniform, ->1 = winner-takes-all. Exact-moment discipline: "
+    "per-supplier revenue sums in fixed-point cents (corpus scan #1, "
+    "map-side partials), the rank window runs PARTITIONED BY NATION "
+    "over the supplier-grain frame (bounded by the supplier dimension, "
+    "never the data), and G = (2*sum(i*r) - (n+1)*sum(r)) / (n*sum(r)) "
+    "is formed from decimal(38,0)/HUGEINT integer moments with ONE "
+    "final IEEE division — bit-identical across engines and partition "
+    "counts. Suppliers with no lineitems are out of scope (active-"
+    "supplier concentration).",
+)
+def a13_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("r"))
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    w = Window.partitionBy("s_nationkey").orderBy("r", "l_suppkey")
+    ranked = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_nationkey", "r", "l_suppkey")
+        .withColumn("i", F.row_number().over(w).cast("long"))
+    )
+    dec = "decimal(38,0)"
+    g = ranked.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total_cents"),
+        F.sum((F.col("i") * F.col("r")).cast(dec)).alias("ir"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("ir")
+        - (F.col("n_suppliers") + 1).cast(dec) * F.col("total_cents").cast(dec)
+    ).cast("double")
+    den = F.col("n_suppliers").cast("double") * F.col("total_cents").cast("double")
+    return g.select(
+        "s_nationkey",
+        "n_suppliers",
+        "total_cents",
+        (num / den).alias("gini"),
+    )

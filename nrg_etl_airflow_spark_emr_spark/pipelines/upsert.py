@@ -459,3 +459,103 @@ def upsert_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.last_totalprice").alias("old_totalprice"),
         F.col("b.last_totalprice").alias("new_totalprice"),
     ).filter(F.col("change_type") != "unchanged")
+
+
+_CDCW_T1 = "1996-01-01"   # activity snapshot 1 taken at this date
+_CDCW_T2 = "1997-06-01"   # activity snapshot 2 taken at this date
+_CDCW_DAYS = 365          # a customer is "active" with an order in the window
+# Pack (epoch-day, orderkey) into one BIGINT so "latest order" is one MAX:
+# day < 10^5 forever, orderkey < 10^10 far past sf100 — no collision.
+_CDCW_PACK = 10_000_000_000
+
+
+@register(
+    "upsert_cdc_deletes",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderdate >= DATE '{_CDCW_T1}' - INTERVAL {_CDCW_DAYS} DAY
+                         AND o_orderdate < DATE '{_CDCW_T1}'
+                        THEN CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                                  AS BIGINT) * {_CDCW_PACK} + o_orderkey END) AS p1,
+               MAX(CASE WHEN o_orderdate >= DATE '{_CDCW_T2}' - INTERVAL {_CDCW_DAYS} DAY
+                         AND o_orderdate < DATE '{_CDCW_T2}'
+                        THEN CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                                  AS BIGINT) * {_CDCW_PACK} + o_orderkey END) AS p2
+        FROM orders
+        WHERE (o_orderdate >= DATE '{_CDCW_T1}' - INTERVAL {_CDCW_DAYS} DAY
+               AND o_orderdate < DATE '{_CDCW_T1}')
+           OR (o_orderdate >= DATE '{_CDCW_T2}' - INTERVAL {_CDCW_DAYS} DAY
+               AND o_orderdate < DATE '{_CDCW_T2}')
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           CASE WHEN p1 IS NULL THEN 'insert'
+                WHEN p2 IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           p1 % {_CDCW_PACK} AS old_orderkey,
+           p2 % {_CDCW_PACK} AS new_orderkey
+    FROM w
+    WHERE p1 IS NULL OR p2 IS NULL OR p1 <> p2
+    """,
+    tags=("upsert", "cdc"),
+    doc="CDC diff with ALL THREE change classes — upsert_cdc_diff's "
+    "append-only source can never produce deletes, so this variant "
+    "snapshots a SLIDING activity window (customers with an order in "
+    "the trailing year): a customer active at T1 but idle by T2 is a "
+    "DELETE, newly active is an INSERT, active in both with a different "
+    "latest order is an UPDATE. The plan is the reason this is its own "
+    "operator: both snapshots come from ONE conditional aggregation "
+    "over one scan — each window's latest order is MAX of a packed "
+    "(epoch-day, orderkey) BIGINT under a CASE filter — so there is no "
+    "second scan and no full-outer self-join; at 100 TB the diff costs "
+    "exactly one groupBy on the key, and partition pruning on "
+    "o_orderdate bounds the scan to the union of the two windows. "
+    "Unchanged keys drop out; the packed MAX makes 'latest' exact and "
+    "total (date then orderkey), never engine-ordered.",
+)
+def upsert_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def packed(t_end: str):
+        in_w = (
+            (F.col("o_orderdate") >= F.date_sub(F.lit(t_end).cast("date"), _CDCW_DAYS))
+            & (F.col("o_orderdate") < F.lit(t_end).cast("date"))
+        )
+        pack = (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            * _CDCW_PACK
+            + F.col("o_orderkey")
+        )
+        return F.max(F.when(in_w, pack))
+
+    w = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (
+                (F.col("o_orderdate") >= F.date_sub(F.lit(_CDCW_T1).cast("date"), _CDCW_DAYS))
+                & (F.col("o_orderdate") < F.lit(_CDCW_T1).cast("date"))
+            )
+            | (
+                (F.col("o_orderdate") >= F.date_sub(F.lit(_CDCW_T2).cast("date"), _CDCW_DAYS))
+                & (F.col("o_orderdate") < F.lit(_CDCW_T2).cast("date"))
+            )
+        )
+        .groupBy("o_custkey")
+        .agg(packed(_CDCW_T1).alias("p1"), packed(_CDCW_T2).alias("p2"))
+    )
+    change = (
+        F.when(F.col("p1").isNull(), F.lit("insert"))
+        .when(F.col("p2").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        w.filter(
+            F.col("p1").isNull() | F.col("p2").isNull() | (F.col("p1") != F.col("p2"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            change.alias("change_type"),
+            (F.col("p1") % _CDCW_PACK).alias("old_orderkey"),
+            (F.col("p2") % _CDCW_PACK).alias("new_orderkey"),
+        )
+    )
