@@ -682,3 +682,29 @@ def test_key_skew_audit_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "qc_key_skew_audit")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Scan parquet") <= 2, "per-key counts come from one scan per side"
+
+
+def test_cdc_deletes_single_aggregation(spark, sf_dir):
+    """Both sliding-window snapshots must come from ONE conditional
+    aggregation: one scan, one exchange, no join of any kind, and the
+    window-union date predicate pushed to the parquet reader."""
+    plan = _plan(spark, sf_dir, "upsert_cdc_deletes")
+    assert plan.count("Scan parquet") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert join not in plan, plan
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
+        "PushedFilters:"
+    )[1][:4], "window-union date bound must reach the scan"
+
+
+def test_gini_rank_window_is_dimension_bounded(spark, sf_dir):
+    """The rank window runs on the supplier-grain frame AFTER the revenue
+    aggregate (bounded by the dimension), with the supplier join
+    broadcast — a corpus-sized sort or shuffled join here is the 1000x
+    regression."""
+    plan = _plan(spark, sf_dir, "a13_gini_concentration")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    agg_pos = plan.rindex("HashAggregate")
+    assert "Window" not in plan[agg_pos:], (
+        "rank window must sit above the per-supplier aggregate:\n" + plan
+    )

@@ -205,3 +205,21 @@ def test_scd2_is_idempotent_for_noop_reload(spark):
     twice = scd2_apply(once, updates, ["id"], ["region"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     assert once.count() == 1
+
+
+def test_cdc_deletes_all_three_classes_nonvacuous(spark, sf_dir):
+    """The sliding-window CDC fixture must actually produce inserts,
+    updates, AND deletes — if fixture drift empties a class, the oracle
+    gate passes vacuously and the operator's delete path goes untested."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    counts = {
+        r.change_type: r.n
+        for r in all_specs()["upsert_cdc_deletes"]
+        .builder(spark, sf_dir)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"insert", "update", "delete"}, counts
+    assert all(v > 0 for v in counts.values()), counts
