@@ -1002,3 +1002,65 @@ def a13_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         (num / den).alias("gini"),
     )
+
+
+@register(
+    "a15_winsorized_mean",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.p05, b.p95,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(
+               CASE WHEN l.l_extendedprice < b.p05 THEN b.p05
+                    WHEN l.l_extendedprice > b.p95 THEN b.p95
+                    ELSE l.l_extendedprice END * 100) AS BIGINT))
+                AS DOUBLE) / (COUNT(*) * 100.0) AS winsorized_mean
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.p05, b.p95
+    """,
+    tags=("agg", "robust"),
+    window_defer=True,
+    doc="Winsorized mean per return flag — the robust-average sibling of "
+    "a9's MAD outlier count: values are CLAMPED to the group's exact "
+    "[p05, p95] band before averaging, so a handful of wild rows move "
+    "the mean by at most the band edge (trimming drops them; "
+    "winsorizing keeps their count). Exactness chain: both engines "
+    "interpolate quantile_cont identically (p*(n-1)), the clamp is a "
+    "row-local comparison against that shared double, the clamped "
+    "value fixed-points to cents BEFORE summation, and one final IEEE "
+    "division lands both engines on the same double. Two grouped "
+    "passes (exact percentiles, then clamp+sum) + a broadcast of the "
+    "5-row band table; at 100 TB swap pass 1 to approx_percentile and "
+    "the plan shape is unchanged.",
+)
+def a15_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bands = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.when(F.col("l_extendedprice") < F.col("p05"), F.col("p05")).when(
+        F.col("l_extendedprice") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("l_extendedprice"))
+    g = (
+        li.join(F.broadcast(bands), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(clamped * 100)).alias("cents"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "p05",
+        "p95",
+        "n_rows",
+        (F.col("cents").cast("double") / (F.col("n_rows") * F.lit(100.0))).alias(
+            "winsorized_mean"
+        ),
+    )

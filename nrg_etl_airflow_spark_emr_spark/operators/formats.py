@@ -412,3 +412,59 @@ def snk_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_date"),
         ).select(F.lit(version).alias("version"), "*")
     return read_version(v1_files, 1).unionByName(read_version(v2_files, 2))
+
+
+_EVO_CUTOFF = "1996-07-01"  # rows before this wrote the OLD (narrower) schema
+
+
+@register(
+    "src_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 'UNKNOWN'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY priority
+    """,
+    tags=("source", "format"),
+    window_defer=True,
+    doc="Parquet schema-evolution round-trip — the long-lived-table "
+    "reality the fixed-schema round-trips skip: an old commit wrote "
+    "(orderkey, totalprice, orderdate), a newer commit added "
+    "o_orderpriority, and ONE mergeSchema read reconciles both — the "
+    "added column comes back NULL for old files (surfaced here as "
+    "'UNKNOWN') without rewriting them. The oracle recomputes the same "
+    "aggregation from the source table with the cutoff as a CASE, so a "
+    "mis-merged or misaligned column breaks the value hash. Scale "
+    "notes: schema merge reads FOOTERS of all files (at 100 TB pin a "
+    "table-level schema or use a table format instead of per-query "
+    "merge); columns added later are metadata-only for old files — "
+    "no backfill rewrite.",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _roundtrip_dir(spark, "schevo", sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    cutoff = F.lit(_EVO_CUTOFF).cast("date")
+    old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    new = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(base)
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )

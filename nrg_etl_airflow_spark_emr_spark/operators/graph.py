@@ -410,3 +410,70 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH pe AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT p1 AS node FROM pe UNION ALL SELECT p2 FROM pe)
+        GROUP BY node
+    )
+    SELECT CAST(length(CAST(degree AS VARCHAR)) AS INTEGER) AS degree_digits,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree,
+           CAST(SUM(degree) AS BIGINT) AS sum_degree
+    FROM deg
+    GROUP BY degree_digits
+    """,
+    tags=("graph", "agg"),
+    window_defer=True,
+    doc="Degree distribution of the part co-purchase graph, bucketed by "
+    "digit count of the degree (the exact-integer log10 proxy the "
+    "surprisal operators use — a power-law graph shows roughly linear "
+    "node-count decay across digit buckets): per bucket, node count and "
+    "min/max/sum degree. This is the graph family's observability "
+    "endpoint — the measurement that DECIDES whether the triangle "
+    "count's degree orientation and pagerank's skew handling are "
+    "worth their cost on a given graph. The edge-build self-join is "
+    "the only data-sized work (same plan as graph_triangle_count's "
+    "first stage); the degree aggregate is node-grain and the bucket "
+    "key cardinality is the digit count of the max degree.",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.length(F.col("degree").cast("string")).cast("int").alias("degree_digits")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+            F.sum("degree").alias("sum_degree"),
+        )
+    )

@@ -1116,3 +1116,55 @@ def time_weighted_avg(
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_stats",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx,
+               ts
+        FROM g
+    ), sess AS (
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+               CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS dur_us
+        FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           COUNT(*) AS n_sessions,
+           quantile_cont(dur_us, 0.5) AS median_dur_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+    FROM sess
+    GROUP BY n_events
+    """,
+    tags=("temporal", "agg", "stats"),
+    window_defer=True,
+    doc="Session-duration profile by session size — the observability "
+    "endpoint for w5_sessionize (how long do k-event sessions last?): "
+    "sessions from the same lag+running-sum kernel, then per-size "
+    "count, exact median duration, and max. Exactness: durations are "
+    "integer microsecond spans, quantile_cont interpolates identically "
+    "in both engines, and the group key (session size) is discrete. "
+    "Scale shape: the sessionize exchange on user_id is the only "
+    "data-sized shuffle; the stats aggregate runs at session grain "
+    "(corpus / mean-session-size rows) and its group-by key cardinality "
+    "is bounded by the longest session, not the data.",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(t(spark, sf_dir, "events").select("user_id", "ts", "event_id"))
+    dur = (F.col("session_end_us") - F.col("session_start_us")).alias("dur_us")
+    per = sess.select("n_events", dur)
+    return per.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.percentile("dur_us", F.lit(0.5)).alias("median_dur_us"),
+        F.max("dur_us").alias("max_dur_us"),
+    )

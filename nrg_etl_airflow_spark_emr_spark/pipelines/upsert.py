@@ -559,3 +559,61 @@ def upsert_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p2") % _CDCW_PACK).alias("new_orderkey"),
         )
     )
+
+
+@register(
+    "upsert_cdc_apply",
+    oracle=f"""
+    SELECT o_custkey AS custkey,
+           MAX(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               * {_CDCW_PACK} + o_orderkey) % {_CDCW_PACK} AS last_orderkey
+    FROM orders
+    WHERE o_orderdate >= DATE '{_CDCW_T2}' - INTERVAL {_CDCW_DAYS} DAY
+      AND o_orderdate < DATE '{_CDCW_T2}'
+    GROUP BY o_custkey
+    """,
+    tags=("upsert", "cdc"),
+    window_defer=True,
+    doc="CDC apply — the round-trip proof for upsert_cdc_deletes: the "
+    "Spark side reconstructs snapshot T2 by APPLYING the diff to "
+    "snapshot T1 (anti-join out the deletes, upsert the insert/update "
+    "rows), while the oracle computes T2 directly from the source — "
+    "equality proves diff + apply is lossless in both directions "
+    "(a dropped delete leaves a phantom row, a wrong update key breaks "
+    "the hash). This is the consumer-side contract a CDC feed must "
+    "satisfy before it can replace snapshot shipping. Plan: the T1 "
+    "snapshot and the diff each cost one custkey groupBy over the "
+    "date-pruned scan; the apply is one anti-join + union at snapshot "
+    "grain, partitioned on the same key — no full-table pass anywhere.",
+)
+def upsert_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def snapshot(t_end: str) -> DataFrame:
+        in_w = (
+            (F.col("o_orderdate") >= F.date_sub(F.lit(t_end).cast("date"), _CDCW_DAYS))
+            & (F.col("o_orderdate") < F.lit(t_end).cast("date"))
+        )
+        pack = (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            * _CDCW_PACK
+            + F.col("o_orderkey")
+        )
+        return (
+            t(spark, sf_dir, "orders")
+            .filter(in_w)
+            .groupBy("o_custkey")
+            .agg((F.max(pack) % _CDCW_PACK).alias("last_orderkey"))
+            .select(F.col("o_custkey").alias("custkey"), "last_orderkey")
+        )
+
+    snap1 = snapshot(_CDCW_T1)
+    diff = upsert_cdc_deletes(spark, sf_dir)
+    survivors = snap1.join(
+        diff.filter(F.col("change_type") != "insert").select("custkey"),
+        "custkey",
+        "left_anti",
+    )
+    applied_changes = diff.filter(F.col("change_type") != "delete").select(
+        "custkey", F.col("new_orderkey").alias("last_orderkey")
+    )
+    return survivors.unionByName(applied_changes)

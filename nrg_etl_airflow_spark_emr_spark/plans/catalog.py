@@ -59,6 +59,12 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
+    # Registered after the current round's window was already committed to
+    # a composition (e.g. a planned rows-only retirement batch): sort
+    # behind every other evidence-lacking spec so late registrations can
+    # never displace the round's planned slots. Affects ONLY the
+    # lacking-evidence phase; once checked, the spec rotates normally.
+    window_defer: bool = False
 
 
 def register(
@@ -67,6 +73,7 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     doc: str = "",
+    window_defer: bool = False,
 ) -> Callable[[Builder], Builder]:
     """Decorator: register a query builder under ``name``."""
 
@@ -74,7 +81,8 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = QuerySpec(
-            name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench
+            name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench,
+            window_defer=window_defer,
         )
         return fn
 
@@ -266,8 +274,13 @@ def all_specs() -> dict[str, QuerySpec]:
     green = _driver_evidence()
     base_idx = {n: i for i, n in enumerate(base)}
     pending = [n for n in base if n not in green]
-    ordered = {n: base[n] for n in pending if base[n].oracle is not None}
+    ordered = {
+        n: base[n]
+        for n in pending
+        if base[n].oracle is not None and not base[n].window_defer
+    }
     ordered.update((n, base[n]) for n in pending if base[n].oracle is None)
+    ordered.update((n, base[n]) for n in pending if base[n].window_defer)
     ordered.update(
         (n, base[n])
         for n in sorted(

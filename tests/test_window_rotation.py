@@ -68,23 +68,25 @@ def test_explicit_false_keeps_rows_only_spec_pending(tmp_path, monkeypatch):
 
 def test_pending_rows_only_sorts_behind_pending_oracle_gated(tmp_path, monkeypatch):
     ordered = _with_records(tmp_path, monkeypatch, {})
-    last_pending_oracle = max(
-        i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is not None
-    )
-    first_rows_only = min(
-        i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None
-    )
-    # With no evidence at all, every spec is pending: all rows-only specs
-    # must trail all oracle-gated ones.
-    assert first_rows_only > last_pending_oracle - len(
-        [n for n in ordered if cat._REGISTRY[n].oracle is None]
-    )
+    # With no evidence at all, every spec is pending. Ordering contract:
+    # non-deferred oracle-gated, then rows-only, then window-deferred —
+    # rows-only specs trail every scoreable non-deferred spec and sit in
+    # one contiguous block.
     rows_only = [i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None]
-    oracle = [i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is not None]
-    assert min(rows_only) > max(oracle) - len(rows_only), (
-        "rows-only specs must occupy the tail positions"
+    normal_oracle = [
+        i
+        for i, n in enumerate(ordered)
+        if cat._REGISTRY[n].oracle is not None and not cat._REGISTRY[n].window_defer
+    ]
+    deferred = [i for i, n in enumerate(ordered) if cat._REGISTRY[n].window_defer]
+    assert min(rows_only) > max(normal_oracle), (
+        "rows-only specs must trail every non-deferred oracle-gated spec"
     )
     assert rows_only == list(range(min(rows_only), min(rows_only) + len(rows_only)))
+    if deferred:
+        assert min(deferred) > max(rows_only), (
+            "deferred specs must trail the rows-only retirement batch"
+        )
 
 
 def _with_rounds(tmp_path, monkeypatch, per_round: dict) -> list[str]:
@@ -125,3 +127,26 @@ def test_later_red_overrides_earlier_green(tmp_path, monkeypatch):
         i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None
     )
     assert ordered.index("q1_pricing_summary") < first_rows_only
+
+
+def test_window_defer_sorts_behind_retirement_batch(tmp_path, monkeypatch):
+    """A window_defer spec lacking evidence must sort behind EVERY other
+    evidence-lacking spec — including rows-only retirements — so a late
+    registration can never displace a round's planned window. Once it
+    has green evidence it rejoins the normal re-check rotation."""
+    cat._load()
+    deferred = [n for n, s in cat._REGISTRY.items() if s.window_defer]
+    if not deferred:
+        import pytest
+
+        pytest.skip("no deferred specs registered this round")
+    ordered = _with_rounds(tmp_path, monkeypatch, {})
+    ev = cat._driver_evidence()
+    lacking = [n for n in ordered if n not in ev]
+    last_normal = max(
+        i for i, n in enumerate(lacking) if not cat._REGISTRY[n].window_defer
+    )
+    for n in deferred:
+        assert lacking.index(n) > last_normal, (
+            f"deferred spec {n} displaced a planned window slot"
+        )
