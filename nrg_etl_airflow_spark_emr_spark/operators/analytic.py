@@ -1064,3 +1064,46 @@ def a15_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     )
+
+
+@register(
+    "a16_group_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_shipdate AS v, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_shipdate
+    ), r AS (
+        SELECT l_returnflag, v, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, v) AS rn
+        FROM c
+    )
+    SELECT l_returnflag, v AS mode_shipdate,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "stats"),
+    window_defer=True,
+    doc="Exact per-group mode with a total tie-break (most frequent "
+    "shipdate per return flag; ties -> earliest value) — the "
+    "deterministic counterpart of Spark's mode(), whose tie behavior "
+    "is unspecified and engine-local. Two hash aggregates: (group, "
+    "value) counts — the only data-sized exchange, map-side combined — "
+    "then a per-group max_by over the count frame, here as a "
+    "WindowGroupLimit-prunable row_number so nothing is resorted at "
+    "value grain. At 100 TB mode is exactly as expensive as COUNT "
+    "DISTINCT at the same grain; the tie rule is what makes it safe "
+    "to gate across engines.",
+)
+def a16_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_shipdate").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "v")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("v").alias("mode_shipdate"), F.col("cnt").alias("mode_count"))
+    )

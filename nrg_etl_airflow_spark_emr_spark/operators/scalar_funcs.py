@@ -243,3 +243,49 @@ def f14_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm2.alias("norm2"),
         F.size(F.filter("fe", lambda x: x > F.lit(0))).alias("n_pos"),
     )
+
+
+TB_WIDTH_US = 90 * 60 * 1_000_000          # 90-minute buckets
+TB_ORIGIN = "2024-01-01 00:30:00"          # off-hour origin: catches floor-to-
+                                           # hour shortcuts that happen to agree
+                                           # on aligned origins
+
+
+@register(
+    "f15_time_bucket",
+    oracle=f"""
+    SELECT CAST(epoch_us(TIMESTAMP '{TB_ORIGIN}')
+                + ((epoch_us(ts) - epoch_us(TIMESTAMP '{TB_ORIGIN}'))
+                   // {TB_WIDTH_US}) * {TB_WIDTH_US} AS BIGINT) AS bucket_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY bucket_us, event_type
+    """,
+    tags=("function", "temporal", "agg"),
+    window_defer=True,
+    doc="Arbitrary-width, arbitrary-origin time bucketing (the "
+    "TimescaleDB time_bucket / date_bin primitive): 90-minute buckets "
+    "anchored at an off-hour origin, counted per event type. Width and "
+    "origin matter — calendar truncs (date_trunc) only express "
+    "unit-aligned buckets, and the deliberately misaligned origin here "
+    "would expose any floor-to-hour shortcut. Pure integer epoch "
+    "arithmetic (floor-div on microsecond deltas — no timezone, no "
+    "calendar, identical in both engines), map-side combinable, and "
+    "the bucket key is a monotone function of ts so range-partitioned "
+    "or sorted-parquet layouts keep their pruning.",
+)
+def f15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    origin = F.unix_micros(F.lit(TB_ORIGIN).cast("timestamp"))
+    bucket = origin + F.expr(
+        f"((unix_micros(ts) - unix_micros(TIMESTAMP '{TB_ORIGIN}')) div {TB_WIDTH_US}) * {TB_WIDTH_US}"
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(bucket.alias("bucket_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+        )
+    )

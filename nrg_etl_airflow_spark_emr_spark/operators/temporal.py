@@ -1168,3 +1168,83 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("dur_us", F.lit(0.5)).alias("median_dur_us"),
         F.max("dur_us").alias("max_dur_us"),
     )
+
+
+FUNNEL_W1_US = 24 * 3600 * 1_000_000      # view -> click conversion window
+FUNNEL_W2_US = 7 * 24 * 3600 * 1_000_000  # click -> purchase conversion window
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS c_us
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > v.v_us
+          AND epoch_us(e.ts) <= v.v_us + {FUNNEL_W1_US}
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS p_us
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > c.c_us
+          AND epoch_us(e.ts) <= c.c_us + {FUNNEL_W2_US}
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.v_us, c.c_us, p.p_us,
+           CAST(1 + CASE WHEN c.c_us IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.p_us IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS depth
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("temporal", "funnel"),
+    window_defer=True,
+    doc="Time-bounded conversion funnel — funnel_stages' windowed "
+    "sibling: the click must land within 24h of the user's FIRST view, "
+    "the purchase within 7d of that qualifying click (unbounded 'ever "
+    "later' funnels overstate conversion by counting returns as "
+    "conversions). Each stage is a conditional MIN over the next event "
+    "type against the previous stage's anchor — three keyed aggregates "
+    "+ left joins, every one partitioned on user_id, so at 100 TB one "
+    "exchange partitioning is reused across all stages exactly as in "
+    "the unbounded funnel; the conversion windows are row-local "
+    "predicates and cost nothing.",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def stage(prev: DataFrame, etype: str, anchor: str, width: int, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", anchor), "user_id")
+            .filter(
+                (F.col("us") > F.col(anchor)) & (F.col("us") <= F.col(anchor) + width)
+            )
+            .groupBy("user_id")
+            .agg(F.min("us").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = stage(v, "click", "v_us", FUNNEL_W1_US, "c_us")
+    p = stage(c, "purchase", "c_us", FUNNEL_W2_US, "p_us")
+    depth = (
+        F.lit(1)
+        + F.when(F.col("c_us").isNull(), 0).otherwise(1)
+        + F.when(F.col("p_us").isNull(), 0).otherwise(1)
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_us", "c_us", "p_us", depth.alias("depth"))
+    )

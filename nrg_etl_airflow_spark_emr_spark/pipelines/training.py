@@ -700,3 +700,61 @@ def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").over(Window.partitionBy()).cast("double")
         ).alias("token_share"),
     )
+
+
+KFOLD_K = 5
+_SQL_KFOLD_KEY = "'fold:7:' || CAST(doc_id AS VARCHAR)"
+
+
+@register(
+    "train_kfold_assign",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, {sql_hash60(_SQL_KFOLD_KEY)} % {KFOLD_K} AS fold
+        FROM documents
+    ), r AS (
+        SELECT f.doc_id,
+               CAST(rounds.round AS INTEGER) AS round,
+               CASE WHEN f.fold = rounds.round THEN 'eval' ELSE 'train' END AS role
+        FROM f CROSS JOIN (SELECT unnest(range({KFOLD_K})) AS round) rounds
+    )
+    SELECT round, role,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM r GROUP BY round, role
+    """,
+    tags=("training", "split"),
+    window_defer=True,
+    doc=f"{KFOLD_K}-fold cross-validation assignment: fold = "
+    f"hash60('fold:7:'||doc_id) mod {KFOLD_K}, each round r holds fold r "
+    "out for eval and trains on the rest. Gated at the round x role "
+    "grain (counts + doc_id sum/min/max — a doc in the wrong role moves "
+    "sum_doc_id, so the membership audit is value-level, not just "
+    "cardinality, and eval+train partition the corpus per round by "
+    "construction). Hash-deterministic like every train_* split: adding "
+    "documents never reassigns existing ones, folds are reproducible "
+    "across engines/retries/cluster sizes, and the assignment is "
+    "map-only — the explode to K rounds costs K rows per doc here for "
+    "the audit, while production materializes nothing (a round's train "
+    "set is the pushdown filter fold <> r).",
+)
+def train_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fold = hash60(_salted("fold:7:")) % KFOLD_K
+    f = t(spark, sf_dir, "documents").select("doc_id", fold.alias("fold"))
+    r = f.select(
+        "doc_id",
+        "fold",
+        F.explode(F.array(*[F.lit(i) for i in range(KFOLD_K)])).alias("round"),
+    ).select(
+        "doc_id",
+        F.col("round").cast("int").alias("round"),
+        F.when(F.col("fold") == F.col("round"), "eval").otherwise("train").alias("role"),
+    )
+    return r.groupBy("round", "role").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -238,10 +238,7 @@ def upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_EPOCH = "DATE '1992-01-01'"  # dimension load date (before all orders)
 
 
-@register(
-    "upsert_scd2_history",
-    bench=True,
-    oracle=f"""
+_SCD2_HISTORY_SQL = f"""
     WITH u AS (
         SELECT o_custkey AS custkey, o_orderpriority AS segment,
                o_orderdate AS eff,
@@ -270,7 +267,13 @@ _SCD2_EPOCH = "DATE '1992-01-01'"  # dimension load date (before all orders)
     UNION ALL
     SELECT ch.custkey, ch.segment, ch.eff, CAST(NULL AS DATE)
     FROM ch
-    """,
+    """
+
+
+@register(
+    "upsert_scd2_history",
+    bench=True,
+    oracle=_SCD2_HISTORY_SQL,
     tags=("upsert", "scd2"),
     doc="Slowly-changing-dimension type 2 — the scd2_apply kernel as a "
     "query: the customer dimension starts as one current version per "
@@ -617,3 +620,53 @@ def upsert_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", F.col("new_orderkey").alias("last_orderkey")
     )
     return survivors.unionByName(applied_changes)
+
+
+@register(
+    "upsert_scd2_asof_lookup",
+    oracle=f"""
+    WITH hist AS ({_SCD2_HISTORY_SQL})
+    SELECT o.o_orderkey, o.o_custkey AS custkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_ts_us,
+           h.segment AS segment_asof
+    FROM orders o
+    JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    """,
+    tags=("upsert", "scd2", "join", "temporal"),
+    window_defer=True,
+    doc="Point-in-time (FOR SYSTEM_TIME AS OF) lookup against the SCD2 "
+    "history — the query every versioned dimension exists to answer: "
+    "each order joined to the customer attributes that were CURRENT on "
+    "its order date, under the half-open [valid_from, valid_to) "
+    "convention (an order placed ON the change date sees the NEW "
+    "version — the boundary either-version bug is the classic SCD2 "
+    "defect). The history comes from the same scd2_apply kernel "
+    "upsert_scd2_history gates, and the oracle rebuilds it from the "
+    "SHARED SQL text, so the two specs can never gate against drifted "
+    "histories. Plan: keyed equi-join on custkey (the interval "
+    "predicate is a row-local filter, never a theta join — fan-in per "
+    "key = that key's version count, bounded by change frequency); at "
+    "100 TB both sides hash-partition on the key and the versioned "
+    "side is orders of magnitude smaller than the fact.",
+)
+def upsert_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = upsert_scd2_history(spark, sf_dir)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("order_ts_us"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    j = orders.join(hist, orders.o_custkey == hist.custkey).filter(
+        (F.col("valid_from") <= F.col("od"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+    )
+    return j.select(
+        "o_orderkey",
+        "custkey",
+        "order_ts_us",
+        F.col("segment").alias("segment_asof"),
+    )
