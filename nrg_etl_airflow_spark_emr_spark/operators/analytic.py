@@ -1107,3 +1107,151 @@ def a16_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("v").alias("mode_shipdate"), F.col("cnt").alias("mode_count"))
     )
+
+
+@register(
+    "a17_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_quantity) AS HUGEINT)) AS s1,
+               SUM(CAST(FLOOR(l_quantity) AS HUGEINT)
+                   * CAST(FLOOR(l_quantity) AS HUGEINT)) AS s2,
+               SUM(CAST(FLOOR(l_quantity) AS HUGEINT)
+                   * CAST(FLOOR(l_quantity) AS HUGEINT)
+                   * CAST(FLOOR(l_quantity) AS HUGEINT)) AS s3,
+               SUM(CAST(FLOOR(l_quantity) AS HUGEINT)
+                   * CAST(FLOOR(l_quantity) AS HUGEINT)
+                   * CAST(FLOOR(l_quantity) AS HUGEINT)
+                   * CAST(FLOOR(l_quantity) AS HUGEINT)) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE)
+              * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / CAST(n AS DOUBLE)) AS skewness,
+           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+              - 4.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+              + 6.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / CAST(n AS DOUBLE)) AS kurtosis
+    FROM m
+    """,
+    tags=("agg", "stats"),
+    window_defer=True,
+    doc="Population skewness and kurtosis per return flag from EXACT "
+    "integer power sums s1..s4 — the 3rd/4th-moment extension of "
+    "a8_exact_corr's discipline: built-in skewness()/kurtosis() "
+    "accumulate centered doubles in engine-specific order and drift in "
+    "the last ulps, so instead the four raw power sums accumulate as "
+    "128-bit integers (quantity^4 <= 6.25e6 per row keeps even 10^10-"
+    "row groups inside decimal(38)), then ONE identical double "
+    "expression per group computes the standardized moments — same "
+    "double in, same double out, both engines. Map-side partial "
+    "aggregation does all the work; the shuffle carries four integers "
+    "per group.",
+)
+def a17_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = F.floor("l_quantity")
+    dec = "decimal(38,0)"
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q.alias("q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum((F.col("q") * F.col("q")).cast(dec)).alias("s2"),
+            F.sum((F.col("q") * F.col("q") * F.col("q")).cast(dec)).alias("s3"),
+            F.sum((F.col("q") * F.col("q") * F.col("q") * F.col("q")).cast(dec)).alias("s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = [F.col(c).cast("double") for c in ("n", "s1", "s2", "s3", "s4")]
+    # Operation ORDER must mirror the oracle text exactly (left-to-right,
+    # divisions last where the SQL divides last): A*(A/n) and (A*A)/n
+    # differ in the final ulp and the gate is bit-exact.
+    a = n * s2 - s1 * s1  # n^2 * variance
+    skew = (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1) / (
+        n * F.sqrt(a) * a / n
+    )
+    kurt = (n * (n * n * s4 - 4.0 * n * s1 * s3 + 6.0 * s1 * s1 * s2
+                 - 3.0 * s1 * s1 * s1 * s1 / n)) / (a * a / n)
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+    )
+
+
+@register(
+    "a18_share_of_parent",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY region, nation
+    )
+    SELECT region, nation, cents,
+           CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+           CAST(cents AS DOUBLE)
+               / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE) AS share,
+           CAST(cents AS DOUBLE)
+               / CAST(SUM(cents) OVER () AS DOUBLE) AS global_share
+    FROM nat
+    """,
+    tags=("agg", "window", "rollup"),
+    window_defer=True,
+    doc="Share-of-parent hierarchy report (nation revenue as a share of "
+    "its region and of the world) — the OLAP ratio g1_rollup's plain "
+    "subtotals cannot express, and the pattern that replaces a "
+    "self-join against the rollup output. One corpus aggregate at the "
+    "leaf grain (nation — map-side partials behind broadcast dimension "
+    "joins, q5's join discipline) is the only data-sized work; both "
+    "parent totals come from windows OVER THE LEAF FRAME, whose "
+    "cardinality is the nation dimension. Shares are exact-integer "
+    "cents through one fixed IEEE division each.",
+)
+def a18_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(wr).alias("region_cents"),
+        (F.col("cents").cast("double") / F.sum("cents").over(wr).cast("double")).alias(
+            "share"
+        ),
+        (F.col("cents").cast("double") / F.sum("cents").over(wg).cast("double")).alias(
+            "global_share"
+        ),
+    )

@@ -893,3 +893,39 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "drop_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+    """,
+    tags=("dedup", "text"),
+    window_defer=True,
+    doc="Normalization-aware exact dedup (the C4-style 'exact after "
+    "canonicalization' stage between raw-digest dedup and MinHash): "
+    "documents equal after lowercasing, trimming, and whitespace "
+    "collapse share a group — n_raw_variants counts how many RAW "
+    "digests the normalized group absorbs, i.e. how much the cheap "
+    "normalization buys before any near-dup machinery runs. The "
+    "normalization is row-local column algebra feeding one md5, so "
+    "the shuffle still carries 16-byte digests, never documents; "
+    "the regex is anchored to literal-space runs (no catastrophic "
+    "classes), and Spark/DuckDB agree on lower() for the fixture's "
+    "ASCII regime (the locale caveat text_fuzzy_pairs documents).",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " ")))
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(norm).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(F.md5("text")).alias("n_raw_variants"),
+        )
+        .select("doc_id", "n_copies", "n_raw_variants")
+    )

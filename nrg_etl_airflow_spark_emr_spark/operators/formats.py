@@ -468,3 +468,85 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+_BAD_CSV_LINES = (
+    "not_a_number,12.5,1-URGENT",        # unparseable orderkey
+    "42,abc,2-HIGH,extra_column_here",   # wrong arity + bad double
+    "totally unstructured garbage line", # wrong arity
+)
+
+
+@register(
+    "src_csv_malformed_audit",
+    oracle=f"""
+    SELECT COUNT(*) AS n_clean,
+           CAST({len(_BAD_CSV_LINES)} AS BIGINT) AS n_corrupt,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    """,
+    tags=("source", "format", "qc"),
+    window_defer=True,
+    doc="Malformed-record ingestion audit over a PERMISSIVE CSV read with "
+    "columnNameOfCorruptRecord: three corrupt lines (unparseable "
+    "number, extra token, free text) are injected next to the clean "
+    "part files, the corrupt-record column must capture EXACTLY those "
+    "three (the count is an oracle literal, so a mis-classified row "
+    "breaks the gate in either direction), and the fixed-point money "
+    "total over clean rows proves corruption never bleeds into "
+    "neighboring records. MEASURED trap this audit pins: corruption "
+    "flagging interacts with CSV column pruning — an earlier "
+    "formulation whose aggregate only read o_totalprice saw the "
+    "bad-orderkey line parse as CLEAN (value 12.5), because a record "
+    "is only flagged when a column the query actually parses fails; "
+    "this audit references every schema column, which is the only "
+    "reliable way to classify (the Spark docs' cache-then-filter "
+    "advice exists for the same reason). FAILFAST is the other "
+    "recovery policy; auditing like this is how silent row loss "
+    "becomes a monitored metric.",
+)
+def src_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _roundtrip_dir(spark, "badcsv", sf_dir)
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").csv(path)
+    with open(os.path.join(path, "part-bad-injected.csv"), "w") as fh:
+        fh.write("\n".join(_BAD_CSV_LINES) + "\n")
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # Reference EVERY data column in one aggregate: corruption is only
+    # detected on columns the query parses (measured above), so a pruned
+    # read under-counts corrupt rows.
+    clean = (
+        F.col("_corrupt").isNull()
+        & F.col("o_orderkey").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    return df.agg(
+        F.sum(F.when(clean, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(~clean, 1).otherwise(0)).alias("n_corrupt"),
+        (
+            F.sum(F.when(clean, F.floor(F.col("o_totalprice") * 10000))).cast("double")
+            / 10000
+        ).alias("total_price"),
+    )
