@@ -550,3 +550,51 @@ def src_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("total_price"),
     )
+
+
+_LAYOUT_KEY_LO = 40    # o_custkey range filter the sorted layout prunes;
+_LAYOUT_KEY_HI = 120   # populated at every fixture scale (sf0.001 has ~150 keys)
+
+
+@register(
+    "src_sorted_layout_roundtrip",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_key,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_custkey >= {_LAYOUT_KEY_LO} AND o_custkey < {_LAYOUT_KEY_HI}
+    """,
+    tags=("source", "format", "layout"),
+    window_defer=True,
+    doc="Range-clustered layout round-trip: orders rewritten with "
+    "write_sorted_parquet (repartitionByRange + sortWithinPartitions "
+    "on o_custkey — disjoint per-file key bands), then a key-range "
+    "query runs against the clustered copy and must match the oracle's "
+    "scan of the original. This puts the layout module's write path "
+    "under the value-level gate (tests/test_layout.py separately "
+    "proves the min/max footer bands make this scan O(selectivity) "
+    "with an unsorted control reading everything): correctness of the "
+    "rewritten DATA, not just the pruning, is what lets a 100 TB "
+    "table adopt the layout safely. The min/max echo of the key range "
+    "catches off-by-one pruning at the band boundary.",
+)
+def src_sorted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import write_sorted_parquet
+
+    path = _roundtrip_dir(spark, "sorted", sf_dir)
+    write_sorted_parquet(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        path,
+        ["o_custkey"],
+    )
+    df = spark.read.parquet(path).filter(
+        (F.col("o_custkey") >= _LAYOUT_KEY_LO) & (F.col("o_custkey") < _LAYOUT_KEY_HI)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("min_key"),
+        F.max("o_custkey").alias("max_key"),
+        dsum("o_totalprice", "total_price"),
+    )

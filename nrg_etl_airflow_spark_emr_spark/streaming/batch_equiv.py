@@ -400,3 +400,48 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_n")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "st_click_purchase_left_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+    tags=("streaming", "join"),
+    window_defer=True,
+    doc="Click->purchase attribution within 1 hour, LEFT OUTER: every "
+    "click appears, unconverted clicks with NULL purchase — the "
+    "conversion-rate denominator the inner join (st_click_purchase_"
+    "join) drops. Batch twin of streaming/jobs.py "
+    "click_purchase_left_join, whose outer rows are emitted only on "
+    "state expiry (watermark + join range) and whose end-of-input "
+    "unmatched tail is WITHHELD — the stream==batch equivalence "
+    "modulo that withheld tail is pinned in tests/test_streaming.py. "
+    "Same keyed equi-join + row-local range bound as the inner form: "
+    "one user_id exchange, state bounded by watermark + range.",
+)
+def st_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select("click_id", "user_id", "purchase_id")

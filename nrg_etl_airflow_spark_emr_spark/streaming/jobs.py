@@ -393,3 +393,44 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER self-join: every click, attributed to the
+    same user's purchase in the following hour OR emitted with NULLs
+    once no purchase can still arrive.
+
+    Outer stream-stream joins have a semantics the inner form does not:
+    the null-padded row for an unmatched click is emitted only when the
+    watermark proves the match window is closed (state expiry), so the
+    outer rows trail the event time by watermark + join range — and
+    unmatched state still open at end-of-input is WITHHELD, not emitted
+    (pinned in tests/test_streaming.py). At 100 TB that trailing
+    emission is the price of never buffering unbounded state; consumers
+    needing the unmatched tail promptly must tighten the watermark.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "user_id", "purchase_id")

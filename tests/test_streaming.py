@@ -352,3 +352,59 @@ def test_session_close_on_timeout_emits_exact_closed_sessions(spark, sf_dir, tmp
     # Both close paths must be exercised: the two-batch replay fires
     # timeouts for batch-a sessions, data-path closes happen within files.
     assert len(got) >= len(batch) // 2, (len(got), len(batch))
+
+
+def test_left_outer_join_withholds_open_tail(spark, sf_dir, events_stream):
+    """Stream-stream LEFT OUTER semantics: matched rows equal the batch
+    twin's; null (unconverted) rows are emitted ONLY once the watermark
+    closed the click's match window, so the stream's null set is a
+    subset of the batch's, and the withheld remainder sits inside the
+    trailing watermark+range horizon of the final event time."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators._util import t as load
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    stream_out = jobs.run_to_memory(
+        jobs.click_purchase_left_join(events_stream),
+        "t_left_join",
+        output_mode="append",
+    ).collect()
+    batch = all_specs()["st_click_purchase_left_join"].builder(spark, sf_dir).collect()
+
+    s_matched = {(r.click_id, r.purchase_id) for r in stream_out if r.purchase_id is not None}
+    b_matched = {(r.click_id, r.purchase_id) for r in batch if r.purchase_id is not None}
+    assert s_matched == b_matched, "inner rows must match the batch twin exactly"
+
+    s_nulls = {r.click_id for r in stream_out if r.purchase_id is None}
+    b_nulls = {r.click_id for r in batch if r.purchase_id is None}
+    assert s_nulls <= b_nulls, "a streamed null row must be a true batch null"
+
+    # Withheld nulls must all lie inside the open horizon. The JOINT
+    # watermark is the min over both inputs of (that input's max event
+    # time - its watermark delay); a click's window is provably closed
+    # (and its null row MUST have emitted) once click_ts + 1h join range
+    # < joint watermark.
+    evdf = load(spark, sf_dir, "events")
+    maxes = {
+        r["event_type"]: r["m"]
+        for r in evdf.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    }
+    joint_wm = min(
+        maxes["click"] - datetime.timedelta(hours=1),
+        maxes["purchase"] - datetime.timedelta(hours=2),
+    )
+    horizon = joint_wm - datetime.timedelta(hours=1)
+    click_ts = {
+        r.event_id: r.ts
+        for r in evdf.filter(F.col("event_type") == "click").collect()
+    }
+    withheld = b_nulls - s_nulls
+    assert all(click_ts[c] >= horizon for c in withheld), (
+        "every withheld null must still be inside the open watermark horizon"
+    )
+    assert all(click_ts[c] < joint_wm for c in s_nulls), (
+        "an emitted null's click must be behind the final joint watermark"
+    )
