@@ -1131,12 +1131,10 @@ def a16_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
               - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
               + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-           / (CAST(n AS DOUBLE)
-              * sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
               * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-              / CAST(n AS DOUBLE)) AS skewness,
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS skewness,
            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
               - 4.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
               + 6.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -1145,8 +1143,7 @@ def a16_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
               * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-              / CAST(n AS DOUBLE)) AS kurtosis
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS kurtosis
     FROM m
     """,
     tags=("agg", "stats"),
@@ -1182,12 +1179,18 @@ def a17_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Operation ORDER must mirror the oracle text exactly (left-to-right,
     # divisions last where the SQL divides last): A*(A/n) and (A*A)/n
     # differ in the final ulp and the gate is bit-exact.
-    a = n * s2 - s1 * s1  # n^2 * variance
+    # With A = n*s2 - s1^2 = n^2*variance: skew = (n^2*s3 - 3n*s1*s2
+    # + 2*s1^3) / A^1.5 and kurtosis = (n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2
+    # - 3*s1^4) / A^2 — the review caught an extra /n in the kurtosis
+    # denominator that inflated the statistic by exactly n while both
+    # engines agreed on the same wrong number (the cross-engine gate
+    # cannot see shared-formula bugs; only derivation review can).
+    a = n * s2 - s1 * s1
     skew = (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1) / (
-        n * F.sqrt(a) * a / n
+        F.sqrt(a) * a
     )
     kurt = (n * (n * n * s4 - 4.0 * n * s1 * s3 + 6.0 * s1 * s1 * s2
-                 - 3.0 * s1 * s1 * s1 * s1 / n)) / (a * a / n)
+                 - 3.0 * s1 * s1 * s1 * s1 / n)) / (a * a)
     return m.select(
         "l_returnflag",
         F.col("n").alias("n_rows"),
@@ -1234,8 +1237,10 @@ def a18_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer is fact-scaled (grows with SF) — let Catalyst pick the
+    # join strategy for it; only the true dimensions are hinted.
     nat = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

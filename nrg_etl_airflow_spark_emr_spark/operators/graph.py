@@ -261,6 +261,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Triangle counting (degree-oriented wedge join) -------------------------
 
 
+def _copurchase_edges_degrees(spark: SparkSession, sf_dir: str):
+    """(edges, degrees) of the part co-purchase graph: distinct undirected
+    (p1 < p2) pairs sharing an order, and per-node degree. Shared by
+    graph_triangle_count and graph_degree_stats so the graph definition
+    cannot drift between the operator and its observability endpoint."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return e, deg
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -309,24 +335,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "division (bit-identical in both engines).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("p1").alias("node"))
-        .unionAll(e.select(F.col("p2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    e, deg = _copurchase_edges_degrees(spark, sf_dir)
     # Orient each edge toward the higher (degree, id) endpoint. deg is
     # node-sized (tiny vs edges) — broadcast both lookups.
     d1 = deg.select(F.col("node").alias("p1"), F.col("degree").alias("g1"))
@@ -448,24 +457,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key cardinality is the digit count of the max degree.",
 )
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("p1").alias("node"))
-        .unionAll(e.select(F.col("p2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    e, deg = _copurchase_edges_degrees(spark, sf_dir)
     return (
         deg.groupBy(
             F.length(F.col("degree").cast("string")).cast("int").alias("degree_digits")

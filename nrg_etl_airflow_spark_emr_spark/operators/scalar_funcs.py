@@ -255,8 +255,9 @@ TB_ORIGIN = "2024-01-01 00:30:00"          # off-hour origin: catches floor-to-
     "f15_time_bucket",
     oracle=f"""
     SELECT CAST(epoch_us(TIMESTAMP '{TB_ORIGIN}')
-                + ((epoch_us(ts) - epoch_us(TIMESTAMP '{TB_ORIGIN}'))
-                   // {TB_WIDTH_US}) * {TB_WIDTH_US} AS BIGINT) AS bucket_us,
+                + CAST(FLOOR(CAST(epoch_us(ts) - epoch_us(TIMESTAMP '{TB_ORIGIN}')
+                             AS DOUBLE) / {TB_WIDTH_US}) AS BIGINT)
+                  * {TB_WIDTH_US} AS BIGINT) AS bucket_us,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
@@ -270,17 +271,19 @@ TB_ORIGIN = "2024-01-01 00:30:00"          # off-hour origin: catches floor-to-
     "anchored at an off-hour origin, counted per event type. Width and "
     "origin matter — calendar truncs (date_trunc) only express "
     "unit-aligned buckets, and the deliberately misaligned origin here "
-    "would expose any floor-to-hour shortcut. Pure integer epoch "
-    "arithmetic (floor-div on microsecond deltas — no timezone, no "
-    "calendar, identical in both engines), map-side combinable, and "
+    "would expose any floor-to-hour shortcut — and events BEFORE the "
+    "origin must floor to the bucket that CONTAINS them (review caught "
+    "truncating div mislabeling negative deltas into the next bucket; "
+    "FLOOR of the double quotient fixes it, exact while |delta| < "
+    "2^53us ~ 285 years). No timezone, no calendar, identical in both "
+    "engines; map-side combinable, and "
     "the bucket key is a monotone function of ts so range-partitioned "
     "or sorted-parquet layouts keep their pruning.",
 )
 def f15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     origin = F.unix_micros(F.lit(TB_ORIGIN).cast("timestamp"))
-    bucket = origin + F.expr(
-        f"((unix_micros(ts) - unix_micros(TIMESTAMP '{TB_ORIGIN}')) div {TB_WIDTH_US}) * {TB_WIDTH_US}"
-    )
+    delta = F.unix_micros(F.col("ts")) - origin
+    bucket = origin + F.floor(delta.cast("double") / TB_WIDTH_US).cast("long") * TB_WIDTH_US
     return (
         t(spark, sf_dir, "events")
         .groupBy(bucket.alias("bucket_us"), "event_type")

@@ -279,7 +279,14 @@ def all_specs() -> dict[str, QuerySpec]:
         for n in pending
         if base[n].oracle is not None and not base[n].window_defer
     }
-    ordered.update((n, base[n]) for n in pending if base[n].oracle is None)
+    # Rows-only retirements before ANY deferred spec — a deferred
+    # rows-only spec must land in the deferred block, not here, or it
+    # would displace the planned retirement batch.
+    ordered.update(
+        (n, base[n])
+        for n in pending
+        if base[n].oracle is None and not base[n].window_defer
+    )
     ordered.update((n, base[n]) for n in pending if base[n].window_defer)
     ordered.update(
         (n, base[n])

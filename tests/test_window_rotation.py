@@ -150,3 +150,30 @@ def test_window_defer_sorts_behind_retirement_batch(tmp_path, monkeypatch):
         assert lacking.index(n) > last_normal, (
             f"deferred spec {n} displaced a planned window slot"
         )
+
+
+def test_deferred_rows_only_spec_lands_in_deferred_block(tmp_path, monkeypatch):
+    """A spec that is BOTH rows-only and window-deferred must land in the
+    deferred block (behind the rows-only retirement batch), not inside
+    it — the review found the original ordering inserted it with the
+    rows-only group, displacing planned retirement slots."""
+    cat._load()
+    name = "zz_test_deferred_rows_only"
+    assert name not in cat._REGISTRY
+    cat._REGISTRY[name] = cat.QuerySpec(
+        name=name, builder=lambda spark, sf: None, oracle=None, window_defer=True
+    )
+    try:
+        ordered = _with_rounds(tmp_path, monkeypatch, {})
+        ev = cat._driver_evidence()
+        lacking = [n for n in ordered if n not in ev]
+        last_plain_rows_only = max(
+            i
+            for i, n in enumerate(lacking)
+            if cat._REGISTRY[n].oracle is None and not cat._REGISTRY[n].window_defer
+        )
+        assert lacking.index(name) > last_plain_rows_only, (
+            "deferred rows-only spec must trail the retirement batch"
+        )
+    finally:
+        del cat._REGISTRY[name]
