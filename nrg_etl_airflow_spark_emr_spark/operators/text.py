@@ -1380,3 +1380,101 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+COOC_WINDOW = 2      # symmetric word-window radius
+COOC_MIN_PAIR = 5    # report pairs seen at least this often
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), pairs AS (
+        SELECT a.word AS w1, b.word AS w2, COUNT(*) AS pair_n
+        FROM ex a JOIN ex b
+          ON b.doc_id = a.doc_id
+         AND b.pos > a.pos AND b.pos <= a.pos + {COOC_WINDOW}
+        GROUP BY a.word, b.word
+    ), uni AS (
+        SELECT word, COUNT(*) AS n FROM ex GROUP BY word
+    ), tot AS (
+        SELECT COUNT(*) AS n_tokens FROM ex
+    )
+    SELECT w1, w2, pair_n,
+           u1.n AS w1_n, u2.n AS w2_n,
+           CAST(pair_n * t.n_tokens AS BIGINT) AS joint_scaled,
+           CAST(u1.n * u2.n AS BIGINT) AS indep_scaled,
+           CAST(pair_n * t.n_tokens AS DOUBLE)
+               / CAST(u1.n * u2.n AS DOUBLE) AS pmi_odds
+    FROM pairs
+    JOIN uni u1 ON u1.word = w1
+    JOIN uni u2 ON u2.word = w2
+    CROSS JOIN tot t
+    WHERE pair_n >= {COOC_MIN_PAIR}
+    """,
+    tags=("text", "stats"),
+    window_defer=True,
+    doc=f"Windowed word co-occurrence with exact PMI-odds — the skip-gram "
+    f"count matrix (radius {COOC_WINDOW}, forward-ordered pairs) that "
+    "word-embedding and collocation pipelines start from. pmi_odds = "
+    "P(w1,w2)/(P(w1)P(w2)) = pair_n*N / (n1*n2) is exp(PMI): monotone-"
+    "equivalent to PMI but free of the log whose libm rounding differs "
+    "across engines — exact integers through one IEEE division, with "
+    "the scaled numerator/denominator also emitted as exact BIGINTs. "
+    "Plan: the position self-join is the banded-range pattern on "
+    "(doc_id, pos) — row-local offsets, no theta join; pair counts "
+    "aggregate at vocabulary-pair grain (Zipf-capped in practice by "
+    f"the min-count {COOC_MIN_PAIR} filter, the standard word2vec "
+    "pruning); unigram totals broadcast back onto the pair frame.",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
+    )
+    ex = ex.cache()  # fans out three ways: pair join (x2) + unigram counts
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(1, COOC_WINDOW + 1)])
+    ).alias("off")
+    a = ex.select("doc_id", "pos", F.col("word").alias("w1"), offsets).select(
+        "doc_id", (F.col("pos") + F.col("off")).alias("bpos"), "w1"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("bpos2"), F.col("word").alias("w2")
+    )
+    pairs = (
+        a.join(b, (a.doc_id == b.b_doc) & (a.bpos == b.bpos2))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= COOC_MIN_PAIR)
+    )
+    uni = ex.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = ex.agg(F.count(F.lit(1)).alias("n_tokens"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("w1_n"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("w2_n"))
+    j = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "pair_n",
+        "w1_n",
+        "w2_n",
+        (F.col("pair_n") * F.col("n_tokens")).alias("joint_scaled"),
+        (F.col("w1_n") * F.col("w2_n")).alias("indep_scaled"),
+        (
+            (F.col("pair_n") * F.col("n_tokens")).cast("double")
+            / (F.col("w1_n") * F.col("w2_n")).cast("double")
+        ).alias("pmi_odds"),
+    )

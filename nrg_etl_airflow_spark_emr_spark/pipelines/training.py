@@ -758,3 +758,66 @@ def train_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+BATCH_TOKENS = 2048  # per-batch token budget within one length bucket
+
+
+@register(
+    "train_length_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               CAST(length(CAST(n_tokens AS VARCHAR)) AS INTEGER) AS bucket
+        FROM d
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste_tokens,
+           CAST(CEIL(CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE)
+                     / {BATCH_TOKENS}) AS BIGINT) AS n_batches
+    FROM b GROUP BY bucket
+    """,
+    tags=("training", "pack"),
+    window_defer=True,
+    doc="Length-bucketed batching audit — the pad-to-longest batching "
+    "strategy that complements train_pack_sequences' concat-packing: "
+    "docs are grouped into digit-of-length buckets (the exact-integer "
+    "log10 proxy), and per bucket the audit reports the padding waste "
+    "(docs x bucket-max minus real tokens — the cost pad-to-longest "
+    "pays and packing avoids) and the batch count at a fixed token "
+    "budget. Choosing between the two strategies IS this comparison: "
+    "bucketing preserves document boundaries (needed when attention "
+    "must not cross documents), packing wastes nothing. One map-side "
+    "token count + one bucket-grain aggregate; bucket cardinality is "
+    "the digit count of the longest document, never the data.",
+)
+def train_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tokens = F.size(F.split("text", " "))
+    b = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length(n_tokens.cast("string")).cast("int").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_waste_tokens"),
+        F.ceil(
+            (F.count(F.lit(1)) * F.max("n_tokens")).cast("double") / BATCH_TOKENS
+        )
+        .cast("long")
+        .alias("n_batches"),
+    )
