@@ -708,3 +708,36 @@ def test_gini_rank_window_is_dimension_bounded(spark, sf_dir):
     assert "Window" not in plan[agg_pos:], (
         "rank window must sit above the per-supplier aggregate:\n" + plan
     )
+
+
+def test_cooccurrence_caches_explode_and_broadcasts_unigrams(spark, sf_dir):
+    """The position explode fans out three ways (two pair-join sides +
+    unigram counts): all three must read the cached frame, and the
+    unigram/total joins onto the pair frame must broadcast (vocabulary-
+    sized), never shuffle the pair frame again."""
+    spark.catalog.clearCache()
+    df = SPECS["text_cooccurrence_pmi"].builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "position explode must be cached"
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_windowed_single_key_partitioning(spark, sf_dir):
+    """Every stage aggregates and joins on user_id: no nested-loop
+    fallback and no exchange keyed on anything but the one key."""
+    plan = _plan(spark, sf_dir, "events_funnel_windowed")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id"}, f"unexpected exchange keys {keys}:\n{plan}"
+
+
+def test_scd2_asof_lookup_is_keyed_join(spark, sf_dir):
+    """The interval predicate must ride a keyed equi-join on custkey as a
+    row-local filter — a BNLJ/cartesian here is the classic SCD2
+    temporal-join regression."""
+    plan = _plan(spark, sf_dir, "upsert_scd2_asof_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
