@@ -154,3 +154,94 @@ def test_time_bucket_boundaries(tmp_path, spark):
         epoch(origin + w): 1,
         epoch(origin - w): 1,
     }
+
+
+def test_cooccurrence_radius_and_order(tmp_path, spark):
+    """Doc: forward-ordered pairs within radius 2 — distance 1 and 2
+    count, distance 3 does not, and (w1, w2) keeps text order."""
+    docs = spark.createDataFrame(
+        # "a b a b a" -> pairs(d<=2): ab x2, ba x2, aa x2, bb x1... wait:
+        # positions: a1 b2 a3 b4 a5; d1: ab,ba,ab,ba; d2: aa(1,3), bb(2,4), aa(3,5)
+        [(1, "a b a b a", "en", "s", 9)] * 5,  # 5 copies -> every pair_n >= 5
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    sf = _mini_sf(tmp_path, spark, documents=docs)
+    out = {
+        (r.w1, r.w2): r.pair_n
+        for r in all_specs()["text_cooccurrence_pmi"].builder(spark, sf).collect()
+    }
+    assert out == {
+        ("a", "b"): 10,  # (1,2),(3,4) at d1 x5 docs
+        ("b", "a"): 10,  # (2,3),(4,5) at d1 x5
+        ("a", "a"): 10,  # (1,3),(3,5) at d2 x5
+        ("b", "b"): 5,   # (2,4) at d2 x5
+    }, out
+
+
+def test_gini_extremes(tmp_path, spark):
+    """Doc: 0 = uniform, ->1 = winner-takes-all. Exact hand values:
+    uniform gini = 0; single-owner gini = (n-1)/n."""
+    sup = spark.createDataFrame(
+        [(i, f"s{i}", 0 if i < 4 else 1, 0.0) for i in range(8)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    # nation 0: four suppliers, equal revenue. nation 1: one supplier
+    # owns everything, three earn a cent.
+    li_rows = [(i, 100.0) for i in range(4)]
+    li_rows += [(4, 396.97), (5, 0.01), (6, 0.01), (7, 0.01)]
+    li = spark.createDataFrame(
+        [(k, 1, 1.0, price) for k, price in li_rows],
+        "l_suppkey long, l_orderkey long, l_quantity double, l_extendedprice double",
+    )
+    sf = _mini_sf(tmp_path, spark, supplier=sup, lineitem=li)
+    out = {
+        r.s_nationkey: r.gini
+        for r in all_specs()["a13_gini_concentration"].builder(spark, sf).collect()
+    }
+    assert out[0] == 0.0
+    # cents: [39697, 1, 1, 1]; sorted asc [1,1,1,39697]; S=39700, n=4
+    # G = (2*(1*1+2*1+3*1+4*39697) - 5*39700) / (4*39700)
+    expected = (2 * (1 + 2 + 3 + 4 * 39697) - 5 * 39700) / (4 * 39700)
+    assert abs(out[1] - expected) < 1e-15 and out[1] > 0.74
+
+
+def test_chisquare_independent_table_has_zero_contrib(tmp_path, spark):
+    """Doc: contribution = (obs*n - row*col)^2 / (n^2*row*col). For a
+    perfectly independent 2x2 table every cell's contribution is 0."""
+    rows = (
+        [("1-URGENT", "O")] * 20 + [("1-URGENT", "F")] * 30
+        + [("2-HIGH", "O")] * 40 + [("2-HIGH", "F")] * 60
+    )
+    orders = spark.createDataFrame(
+        [(i, 1, st, 1.0, datetime.datetime(1995, 1, 1), pr)
+         for i, (pr, st) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = _mini_sf(tmp_path, spark, orders=orders)
+    out = all_specs()["a12_chisquare_cells"].builder(spark, sf).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.chi2_contrib == 0.0 and r.expected == r.obs
+
+
+def test_skew_kurtosis_match_numpy_moments(tmp_path, spark):
+    """The factor-n regression test: the standardized moments must equal
+    numpy's population m3/m2^1.5 and m4/m2^2 on integer data — computed
+    by a THIRD implementation, not the shared Spark/DuckDB formula."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    q = rng.integers(1, 51, size=500).astype(float)
+    li = spark.createDataFrame(
+        [("A", float(v)) for v in q],
+        "l_returnflag string, l_quantity double",
+    )
+    sf = _mini_sf(tmp_path, spark, lineitem=li)
+    r = all_specs()["a17_skew_kurtosis"].builder(spark, sf).collect()[0]
+    m = q.mean()
+    m2 = ((q - m) ** 2).mean()
+    m3 = ((q - m) ** 3).mean()
+    m4 = ((q - m) ** 4).mean()
+    assert abs(r.skewness - m3 / m2**1.5) < 1e-9
+    assert abs(r.kurtosis - m4 / m2**2) < 1e-9
