@@ -245,3 +245,62 @@ def test_skew_kurtosis_match_numpy_moments(tmp_path, spark):
     m4 = ((q - m) ** 4).mean()
     assert abs(r.skewness - m3 / m2**1.5) < 1e-9
     assert abs(r.kurtosis - m4 / m2**2) < 1e-9
+
+
+def test_exact_corr_matches_numpy(tmp_path, spark):
+    """Third-implementation check for a8 (same escape class as the
+    kurtosis bug): Pearson r and OLS slope vs numpy on integer data."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    qty = rng.integers(1, 51, size=400).astype(float)
+    price = (qty * 37 + rng.integers(0, 1000, size=400)).astype(float) / 100.0
+    li = spark.createDataFrame(
+        [("A", float(q), float(p)) for q, p in zip(qty, price)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    sf = _mini_sf(tmp_path, spark, lineitem=li)
+    r = all_specs()["a8_exact_corr"].builder(spark, sf).collect()[0]
+    x = np.floor(qty)
+    y = np.floor(price * 100)
+    want_r = np.corrcoef(x, y)[0, 1]
+    want_beta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    assert abs(r.corr_qty_price - want_r) < 1e-9
+    assert abs(r.beta_cents_per_unit - want_beta) < 1e-6
+
+
+def test_exact_percentiles_match_numpy_linear(tmp_path, spark):
+    """a6's quartiles use the p*(n-1) linear interpolation both engines
+    share — pin it against numpy's 'linear' method as the third
+    implementation."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 10_000, size=31).astype(float) / 100.0
+    li = spark.createDataFrame(
+        [("A", float(v)) for v in vals],
+        "l_returnflag string, l_quantity double",
+    )
+    sf = _mini_sf(tmp_path, spark, lineitem=li)
+    row = all_specs()["a6_exact_percentiles"].builder(spark, sf).collect()[0]
+    got = [row.q25, row.q50, row.q75]
+    want = list(np.percentile(vals, [25, 50, 75], method="linear"))
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), (got, want)
+
+
+def test_winsorized_mean_clamps_at_exact_band(tmp_path, spark):
+    """a15: values exactly AT p05/p95 stay; outside values clamp TO the
+    band edge (not dropped — the count is preserved)."""
+    import numpy as np
+
+    vals = [float(v) for v in range(1, 22)]  # 1..21, n=21 -> p05=2.0, p95=20.0
+    li = spark.createDataFrame(
+        [("A", v) for v in vals],
+        "l_returnflag string, l_extendedprice double",
+    )
+    sf = _mini_sf(tmp_path, spark, lineitem=li)
+    r = all_specs()["a15_winsorized_mean"].builder(spark, sf).collect()[0]
+    assert (r.p05, r.p95) == (2.0, 20.0)
+    clamped = np.clip(vals, 2.0, 20.0)
+    assert r.n_rows == 21
+    assert abs(r.winsorized_mean - clamped.mean()) < 1e-9
