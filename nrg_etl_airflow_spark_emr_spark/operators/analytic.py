@@ -1260,3 +1260,59 @@ def a18_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_share"
         ),
     )
+
+
+@register(
+    "a19_pareto_deciles",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               CAST(NTILE(10) OVER (ORDER BY cents DESC, o_custkey)
+                    AS INTEGER) AS decile
+        FROM per_cust
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS decile_cents,
+           CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+               / CAST((SELECT SUM(CAST(cents AS HUGEINT)) FROM per_cust)
+                      AS DOUBLE) AS revenue_share
+    FROM ranked
+    GROUP BY decile
+    """,
+    tags=("agg", "window", "stats"),
+    window_defer=True,
+    doc="Pareto decile audit (does the top 10% of customers carry 80% of "
+    "revenue?) — the discrete companion to a13's Gini scalar: customers "
+    "ranked into spend deciles (NTILE with a total order: cents desc, "
+    "then key), each decile's exact-cents revenue and share of total. "
+    "One corpus aggregate to customer grain; the NTILE runs at that "
+    "grain and — like events_rfm_segments' terciles — decomposes into "
+    "the bucketed global-rank pattern past one task's worth of "
+    "customers. Shares are one IEEE division from exact integers.",
+)
+def a19_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = per_cust.select("cents", F.ntile(10).over(w).alias("decile"))
+    g = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("decile_cents"),
+    )
+    tot = per_cust.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (F.col("decile_cents").cast("double") / F.col("tot").cast("double")).alias(
+            "revenue_share"
+        ),
+    )

@@ -292,3 +292,39 @@ def f15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
         )
     )
+
+
+@register(
+    "f16_try_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS type_as_int,
+           CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % 7 = 0 THEN NULL
+                ELSE CAST(FLOOR(value * 100) AS BIGINT)
+                     / (CAST(FLOOR(value * 100) AS BIGINT) % 7) END AS per_bucket,
+           TRY_CAST(SUBSTRING(event_type, 1, 1) AS INTEGER) AS first_char_int
+    FROM events
+    """,
+    tags=("function", "conditional"),
+    window_defer=True,
+    doc="Error-safe function surface (try_cast / try_divide): malformed "
+    "input yields NULL instead of aborting a 1000-executor job in its "
+    "final stage — the difference between quarantining bad rows and "
+    "losing eight hours to one of them. type_as_int is always-NULL by "
+    "construction (a word never casts), k_int is always-valid, and "
+    "first_char_int exercises the mixed case; try_divide's "
+    "divide-by-zero -> NULL is mirrored by the oracle's CASE (DuckDB "
+    "integer division raises on zero, which is itself the behavior "
+    "difference this surface exists to absorb). Row-local, codegen'd, "
+    "pushdown-neutral.",
+)
+def f16_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.try_divide(cents, cents % 7).alias("per_bucket"),
+        F.substring("event_type", 1, 1).try_cast("int").alias("first_char_int"),
+    )

@@ -1478,3 +1478,45 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("w1_n") * F.col("w2_n")).cast("double")
         ).alias("pmi_odds"),
     )
+
+
+HASH_DIM = 1024  # feature-hashing dimensionality
+
+
+@register(
+    "text_hashing_features",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({sql_hash60("word")} % {HASH_DIM} AS INTEGER) AS feature_idx,
+           COUNT(*) AS tf
+    FROM ex
+    GROUP BY doc_id, feature_idx
+    """,
+    tags=("text", "features"),
+    window_defer=True,
+    doc=f"Feature hashing (the HashingVectorizer trick):every token maps to "
+    f"hash60(word) mod {HASH_DIM} and per-doc counts land in a fixed-"
+    "width sparse feature space — no vocabulary pass, no fitted state, "
+    "so featurization is a single map+aggregate that never changes "
+    "when the corpus grows (the property that lets a 100 TB corpus "
+    "featurize in one pass and stream increments later). Collisions "
+    "are the accepted price (dimensionality knob trades them against "
+    "width). hash60 is the engine-portable hash the whole split/"
+    "sample/shingle stack already gates on, so the feature indices "
+    "are reproducible across engines, retries, and cluster sizes.",
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        ex.select(
+            "doc_id", (hash60("word") % HASH_DIM).cast("int").alias("feature_idx")
+        )
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
