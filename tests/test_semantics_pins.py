@@ -304,3 +304,84 @@ def test_winsorized_mean_clamps_at_exact_band(tmp_path, spark):
     clamped = np.clip(vals, 2.0, 20.0)
     assert r.n_rows == 21
     assert abs(r.winsorized_mean - clamped.mean()) < 1e-9
+
+
+def test_twap_matches_numpy_weighting(tmp_path, spark):
+    """events_time_weighted_avg vs a numpy re-derivation on random data:
+    value holds until the next event, final reading drops, cents
+    fixed-pointing before weighting."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ts_us = np.sort(rng.integers(0, 10**9, size=40))
+    vals = rng.integers(1, 10_000, size=40).astype(float) / 100.0
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(microseconds=int(u)), 1, "x", float(v), "{}")
+        for i, (u, v) in enumerate(zip(ts_us, vals))
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA.replace("event_id long, ts", "event_id long, ts"))
+    sf = _mini_sf(tmp_path, spark, events=ev)
+    r = all_specs()["events_time_weighted_avg"].builder(spark, sf).collect()[0]
+    cents = np.floor(vals * 100)
+    dt = np.diff(ts_us)
+    want = (cents[:-1] * dt).sum() / dt.sum()
+    assert r.n_intervals == 39 and r.span_us == int(dt.sum())
+    assert abs(r.twap_cents - want) < 1e-9
+
+
+def test_dau_wau_hand_case(tmp_path, spark):
+    """events_dau_wau: WAU at day D counts distinct users active in the
+    trailing 7 days INCLUDING D; a user active exactly 7 days earlier
+    has rolled out."""
+    d = lambda n: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=n)
+    rows = [
+        (1, "click", d(0)),
+        (2, "click", d(0)),
+        (1, "click", d(6)),   # day 6: window [0..6] still holds user 2
+        (3, "click", d(7)),   # day 7: window [1..7] -> users 1 (d6), 3
+    ]
+    sf = _mini_sf(tmp_path, spark, events=_events(spark, rows))
+    rows_by_day = {
+        tuple(r)[0]: r
+        for r in all_specs()["events_dau_wau"].builder(spark, sf).collect()
+    }
+    days = sorted(rows_by_day)
+    assert len(days) == 3
+    r0, r6, r7 = (rows_by_day[k] for k in days)
+    assert (r0.dau, r0.wau) == (2, 2)
+    assert (r6.dau, r6.wau) == (1, 2), (
+        "user 2's day-0 activity is still inside the 7-day window at day 6"
+    )
+    assert (r7.dau, r7.wau) == (1, 2), (
+        "day 0 rolls out at day 7; users 1 (day 6) and 3 remain"
+    )
+
+
+def test_retention_cohorts_hand_case(tmp_path, spark):
+    """events_retention_cohorts: cohort = ISO-Monday week of FIRST
+    activity; a user active in its cohort week and two weeks later
+    produces rows at those two weeks only — never the silent week
+    between."""
+    monday = datetime.datetime(2024, 1, 1)  # a Monday
+    wk = datetime.timedelta(days=7)
+    rows = [
+        (1, "click", monday),
+        (1, "click", monday + 2 * wk),
+        (2, "click", monday + wk + datetime.timedelta(days=3)),
+    ]
+    sf = _mini_sf(tmp_path, spark, events=_events(spark, rows))
+    out = all_specs()["events_retention_cohorts"].builder(spark, sf).collect()
+    trips = sorted(tuple(r) for r in out)
+    w0 = monday.date()
+    w1 = (monday + wk).date()
+
+    def norm(v):
+        return v.date() if hasattr(v, "date") else v
+
+    got = sorted((norm(a), norm(b), int(c)) for a, b, c in trips)
+    assert got == [
+        (w0, 0, 1),  # user 1 active in its cohort week
+        (w0, 2, 1),  # ...and at offset 2 (the silent week 1 absent)
+        (w1, 0, 1),  # user 2's cohort week
+    ], got
