@@ -208,3 +208,71 @@ def qc_documents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return qc.audit_frame(docs, corpus_checks())
+
+
+def _compose_training_card_oracle() -> str:
+    """clean -> hash-split -> per-split card, re-stated from the stage
+    oracles (the clean composition nests three operator oracles; the
+    split is the same hash60 rule train_split_assign gates)."""
+    from ..pipelines.training import _SQL_SPLIT_KEY
+    from ..functions.hashing import sql_hash60
+
+    return f"""
+    WITH cleaned AS ({_compose_oracle()})
+    SELECT CASE WHEN {sql_hash60(_SQL_SPLIT_KEY)} % 100 < 90 THEN 'train'
+                WHEN {sql_hash60(_SQL_SPLIT_KEY)} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM cleaned
+    GROUP BY split
+    """
+
+
+@register(
+    "corpus_training_card",
+    oracle=_compose_training_card_oracle(),
+    tags=("pipeline", "training", "text"),
+    window_defer=True,
+    doc="End-to-end training-data pipeline card — the capstone "
+    "composition a user of this engine actually ships: the CLEANED "
+    "corpus (quality + language + canonical-dedup, each stage the "
+    "oracle-gated operator) flows through the hash-deterministic "
+    "90/5/5 split (train_split_assign's exact rule) into a per-split "
+    "dataset card (docs, tokens, chars, id range). The oracle nests "
+    "ALL FOUR stage oracles into one DuckDB query, so the gate covers "
+    "the composition — filters composed with splits composed with "
+    "aggregation — not just the stages. Scale shape: every stage keys "
+    "on doc_id (one reusable partitioning); the split is a row-local "
+    "hash; the card is a 3-row aggregate. A regression anywhere in "
+    "the four-stage chain moves a count or token total here.",
+)
+def corpus_training_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash60
+    from ..pipelines.training import _salted
+
+    cleaned = clean_corpus(spark, sf_dir).select("doc_id", "text")
+    bucket = hash60(_salted("split:")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        cleaned.select(
+            "doc_id",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
