@@ -303,7 +303,7 @@ def f15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % 7 = 0 THEN NULL
                 ELSE CAST(FLOOR(value * 100) AS BIGINT)
                      / (CAST(FLOOR(value * 100) AS BIGINT) % 7) END AS per_bucket,
-           TRY_CAST(SUBSTRING(event_type, 1, 1) AS INTEGER) AS first_char_int
+           TRY_CAST(SUBSTRING(props, 7, 2) AS INTEGER) AS mixed_int
     FROM events
     """,
     tags=("function", "conditional"),
@@ -313,7 +313,11 @@ def f15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final stage — the difference between quarantining bad rows and "
     "losing eight hours to one of them. type_as_int is always-NULL by "
     "construction (a word never casts), k_int is always-valid, and "
-    "first_char_int exercises the mixed case; try_divide's "
+    "mixed_int GENUINELY mixes: substring(props, 7, 2) of the JSON "
+    "payload is two digits for a two-digit k but digit-plus-brace for "
+    "a one-digit k, so both try_cast outcomes occur on real rows "
+    "(review caught the earlier first-letter version as always-NULL, "
+    "i.e. a vacuous gate); try_divide's "
     "divide-by-zero -> NULL is mirrored by the oracle's CASE (DuckDB "
     "integer division raises on zero, which is itself the behavior "
     "difference this surface exists to absorb). Row-local, codegen'd, "
@@ -326,5 +330,5 @@ def f16_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.col("event_type").try_cast("int").alias("type_as_int"),
         F.try_divide(cents, cents % 7).alias("per_bucket"),
-        F.substring("event_type", 1, 1).try_cast("int").alias("first_char_int"),
+        F.substring("props", 7, 2).try_cast("int").alias("mixed_int"),
     )

@@ -145,7 +145,11 @@ def test_time_bucket_boundaries(tmp_path, spark):
         (4, "click", origin - us1),      # pre-origin -> bucket -1
     ]
     sf = _mini_sf(tmp_path, spark, events=_events(spark, rows))
-    epoch = lambda dt: int(dt.timestamp() * 1_000_000)
+    # Naive datetimes are UTC here (session tz is pinned UTC): make the
+    # expected epochs explicit-UTC so the test passes on any host TZ.
+    epoch = lambda dt: int(
+        dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
     out = {}
     for r in all_specs()["f15_time_bucket"].builder(spark, sf).collect():
         out[r.bucket_us] = r.n_events
@@ -160,8 +164,8 @@ def test_cooccurrence_radius_and_order(tmp_path, spark):
     """Doc: forward-ordered pairs within radius 2 — distance 1 and 2
     count, distance 3 does not, and (w1, w2) keeps text order."""
     docs = spark.createDataFrame(
-        # "a b a b a" -> pairs(d<=2): ab x2, ba x2, aa x2, bb x1... wait:
-        # positions: a1 b2 a3 b4 a5; d1: ab,ba,ab,ba; d2: aa(1,3), bb(2,4), aa(3,5)
+        # "a b a b a", positions a1 b2 a3 b4 a5 -> per doc:
+        # d1: ab(1,2), ba(2,3), ab(3,4), ba(4,5); d2: aa(1,3), bb(2,4), aa(3,5)
         [(1, "a b a b a", "en", "s", 9)] * 5,  # 5 copies -> every pair_n >= 5
         "doc_id long, text string, lang string, source string, n_chars long",
     ).withColumn("doc_id", F.monotonically_increasing_id())
@@ -320,7 +324,7 @@ def test_twap_matches_numpy_weighting(tmp_path, spark):
         (i, base + datetime.timedelta(microseconds=int(u)), 1, "x", float(v), "{}")
         for i, (u, v) in enumerate(zip(ts_us, vals))
     ]
-    ev = spark.createDataFrame(rows, _EV_SCHEMA.replace("event_id long, ts", "event_id long, ts"))
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
     sf = _mini_sf(tmp_path, spark, events=ev)
     r = all_specs()["events_time_weighted_avg"].builder(spark, sf).collect()[0]
     cents = np.floor(vals * 100)
