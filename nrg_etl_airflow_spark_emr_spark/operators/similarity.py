@@ -937,3 +937,66 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_votes").cast("long"),
         (F.col("predicted_label") == F.col("true_label")).cast("int").alias("is_match"),
     )
+
+
+@register(
+    "sim_knn_l2_brute",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    sq AS (
+        SELECT vec_id, fe, list_dot_product(fe, fe) AS selfdot FROM vecs
+    ),
+    q AS (SELECT * FROM sq WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               CAST(q.selfdot + v.selfdot
+                    - 2 * list_dot_product(q.fe, v.fe) AS BIGINT) AS dist2_scaled
+        FROM q JOIN sq v ON v.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, dist2_scaled,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dist2_scaled, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, dist2_scaled, rn FROM ranked WHERE rn <= 10
+    """,
+    tags=("similarity", "topk"),
+    window_defer=True,
+    doc="Brute-force EUCLIDEAN top-10 — the other standard ANN metric "
+    "(cosine ranks by angle; L2 also feels magnitude, and for "
+    "non-normalized embeddings the two disagree). The squared distance "
+    "is EXACT integer algebra on the same fixed-point vectors the "
+    "cosine stack uses: |a-b|^2 = a.a + b.b - 2a.b from three int64 "
+    "dot products (bounded by dim x FP_SCALE^2 < 2^63), so the ranking "
+    "needs no sqrt and no float at all — ties broken by vec_id. Self-"
+    "dots are computed once per vector (row-local), queries broadcast, "
+    "per-query WindowGroupLimit ranking; every IVF/LSH/PQ routing "
+    "layer in this module composes with this scorer unchanged because "
+    "candidate generation is metric-agnostic bucketing.",
+)
+def sim_knn_l2_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", "fe", _dot(F.col("fe"), F.col("fe")).alias("selfdot")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("selfdot").alias("qselfdot"),
+    )
+    dist2 = (
+        F.col("qselfdot") + F.col("selfdot") - 2 * _dot(F.col("qfe"), F.col("fe"))
+    ).cast("long")
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist2.alias("dist2_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2_scaled", "vec_id")
+    return (
+        scored.select(
+            "query_id", "vec_id", "dist2_scaled", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 10)
+    )

@@ -1248,3 +1248,61 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "v_us", "c_us", "p_us", depth.alias("depth"))
     )
+
+
+@register(
+    "events_semi_additive_balance",
+    oracle=f"""
+    WITH readings AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+               event_id
+        FROM events
+    ), last_per_day AS (
+        SELECT user_id, day_us,
+               MAX((CAST(us - day_us AS HUGEINT) * 10000000000 + event_id)
+                   * 100000 + cents) AS packed
+        FROM readings GROUP BY user_id, day_us
+    )
+    SELECT day_us,
+           COUNT(*) AS n_users,
+           CAST(SUM(packed % 100000) AS BIGINT) AS total_balance_cents
+    FROM last_per_day
+    GROUP BY day_us
+    """,
+    tags=("temporal", "agg", "window"),
+    window_defer=True,
+    doc="Semi-additive measure rollup — the warehouse pattern plain SUM "
+    "gets wrong: a balance-style reading is additive ACROSS users but "
+    "NOT across time (summing every reading in a day double-counts; "
+    "the day's value is each user's LAST reading). Per (user, day) "
+    "the last reading is one MAX of a packed (intra-day offset, "
+    "event_id, cents) value — total order by time then id, value "
+    "riding in the low digits. The pack lives in decimal(38,0)/"
+    "HUGEINT, NOT int64: offset<8.64e10 x 1e10 id-space x 1e5 cents "
+    "needs ~86 bits (an int64 pack overflowed on first contact with "
+    "real epoch values — the bound is now by-construction, not "
+    "hoped). Two hash aggregates, the first keyed (user, day) with "
+    "map-side combine; no window sort anywhere. The daily-close "
+    "balance table every finance pipeline materializes is exactly "
+    "this shape.",
+)
+def events_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    r = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).alias("cents"),
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        "event_id",
+    )
+    packed = (
+        (F.col("us") - F.col("day_us")).cast(dec) * F.lit(10_000_000_000).cast(dec)
+        + F.col("event_id").cast(dec)
+    ) * F.lit(100_000).cast(dec) + F.col("cents").cast(dec)
+    last = r.groupBy("user_id", "day_us").agg(F.max(packed).alias("packed"))
+    return last.groupBy("day_us").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("packed") % 100_000).cast("long").alias("total_balance_cents"),
+    )
