@@ -177,3 +177,34 @@ def test_deferred_rows_only_spec_lands_in_deferred_block(tmp_path, monkeypatch):
         )
     finally:
         del cat._REGISTRY[name]
+
+
+def test_simulated_round5_window_composition(tmp_path, monkeypatch):
+    """Dry-run the NEXT round: if round 4's driver run greens its whole
+    window (oracle rows green, rows-only rows no_oracle), round 5's
+    first 50 slots must be exactly the deferred batch followed by the
+    oldest-evidence greens — no deferred spec stranded, no slot wasted
+    on an already-terminal spec."""
+    cat._load()
+    ordered_now = list(cat.all_specs())
+    window = ordered_now[:50]
+    records = {}
+    for n in window:
+        records[n] = NO_ORACLE if cat._REGISTRY[n].oracle is None else GREEN
+    # Prior rounds' evidence must persist too: replay it as round 3.
+    prior = {n: GREEN for n in cat._driver_evidence() if n not in records}
+    ordered = _with_rounds(tmp_path, monkeypatch, {3: prior, 4: records})
+    ev = cat._driver_evidence()
+    deferred_pending = [
+        n for n in ordered if cat._REGISTRY[n].window_defer and n not in ev
+    ]
+    next_window = ordered[:50]
+    # Every still-pending deferred spec leads the round-5 window...
+    for n in deferred_pending:
+        assert n in next_window, f"deferred spec {n} missed the round-5 window"
+    assert next_window[: len(deferred_pending)] == deferred_pending
+    # ...and the remaining slots re-check greens, oldest evidence first.
+    tail = next_window[len(deferred_pending):]
+    assert all(n in ev for n in tail)
+    ages = [ev[n] for n in tail]
+    assert ages == sorted(ages), "re-check tail must be oldest-first"
