@@ -6,6 +6,15 @@ and prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + a count-style consume) after
 one warm-up pass of the flagship to amortize JVM/session start.
+
+The JSON line also carries a host-calibration canary ("canary_1t"/
+"canary_32t": a fixed-size NumPy matmul workload timed single-thread and
+32-thread BEFORE the Spark session starts). Bench totals on this host swing
+~1.4-2x with ambient load on identical code (BASELINE.md "Host calibration");
+the canary lets any BENCH_rN vs BENCH_rM delta be split into host-drift vs
+code in one artifact: if the canary ratio moves with the query ratio, it's
+the host. The canary runs in a subprocess with BLAS pinned to one thread per
+call so it cannot perturb (or be perturbed by) the parent's numpy config.
 """
 
 from __future__ import annotations
@@ -13,8 +22,68 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
+
+_CANARY_CODE = r"""
+import json, threading, time
+import numpy as np
+
+rng = np.random.RandomState(42)
+a = rng.rand(512, 512)
+b = rng.rand(512, 512)
+REPS_1T = 60   # ~0.35s quiet: long enough to average over scheduler jitter
+REPS_32T = 30  # per-thread; ~0.4s quiet across 32 threads
+
+def burn(n):
+    x = a
+    for _ in range(n):
+        x = a @ b
+    return x
+
+burn(5)  # warm the BLAS kernel / page in
+t0 = time.perf_counter()
+burn(REPS_1T)
+t1 = time.perf_counter()
+
+threads = [threading.Thread(target=burn, args=(REPS_32T,)) for _ in range(32)]
+t2 = time.perf_counter()
+for t in threads:
+    t.start()
+for t in threads:
+    t.join()
+t3 = time.perf_counter()
+print(json.dumps({"canary_1t": round(t1 - t0, 4), "canary_32t": round(t3 - t2, 4)}))
+"""
+
+
+def run_canary() -> dict[str, float]:
+    """Fixed CPU-bound calibration workload: 10x 512^2 float64 matmuls,
+    once on one thread, once as 32 concurrent threads (BLAS releases the
+    GIL inside dgemm, so the 32t number measures machine-wide CPU
+    availability). BLAS threading is pinned to 1 in the child env so the
+    work per call is constant across hosts and library builds."""
+    env = dict(os.environ)
+    for v in (
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        env[v] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CANARY_CODE],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+            check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # canary must never sink the bench itself
+        return {"canary_1t": -1.0, "canary_32t": -1.0, "canary_err": str(e)[:200]}
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -26,6 +95,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    canary = run_canary()  # before the Spark session exists
 
     spark = get_spark(app_name="engine-bench")
 
@@ -72,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **canary,
             }
         )
     )

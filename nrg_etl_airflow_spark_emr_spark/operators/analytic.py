@@ -989,7 +989,7 @@ def a13_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ranked.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("r").alias("total_cents"),
-        F.sum((F.col("i") * F.col("r")).cast(dec)).alias("ir"),
+        F.sum(F.col("i").cast(dec) * F.col("r")).alias("ir"),
     )
     num = (
         F.lit(2).cast(dec) * F.col("ir")

@@ -31,10 +31,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators._util import spread, t
+from ..operators.similarity import FP_SCALE, _fixed
 from ..plans.catalog import register
 
 K_DEFAULT = 5
 ITERS_DEFAULT = 5
+
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -198,6 +200,110 @@ def kmeans_fit(
     )
     assigned, _, history = lloyd_fit(vectors, k, iters)
     return assigned, history
+
+
+@register(
+    "sim_kmeans_step",
+    oracle=f"""
+    WITH fx AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT)
+                for x in embedding] AS q
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, q AS c_q FROM fx ORDER BY vec_id LIMIT {K_DEFAULT}
+    ), qe AS (
+        SELECT vec_id, CAST(generate_subscripts(q, 1) AS BIGINT) AS dim,
+               unnest(q) AS qv
+        FROM fx
+    ), ce AS (
+        SELECT cid, CAST(generate_subscripts(c_q, 1) AS BIGINT) AS dim,
+               unnest(c_q) AS cv
+        FROM cent
+    ), d AS (
+        SELECT qe.vec_id, ce.cid,
+               SUM(CAST(qe.qv - ce.cv AS HUGEINT) * (qe.qv - ce.cv)) AS d2
+        FROM qe JOIN ce ON ce.dim = qe.dim
+        GROUP BY qe.vec_id, ce.cid
+    ), assign AS (
+        SELECT vec_id, cid AS cell
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    )
+    SELECT a.cell, qe.dim,
+           COUNT(*) AS n_members,
+           CAST(SUM(CAST(qe.qv AS HUGEINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(qe.qv AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean_q
+    FROM assign a JOIN qe ON qe.vec_id = a.vec_id
+    GROUP BY a.cell, qe.dim
+    """,
+    tags=("similarity", "iterative"),
+    window_defer=True,
+    doc=f"ONE Lloyd iteration with pinned centroids (the k={K_DEFAULT} "
+    "lowest vec_ids — lloyd_fit's deterministic init), oracle-gated "
+    "bit-for-bit: assign every vector to its nearest centroid (exact "
+    "integer squared-L2 on the similarity module's fixed-point "
+    "vectors, ties to the lowest cid — the trainer's exact tie rule), "
+    "then emit the update step's per-(cell, dim) member count, exact "
+    "coordinate sum, and mean (one IEEE division). This is the SQL-"
+    "expressible core of sim_kmeans_cells: the full trainer only "
+    "re-enters this step with re-derived centroids, so the driver row "
+    "here covers the arithmetic the iterative loop (rows-only by "
+    "policy) is built from. Plan: centroids broadcast (K rows), "
+    "argmin via min_by struct — map-side partial agg, ~n rows "
+    "shuffled, no window over the vector table; the update is one "
+    "posexplode + keyed agg, the same shape that scales to 100 TB in "
+    "the trainer itself.",
+)
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-point quantized embeddings — the similarity module's shared
+    # resolution, so this step and the ANN stack agree on what "the same
+    # vector" means.
+    v = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", _fixed(F.col("embedding")).alias("q")
+    )
+    cents = (
+        v.orderBy("vec_id")
+        .limit(K_DEFAULT)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c_q"))
+    )
+    # Exact integer squared-L2: |a-b|^2 accumulates in long, bounded by
+    # 4 * FP_SCALE^2 for unit-norm vectors (~4e14 << 2^63) — the same
+    # bound discipline as similarity._dot.
+    d2 = F.aggregate(
+        F.zip_with("q", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("q").alias("q"),
+            F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best"),
+        )
+        .select("vec_id", "q", F.col("best.cid").alias("cell"))
+    )
+    ex = assigned.select("cell", F.posexplode("q").alias("dim0", "qv")).select(
+        "cell", (F.col("dim0") + 1).cast("long").alias("dim"), "qv"
+    )
+    return (
+        ex.groupBy("cell", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("sum_q"),
+        )
+        .select(
+            "cell",
+            "dim",
+            "n_members",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.col("n_members").cast("double")).alias(
+                "mean_q"
+            ),
+        )
+    )
 
 
 @register(

@@ -1070,7 +1070,7 @@ def time_weighted_avg(
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum(dt).alias("span_us"),
-            F.sum((F.col("cents") * dt).cast("decimal(38,0)")).alias("num"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * dt).alias("num"),
         )
     )
     return agg.select(
@@ -1250,6 +1250,19 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pack-slot bounds for the semi-additive MAX pack: cents rides in the low
+# slot, event_id in the middle slot, intra-day offset on top. Each factor
+# must STRICTLY bound its field, or MAX silently picks a wrong "last"
+# reading in BOTH engines (the shared-formula bug class: oracle and Spark
+# pack identically, so no hash mismatch would flag it). The fixture
+# generator draws value in [0, 1000) => cents < 100_000 and sequential
+# event_id < 1e10; the Spark builder raise_error()s the moment either
+# escapes its slot, so a future generator change fails loudly instead of
+# letting both engines agree on a wrong answer.
+SEMI_ADD_CENTS_SLOT = 100_000
+SEMI_ADD_ID_SLOT = 10_000_000_000
+
+
 @register(
     "events_semi_additive_balance",
     oracle=f"""
@@ -1261,13 +1274,13 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), last_per_day AS (
         SELECT user_id, day_us,
-               MAX((CAST(us - day_us AS HUGEINT) * 10000000000 + event_id)
-                   * 100000 + cents) AS packed
+               MAX((CAST(us - day_us AS HUGEINT) * {SEMI_ADD_ID_SLOT} + event_id)
+                   * {SEMI_ADD_CENTS_SLOT} + cents) AS packed
         FROM readings GROUP BY user_id, day_us
     )
     SELECT day_us,
            COUNT(*) AS n_users,
-           CAST(SUM(packed % 100000) AS BIGINT) AS total_balance_cents
+           CAST(SUM(packed % {SEMI_ADD_CENTS_SLOT}) AS BIGINT) AS total_balance_cents
     FROM last_per_day
     GROUP BY day_us
     """,
@@ -1297,12 +1310,34 @@ def events_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
         "event_id",
     )
+    # Slot guard (see SEMI_ADD_*_SLOT): a reading outside its pack slot
+    # would corrupt the MAX ordering identically in both engines, so the
+    # Spark side hard-fails rather than agree on a wrong last reading.
+    in_slot = (
+        (F.col("cents") >= 0)
+        & (F.col("cents") < SEMI_ADD_CENTS_SLOT)
+        & (F.col("event_id") >= 0)
+        & (F.col("event_id") < SEMI_ADD_ID_SLOT)
+    )
+    cents_g = F.when(in_slot, F.col("cents")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("semi-additive pack slot escape: cents="),
+                F.col("cents").cast("string"),
+                F.lit(" event_id="),
+                F.col("event_id").cast("string"),
+            )
+        )
+    )
     packed = (
-        (F.col("us") - F.col("day_us")).cast(dec) * F.lit(10_000_000_000).cast(dec)
+        (F.col("us") - F.col("day_us")).cast(dec)
+        * F.lit(SEMI_ADD_ID_SLOT).cast(dec)
         + F.col("event_id").cast(dec)
-    ) * F.lit(100_000).cast(dec) + F.col("cents").cast(dec)
+    ) * F.lit(SEMI_ADD_CENTS_SLOT).cast(dec) + cents_g.cast(dec)
     last = r.groupBy("user_id", "day_us").agg(F.max(packed).alias("packed"))
     return last.groupBy("day_us").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.col("packed") % 100_000).cast("long").alias("total_balance_cents"),
+        F.sum(F.col("packed") % SEMI_ADD_CENTS_SLOT)
+        .cast("long")
+        .alias("total_balance_cents"),
     )

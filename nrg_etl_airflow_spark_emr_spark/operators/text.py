@@ -1407,10 +1407,10 @@ COOC_MIN_PAIR = 5    # report pairs seen at least this often
     )
     SELECT w1, w2, pair_n,
            u1.n AS w1_n, u2.n AS w2_n,
-           CAST(pair_n * t.n_tokens AS BIGINT) AS joint_scaled,
-           CAST(u1.n * u2.n AS BIGINT) AS indep_scaled,
-           CAST(pair_n * t.n_tokens AS DOUBLE)
-               / CAST(u1.n * u2.n AS DOUBLE) AS pmi_odds
+           CAST(CAST(pair_n AS HUGEINT) * t.n_tokens AS BIGINT) AS joint_scaled,
+           CAST(CAST(u1.n AS HUGEINT) * u2.n AS BIGINT) AS indep_scaled,
+           CAST(CAST(pair_n AS HUGEINT) * t.n_tokens AS DOUBLE)
+               / CAST(CAST(u1.n AS HUGEINT) * u2.n AS DOUBLE) AS pmi_odds
     FROM pairs
     JOIN uni u1 ON u1.word = w1
     JOIN uni u2 ON u2.word = w2
@@ -1465,18 +1465,23 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(u2), "w2")
         .crossJoin(F.broadcast(tot))
     )
+    # Widen BEFORE multiplying (decimal(38,0) ~ the oracle's HUGEINT):
+    # pair_n * n_tokens in raw int64 overflows first on a large corpus,
+    # and ANSI mode would fail the query where the doc promises exact
+    # integers. The BIGINT output cast then fails loudly (both engines)
+    # only when the true product itself exceeds 63 bits.
+    dec = "decimal(38,0)"
+    joint = F.col("pair_n").cast(dec) * F.col("n_tokens")
+    indep = F.col("w1_n").cast(dec) * F.col("w2_n")
     return j.select(
         "w1",
         "w2",
         "pair_n",
         "w1_n",
         "w2_n",
-        (F.col("pair_n") * F.col("n_tokens")).alias("joint_scaled"),
-        (F.col("w1_n") * F.col("w2_n")).alias("indep_scaled"),
-        (
-            (F.col("pair_n") * F.col("n_tokens")).cast("double")
-            / (F.col("w1_n") * F.col("w2_n")).cast("double")
-        ).alias("pmi_odds"),
+        joint.cast("long").alias("joint_scaled"),
+        indep.cast("long").alias("indep_scaled"),
+        (joint.cast("double") / indep.cast("double")).alias("pmi_odds"),
     )
 
 
