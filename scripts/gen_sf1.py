@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Generate an sf1 fixture set (10x sf0.1) for the scale-ramp benchmark.
+
+Usage: python scripts/gen_sf1.py  [dst_dir]      (default .localdata/sf1)
+
+The driver only ships sf0.001/0.01/0.1; the sf0.1 bench cannot separate
+fixture-overhead floors (per-job scheduling, JIT) from real scaling
+behavior, so this script synthesizes sf1 by KEY-SHIFTED REPLICATION of
+sf0.1 — the TPC-H scaling model, where a larger scale factor means more
+keys (customers, orders, users, documents) over the same time window and
+dimension tables stay fixed:
+
+- region/nation: copied verbatim (fixed dims at every TPC-H sf).
+- customer/supplier/part/orders/lineitem: 10 copies with every entity key
+  shifted by copy * (max_key + 1); foreign keys shift by the SAME modulus
+  as their parent, so join fan-outs and per-key group sizes are exactly
+  those of sf0.1 — 10x more groups, not 10x hotter keys.
+- events: event_id/user_id shifted (10x users, same per-user activity —
+  window/sessionize partitions scale in count, not in size).
+- documents: doc_id shifted AND every whitespace token in copy i>0 gets a
+  per-copy suffix (regexp `$1q{i}`): plain replication would make every
+  document 9 exact twins, so the dedup/text tier would measure an
+  artificial duplicate blow-up (LSH buckets of size 10, quadratic pair
+  explosion) instead of corpus growth. Suffixing keeps each copy's
+  internal similarity structure bit-identical to sf0.1 while making
+  cross-copy vocabularies disjoint — Heaps-law-ish 10x vocabulary, the
+  realistic shape for a 10x corpus. n_chars is recomputed to keep the QC
+  invariant (length(text) == n_chars). Copy 0 is unchanged, so sf0.1 is
+  an exact subset.
+- embeddings: vec_id shifted, vectors copied (the 5 query vectors vec_id<5
+  stay in copy 0; duplicate vectors don't distort top-k work, and the
+  ANN tier's cell routing is keyed on vec_id, which is unique).
+
+Output layout matches the driver fixtures ({dst}/{table}.parquet), except
+each ".parquet" is a directory of part files (spark.read.parquet handles
+both; the sf1 set is bench-only — the DuckDB oracle gate stays at sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from nrg_etl_airflow_spark_emr_spark.session import get_spark  # noqa: E402
+from nrg_etl_airflow_spark_emr_spark.sources.tables import load_table  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+COPIES = 10
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".localdata", "sf1")
+    spark = get_spark(app_name="gen-sf1")
+
+    def modulus(name: str, col: str) -> int:
+        return load_table(spark, SRC, name).agg(F.max(col)).collect()[0][0] + 1
+
+    mods = {
+        "c_custkey": modulus("customer", "c_custkey"),
+        "s_suppkey": modulus("supplier", "s_suppkey"),
+        "p_partkey": modulus("part", "p_partkey"),
+        "o_orderkey": modulus("orders", "o_orderkey"),
+        "event_id": modulus("events", "event_id"),
+        "user_id": modulus("events", "user_id"),
+        "doc_id": modulus("documents", "doc_id"),
+        "vec_id": modulus("embeddings", "vec_id"),
+    }
+    # Foreign keys shift by their PARENT's modulus.
+    shifts: dict[str, dict[str, int]] = {
+        "customer": {"c_custkey": mods["c_custkey"]},
+        "supplier": {"s_suppkey": mods["s_suppkey"]},
+        "part": {"p_partkey": mods["p_partkey"]},
+        "orders": {"o_orderkey": mods["o_orderkey"], "o_custkey": mods["c_custkey"]},
+        "lineitem": {
+            "l_orderkey": mods["o_orderkey"],
+            "l_partkey": mods["p_partkey"],
+            "l_suppkey": mods["s_suppkey"],
+        },
+        "events": {"event_id": mods["event_id"], "user_id": mods["user_id"]},
+        "documents": {"doc_id": mods["doc_id"]},
+        "embeddings": {"vec_id": mods["vec_id"]},
+    }
+
+    def write(name: str, df: DataFrame) -> None:
+        path = os.path.join(dst, f"{name}.parquet")
+        df.repartition(32).write.mode("overwrite").parquet(path)
+        print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
+
+    for name in ("region", "nation"):
+        write(name, load_table(spark, SRC, name))
+
+    for name, cols in shifts.items():
+        base = load_table(spark, SRC, name)
+        parts = []
+        for i in range(COPIES):
+            d = base
+            for c, m in cols.items():
+                d = d.withColumn(c, (F.col(c) + F.lit(i * m)).cast(dict(base.dtypes)[c]))
+            if name == "documents" and i > 0:
+                d = d.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1q{i}")
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        write(name, out)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
