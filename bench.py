@@ -135,6 +135,11 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Second canary AFTER the queries: the start-state canary alone missed
+    # a load spike that arrived mid-run (observed 2026-08-14: start canary
+    # quiet, per-query timings 1.6x) — bracketing the run catches drift in
+    # either direction.
+    canary.update({f"{k}_end": v for k, v in run_canary().items()})
     print(
         json.dumps(
             {

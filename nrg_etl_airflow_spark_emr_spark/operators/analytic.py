@@ -574,8 +574,12 @@ def events_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ulp, so instead the five moments are summed as fixed-point integers "
     "(quantity integral at scale 0, price in cents; 128-bit decimal/"
     "hugeint sums — exact in both engines even at 10^10 rows), then one "
-    "identical double expression per group. Map-side partial aggregation "
-    "does all the work; the shuffle carries 5 integers per group.",
+    "identical double expression per group. The per-row products stay "
+    "int64 by a domain bound (px*px < 2^63 needs px < 3.04e9 cents = "
+    "$30.4M per line item — a17's quantity^4 discipline applied here); "
+    "only the row-count-scaled SUMS need the 128-bit width. Map-side "
+    "partial aggregation does all the work; the shuffle carries 5 "
+    "integers per group.",
 )
 def a8_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qx = F.floor("l_quantity")

@@ -27,9 +27,12 @@ dimension tables stay fixed:
   realistic shape for a 10x corpus. n_chars is recomputed to keep the QC
   invariant (length(text) == n_chars). Copy 0 is unchanged, so sf0.1 is
   an exact subset.
-- embeddings: vec_id shifted, vectors copied (the 5 query vectors vec_id<5
-  stay in copy 0; duplicate vectors don't distort top-k work, and the
-  ANN tier's cell routing is keyed on vec_id, which is unique).
+- embeddings: vec_id shifted AND copy i's vectors circularly rotated by i
+  positions (norms and within-copy pairwise distances are exactly
+  preserved; cross-copy vectors decorrelate). Plain copies made every
+  vector 9 exact twins, which inflated dedup_embedding_ivf's within-cell
+  pair counts into a measured 17x at sf1 — a duplicate blow-up artifact,
+  not scaling. The 5 query vectors (vec_id < 5) stay in copy 0 unrotated.
 
 Output layout matches the driver fixtures ({dst}/{table}.parquet), except
 each ".parquet" is a directory of part files (spark.read.parquet handles
@@ -106,6 +109,15 @@ def main() -> None:
                 d = d.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1q{i}")
                 ).withColumn("n_chars", F.length("text").cast("long"))
+            if name == "embeddings" and i > 0:
+                dim = 64  # fixture embedding width
+                d = d.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", i + 1, dim - i),
+                        F.slice("embedding", 1, i),
+                    ),
+                )
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
