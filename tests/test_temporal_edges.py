@@ -225,3 +225,47 @@ def test_time_weighted_avg_hand_case(spark):
     r = out[1]
     assert (r.n_intervals, r.span_us) == (2, 40)
     assert r.twap_cents == (200 * 10 + 400 * 30) / 40.0
+
+
+def test_semi_additive_pack_guard(spark, tmp_path):
+    """The packed-MAX modulus is a shared formula (Spark and the DuckDB
+    oracle pack identically), so an out-of-slot reading would make both
+    engines agree on a WRONG last-reading with no hash mismatch to flag
+    it. The builder must therefore hard-fail on slot escape (ADVICE r4)
+    — and accept the exact slot boundary."""
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.operators.temporal import (
+        SEMI_ADD_CENTS_SLOT,
+        events_semi_additive_balance,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    # Boundary-valid frame: cents = SLOT - 1 must pass and win the MAX.
+    ok_dir = tmp_path / "ok"
+    spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "reading", 1.00, "{}"),
+            (2, _ts(5), 1, "reading", (SEMI_ADD_CENTS_SLOT - 1) / 100.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(str(ok_dir / "events.parquet"))
+    rows = events_semi_additive_balance(spark, str(ok_dir)).collect()
+    assert len(rows) == 1
+    assert rows[0].total_balance_cents == SEMI_ADD_CENTS_SLOT - 1
+
+    # Out-of-slot frame: cents = SLOT escapes into the event_id digits.
+    bad_dir = tmp_path / "bad"
+    spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "reading", 1.00, "{}"),
+            (2, _ts(5), 1, "reading", SEMI_ADD_CENTS_SLOT / 100.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(str(bad_dir / "events.parquet"))
+    with pytest.raises(Exception, match="pack slot escape"):
+        events_semi_additive_balance(spark, str(bad_dir)).collect()
