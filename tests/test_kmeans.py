@@ -59,3 +59,48 @@ def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
         if r.cell == min(cents, key=lambda c: (d2(r.emb, cents[c]), c))
     )
     assert ok / len(rows) >= 0.9, f"only {ok}/{len(rows)} at argmin"
+
+
+def test_kmeans_step_tie_and_update_semantics(spark, tmp_path):
+    """Crafted-fixture pin for sim_kmeans_step: (a) a vector exactly
+    equidistant from two pinned centroids lands in the LOWER cid (the
+    trainer's tie rule, exact because distances are fixed-point
+    integers); (b) the update emits 1-based dims with exact per-(cell,
+    dim) coordinate sums over the quantized values."""
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import sim_kmeans_step
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import FP_SCALE
+
+    rows = [
+        # vec_ids 0..4 are the pinned centroids (k=5 lowest ids).
+        (0, [0.0, 0.0], 0),
+        (1, [2.0, 0.0], 0),
+        (2, [100.0, 0.0], 0),
+        (3, [0.0, 100.0], 0),
+        (4, [100.0, 100.0], 0),
+        # d2 to centroid 0 == d2 to centroid 1 (1^2+5^2 both) -> tie,
+        # must land in cell 0, not 1.
+        (5, [1.0, 5.0], 0),
+        # strictly nearest to centroid 3.
+        (6, [1.0, 90.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        (r.cell, r.dim): r for r in sim_kmeans_step(spark, str(tmp_path)).collect()
+    }
+    cells = {c for c, _ in out}
+    assert cells == {0, 1, 2, 3, 4}, "every pinned centroid keeps its cell"
+    # Tie resolution: vec 5 joined cell 0 (members: vec 0 + vec 5).
+    assert out[(0, 1)].n_members == 2
+    assert out[(0, 1)].sum_q == 0 + 1 * FP_SCALE
+    assert out[(0, 2)].sum_q == 0 + 5 * FP_SCALE
+    # vec 6 joined cell 3 (members: vec 3 + vec 6).
+    assert out[(3, 1)].n_members == 2
+    assert out[(3, 1)].sum_q == 0 + 1 * FP_SCALE
+    assert out[(3, 2)].sum_q == (100 + 90) * FP_SCALE
+    # Singleton cells: the centroid itself only.
+    assert out[(1, 1)].n_members == 1 and out[(1, 1)].sum_q == 2 * FP_SCALE
+    # mean_q is sum/count in one IEEE division.
+    assert out[(3, 2)].mean_q == ((100 + 90) * FP_SCALE) / 2.0
