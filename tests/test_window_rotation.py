@@ -208,3 +208,35 @@ def test_simulated_round5_window_composition(tmp_path, monkeypatch):
     assert all(n in ev for n in tail)
     ages = [ev[n] for n in tail]
     assert ages == sorted(ages), "re-check tail must be oldest-first"
+
+
+def test_simulated_round6_window_is_pure_recheck(tmp_path, monkeypatch):
+    """Round-5 closure pin: the round-5 window covers EVERY remaining
+    evidence-lacking oracle-gated spec (25 pending + 25 re-checks at
+    round-5 open). If the driver greens it, no oracle-gated spec lacks
+    evidence any more, so round 6's window must be 50 terminal-green
+    re-checks, oldest evidence first — the catalog reaches 100%
+    driver-verified and stays there by rotation alone."""
+    cat._load()
+    ordered_now = list(cat.all_specs())
+    ev_now = cat._driver_evidence()
+    pending_now = [n for n in ordered_now if n not in ev_now]
+    # Precondition of the closure claim: every pending spec fits in the
+    # round-5 window (this fails loudly if a future registration breaks
+    # the freeze).
+    assert len(pending_now) <= 50
+    assert all(n in ordered_now[:50] for n in pending_now)
+    r5 = {
+        n: (NO_ORACLE if cat._REGISTRY[n].oracle is None else GREEN)
+        for n in ordered_now[:50]
+    }
+    prior = {n: GREEN for n in ev_now if n not in r5}
+    ordered = _with_rounds(tmp_path, monkeypatch, {4: prior, 5: r5})
+    ev = cat._driver_evidence()
+    assert len(ev) == len(cat._REGISTRY), "every spec terminal after round 5"
+    window = ordered[:50]
+    ages = [ev[n] for n in window]
+    assert ages == sorted(ages), "round-6 window re-checks oldest first"
+    assert all(ev[n] <= min(
+        ev[m] for m in ordered[50:]
+    ) for n in window), "no staler spec left outside the window"
