@@ -100,6 +100,9 @@ def main() -> None:
 
     for name, cols in shifts.items():
         base = load_table(spark, SRC, name)
+        dim = (
+            len(base.select("embedding").first()[0]) if name == "embeddings" else 0
+        )
         parts = []
         for i in range(COPIES):
             d = base
@@ -110,7 +113,6 @@ def main() -> None:
                     "text", F.regexp_replace("text", r"(\S+)", f"$1q{i}")
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if name == "embeddings" and i > 0:
-                dim = 64  # fixture embedding width
                 d = d.withColumn(
                     "embedding",
                     F.concat(

@@ -269,3 +269,24 @@ def test_semi_additive_pack_guard(spark, tmp_path):
     ).write.parquet(str(bad_dir / "events.parquet"))
     with pytest.raises(Exception, match="pack slot escape"):
         events_semi_additive_balance(spark, str(bad_dir)).collect()
+
+
+def test_time_weighted_avg_survives_int64_overflow_regime(spark):
+    """Regression pin for the round-5 cast-order fix (ADVICE r4): the
+    weighted numerator must widen cents to decimal BEFORE multiplying by
+    the holding interval. cents=1e7 ($100k at the default scale) held
+    for 30 days is cents*dt ~= 2.6e19 > 2^63 — the pre-fix int64 product
+    raised under ANSI mode; the widened product is exact."""
+    from nrg_etl_airflow_spark_emr_spark.operators.temporal import time_weighted_avg
+
+    day_us = 86_400 * 10**6
+    rows = [
+        (1, 1, "x", _ts(0), 100_000.0),  # cents = 1e7
+        (2, 1, "x", _ts(0, 0) + datetime.timedelta(days=30), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    r = time_weighted_avg(df).collect()[0]
+    assert r.span_us == 30 * day_us
+    assert r.twap_cents == 10_000_000.0, "exact: one reading held the whole span"
