@@ -59,11 +59,14 @@ print(json.dumps({"canary_1t": round(t1 - t0, 4), "canary_32t": round(t3 - t2, 4
 
 
 def run_canary() -> dict[str, float]:
-    """Fixed CPU-bound calibration workload: 10x 512^2 float64 matmuls,
-    once on one thread, once as 32 concurrent threads (BLAS releases the
-    GIL inside dgemm, so the 32t number measures machine-wide CPU
-    availability). BLAS threading is pinned to 1 in the child env so the
-    work per call is constant across hosts and library builds."""
+    """Fixed CPU-bound calibration workload: 512x512 float64 matmuls,
+    60 reps on one thread (canary_1t), then 30 reps on EACH of 32
+    concurrent threads (canary_32t — 16x the 1t FLOPs; BLAS releases the
+    GIL inside dgemm, so it measures machine-wide CPU availability).
+    Quiet-host signature on this box: both ~0.33s, i.e. 32 threads
+    sustain ~16x the single-thread throughput. BLAS threading is pinned
+    to 1 in the child env so the work per call is constant across hosts
+    and library builds."""
     env = dict(os.environ)
     for v in (
         "OPENBLAS_NUM_THREADS",
@@ -138,7 +141,11 @@ def main() -> None:
     # Second canary AFTER the queries: the start-state canary alone missed
     # a load spike that arrived mid-run (observed 2026-08-14: start canary
     # quiet, per-query timings 1.6x) — bracketing the run catches drift in
-    # either direction.
+    # either direction. Stop the session FIRST so the end canary, like the
+    # start one, measures the host with no resident bench JVM — otherwise
+    # the JVM's own GC/background threads inflate canary_32t_end and a
+    # quiet run reads as "load arrived mid-run" (review finding).
+    spark.stop()
     canary.update({f"{k}_end": v for k, v in run_canary().items()})
     print(
         json.dumps(
@@ -152,7 +159,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -39,17 +39,23 @@ ITERS_DEFAULT = 5
 
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign(vectors: DataFrame, centroids: DataFrame, zero=None) -> DataFrame:
     """(vec_id, emb, cell): nearest centroid by squared L2, ties → lowest cid.
 
     argmin via min_by over a (d2, cid) struct instead of a row_number
     window: the groupBy gets map-side partial aggregation, so each of the
     trainer's iterations shuffles ~n rows, not the n·k crossJoin fan-out
     a window sort would carry. Struct order == ORDER BY d2, cid (cid is
-    distinct, so the pick is deterministic in both engines)."""
+    distinct, so the pick is deterministic in both engines).
+
+    ``zero``: distance accumulator literal. Default float64 (the
+    trainer's arithmetic); sim_kmeans_step passes a long 0 so the same
+    argmin runs in exact integer arithmetic over fixed-point vectors —
+    ONE tie rule and plan shape for the trainer and its oracle-gated
+    step."""
     d2 = F.aggregate(
         F.zip_with("emb", "c_emb", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+        F.lit(0.0) if zero is None else zero,
         lambda acc, v: acc + v,
     )
     best = F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best")
@@ -265,27 +271,18 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         v.orderBy("vec_id")
         .limit(K_DEFAULT)
-        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c_q"))
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c_emb"))
     )
-    # Exact integer squared-L2: |a-b|^2 accumulates in long, bounded by
-    # 4 * FP_SCALE^2 for unit-norm vectors (~4e14 << 2^63) — the same
-    # bound discipline as similarity._dot.
-    d2 = F.aggregate(
-        F.zip_with("q", "c_q", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # The trainer's own _assign, run in exact integer arithmetic (long
+    # accumulator): |a-b|^2 sums are bounded by 4 * FP_SCALE^2 for
+    # unit-norm vectors (~4e14 << 2^63) — the same bound discipline as
+    # similarity._dot. One argmin implementation, one tie rule.
+    assigned = _assign(
+        v.select("vec_id", F.col("q").alias("emb")),
+        cents,
+        zero=F.lit(0).cast("long"),
     )
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .select("vec_id", "q", "cid", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("q").alias("q"),
-            F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best"),
-        )
-        .select("vec_id", "q", F.col("best.cid").alias("cell"))
-    )
-    ex = assigned.select("cell", F.posexplode("q").alias("dim0", "qv")).select(
+    ex = assigned.select("cell", F.posexplode("emb").alias("dim0", "qv")).select(
         "cell", (F.col("dim0") + 1).cast("long").alias("dim"), "qv"
     )
     return (

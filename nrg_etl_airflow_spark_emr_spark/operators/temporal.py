@@ -1313,11 +1313,19 @@ def events_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Slot guard (see SEMI_ADD_*_SLOT): a reading outside its pack slot
     # would corrupt the MAX ordering identically in both engines, so the
     # Spark side hard-fails rather than agree on a wrong last reading.
+    # NULL cents/event_id pass through: the pack is NULL then, and MAX
+    # ignores it — the oracle's (and the pre-guard builder's) semantics;
+    # the guard must only catch the slot-ESCAPE class, not widen into a
+    # null-rejection the oracle doesn't share (review finding).
     in_slot = (
-        (F.col("cents") >= 0)
-        & (F.col("cents") < SEMI_ADD_CENTS_SLOT)
-        & (F.col("event_id") >= 0)
-        & (F.col("event_id") < SEMI_ADD_ID_SLOT)
+        F.col("cents").isNull()
+        | F.col("event_id").isNull()
+        | (
+            (F.col("cents") >= 0)
+            & (F.col("cents") < SEMI_ADD_CENTS_SLOT)
+            & (F.col("event_id") >= 0)
+            & (F.col("event_id") < SEMI_ADD_ID_SLOT)
+        )
     )
     cents_g = F.when(in_slot, F.col("cents")).otherwise(
         F.raise_error(

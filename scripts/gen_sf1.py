@@ -103,6 +103,12 @@ def main() -> None:
         dim = (
             len(base.select("embedding").first()[0]) if name == "embeddings" else 0
         )
+        if name == "embeddings" and COPIES - 1 >= dim:
+            # A rotation by >= dim wraps to an EXACT copy, silently
+            # resurrecting the duplicate-twin artifact (BASELINE.md sf1
+            # Finding 1); more copies than dims needs a different
+            # decorrelation (e.g. per-copy orthogonal transform).
+            sys.exit(f"COPIES={COPIES} needs rotation < dim={dim}")
         parts = []
         for i in range(COPIES):
             d = base
