@@ -86,7 +86,11 @@ def run_canary() -> dict[str, float]:
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:  # canary must never sink the bench itself
-        return {"canary_1t": -1.0, "canary_32t": -1.0, "canary_err": str(e)[:200]}
+        # No numeric sentinel: a -1.0 pair would make the BASELINE.md
+        # host-ratio rule compute -1/-1 = 1.0 and read a FAILED canary as
+        # a quiet host. Omit the keys entirely so any downstream ratio
+        # computation fails visibly on the missing field.
+        return {"canary_err": str(e)[:200]}
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

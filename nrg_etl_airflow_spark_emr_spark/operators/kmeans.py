@@ -39,6 +39,34 @@ ITERS_DEFAULT = 5
 
 
 
+def _assert_long_d2_safe(vectors: DataFrame, col: str = "q") -> None:
+    """Derived-exactness guard for _assign's long accumulator (same
+    discipline as text._tfidf_weights's dot_sum): a squared-L2 partial
+    sum is bounded by dims * (2 * max|component|)^2, so the BIGINT path
+    is only valid while that bound stays under 2^63. The unit-norm
+    fixture argument puts it at ~4e14 * dims, but the precondition was
+    previously asserted nowhere — a higher-magnitude or higher-dim
+    fixture would ANSI-overflow on the Spark side only (the oracle
+    accumulates in HUGEINT). One cheap aggregate over the quantized
+    vectors hard-fails instead of silently diverging."""
+    row = (
+        vectors.select(
+            F.aggregate(
+                col, F.lit(0).cast("long"), lambda acc, x: F.greatest(acc, F.abs(x))
+            ).alias("m"),
+            F.size(col).alias("d"),
+        )
+        .agg(F.max("m").alias("max_abs"), F.max("d").alias("dims"))
+        .collect()[0]
+    )
+    max_abs, dims = int(row.max_abs or 0), int(row.dims or 0)
+    if dims and (2 * max_abs) ** 2 * dims >= 2**63:
+        raise ValueError(
+            f"fixed-point vectors (max|q|={max_abs}, dims={dims}) exceed the "
+            "BIGINT squared-L2 bound; widen _assign's zero to decimal(38,0)"
+        )
+
+
 def _assign(vectors: DataFrame, centroids: DataFrame, zero=None) -> DataFrame:
     """(vec_id, emb, cell): nearest centroid by squared L2, ties → lowest cid.
 
@@ -276,7 +304,9 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The trainer's own _assign, run in exact integer arithmetic (long
     # accumulator): |a-b|^2 sums are bounded by 4 * FP_SCALE^2 for
     # unit-norm vectors (~4e14 << 2^63) — the same bound discipline as
-    # similarity._dot. One argmin implementation, one tie rule.
+    # similarity._dot. The unit-norm precondition is DERIVED, not
+    # assumed: _assert_long_d2_safe hard-fails past the actual bound.
+    _assert_long_d2_safe(v, "q")
     assigned = _assign(
         v.select("vec_id", F.col("q").alias("emb")),
         cents,

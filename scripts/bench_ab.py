@@ -73,6 +73,12 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": args.sf,
+                # At the default reps=3 a load spike hitting one rep of
+                # only one variant can still skew the median inside the
+                # interleave; min is robust to one-sided spikes. Record
+                # which statistic the protocol trusts so downstream
+                # readers (BASELINE.md) never reach for the median.
+                "trusted_statistic": "min",
                 **canary,
                 **{f"{k}_end": v for k, v in run_canary().items()},
                 "queries": {

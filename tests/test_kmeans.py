@@ -104,3 +104,20 @@ def test_kmeans_step_tie_and_update_semantics(spark, tmp_path):
     assert out[(1, 1)].n_members == 1 and out[(1, 1)].sum_q == 2 * FP_SCALE
     # mean_q is sum/count in one IEEE division.
     assert out[(3, 2)].mean_q == ((100 + 90) * FP_SCALE) / 2.0
+
+
+def test_kmeans_step_rejects_vectors_past_the_bigint_bound(spark, tmp_path):
+    """The long-accumulator exactness guard (_assert_long_d2_safe) must
+    hard-fail on vectors whose derived squared-L2 bound exceeds 2^63 —
+    the oracle accumulates in HUGEINT, so without the guard a
+    high-magnitude fixture would ANSI-overflow on the Spark side only."""
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import sim_kmeans_step
+
+    rows = [(i, [float(i), 1000.0], 0) for i in range(6)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="BIGINT squared-L2 bound"):
+        sim_kmeans_step(spark, str(tmp_path)).collect()
