@@ -39,7 +39,7 @@ ITERS_DEFAULT = 5
 
 
 
-def _assert_long_d2_safe(vectors: DataFrame, col: str = "q") -> None:
+def _long_d2_guard(vectors: DataFrame, col: str = "q") -> DataFrame:
     """Derived-exactness guard for _assign's long accumulator (same
     discipline as text._tfidf_weights's dot_sum): a squared-L2 partial
     sum is bounded by dims * (2 * max|component|)^2, so the BIGINT path
@@ -47,24 +47,39 @@ def _assert_long_d2_safe(vectors: DataFrame, col: str = "q") -> None:
     fixture argument puts it at ~4e14 * dims, but the precondition was
     previously asserted nowhere — a higher-magnitude or higher-dim
     fixture would ANSI-overflow on the Spark side only (the oracle
-    accumulates in HUGEINT). One cheap aggregate over the quantized
-    vectors hard-fails instead of silently diverging."""
-    row = (
-        vectors.select(
-            F.aggregate(
-                col, F.lit(0).cast("long"), lambda acc, x: F.greatest(acc, F.abs(x))
-            ).alias("m"),
-            F.size(col).alias("d"),
-        )
-        .agg(F.max("m").alias("max_abs"), F.max("d").alias("dims"))
-        .collect()[0]
+    accumulates in HUGEINT).
+
+    Returns a 1-row frame whose ``d2_ok`` column is NULL when safe and
+    RAISES (assert_true) when not, so the check lives INSIDE the
+    returned plan: the builder stays lazy (no eager job at plan-build
+    time — it was the one catalog builder that executed Spark jobs in
+    the builder, which bench_ab would have timed), and the bound
+    aggregate costs nothing until the query actually runs. The bound
+    comparison runs in float64 with a conservative 1e-9 relative margin
+    — errs only toward failing EARLY, never past the true 2^63 bound."""
+    bound = vectors.select(
+        F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: F.greatest(acc, F.abs(x))
+        ).alias("m"),
+        F.size(col).alias("d"),
+    ).agg(F.max("m").alias("max_abs"), F.max("d").alias("dims"))
+    safe = (
+        F.pow(F.col("max_abs").cast("double") * 2.0, F.lit(2.0))
+        * F.col("dims").cast("double")
+    ) < F.lit(2.0**63 * (1.0 - 1e-9))
+    return bound.select(
+        F.assert_true(
+            F.coalesce(safe, F.lit(True)),  # empty table → nulls → safe
+            F.concat(
+                F.lit("fixed-point vectors (max|q|="),
+                F.col("max_abs").cast("string"),
+                F.lit(", dims="),
+                F.col("dims").cast("string"),
+                F.lit(") exceed the BIGINT squared-L2 bound; widen "),
+                F.lit("_assign's zero to decimal(38,0)"),
+            ),
+        ).alias("d2_ok")
     )
-    max_abs, dims = int(row.max_abs or 0), int(row.dims or 0)
-    if dims and (2 * max_abs) ** 2 * dims >= 2**63:
-        raise ValueError(
-            f"fixed-point vectors (max|q|={max_abs}, dims={dims}) exceed the "
-            "BIGINT squared-L2 bound; widen _assign's zero to decimal(38,0)"
-        )
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, zero=None) -> DataFrame:
@@ -305,8 +320,10 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulator): |a-b|^2 sums are bounded by 4 * FP_SCALE^2 for
     # unit-norm vectors (~4e14 << 2^63) — the same bound discipline as
     # similarity._dot. The unit-norm precondition is DERIVED, not
-    # assumed: _assert_long_d2_safe hard-fails past the actual bound.
-    _assert_long_d2_safe(v, "q")
+    # assumed: _long_d2_guard hard-fails past the actual bound, lazily —
+    # the guard is a 1-row broadcast side of the returned plan, so the
+    # builder itself runs no Spark job (see the crossJoin at the tail).
+    guard = _long_d2_guard(v, "q")
     assigned = _assign(
         v.select("vec_id", F.col("q").alias("emb")),
         cents,
@@ -330,6 +347,12 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_q"
             ),
         )
+        # Exactness guard evaluated at execution: 1-row broadcast side;
+        # the filter keeps d2_ok referenced so pruning can't drop the
+        # assert_true, and is a no-op when the bound holds (NULL row).
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("d2_ok").isNull())
+        .drop("d2_ok")
     )
 
 

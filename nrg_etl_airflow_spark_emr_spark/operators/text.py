@@ -883,7 +883,18 @@ def text_tfidf_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TFIDF_CAND_SEL = 16    # candidate terms: df * SEL <= n_docs (rare ~6% of docs)
+# Candidate-pair budget per document. The rare-term df threshold is DERIVED
+# from the measured df distribution: keep the largest df band T such that
+# sum over kept terms of df*(df-1)/2 — the EXACT pre-aggregation row count
+# of the candidate self-join — stays within n_docs * BUDGET. Candidates
+# therefore grow linearly with corpus size by construction, on flat,
+# suffix-sharded, and Zipfian vocabularies alike (a fixed df*SEL <= n cut
+# kept 100% of postings on sharded vocabularies and went super-linear at
+# sf1: 103M pair-products, shuffle-spill — BASELINE.md "Non-bench cost
+# leaders"). 512/doc keeps a strict SUPERSET of the old df*16<=n candidate
+# set at fixture scale (207,614 <= 256,000 pair-products at sf0.01), so
+# measured recall vs the exact op only improves.
+TFIDF_PAIR_BUDGET = 512
 TFIDF_SHORTLIST = 10   # candidate pairs per doc before exact re-rank
 
 
@@ -911,8 +922,20 @@ TFIDF_SHORTLIST = 10   # candidate pairs per doc before exact re-rank
     ), norms AS (
         SELECT doc_id, SUM(CAST(w AS DECIMAL(38,0)) * w) AS n2
         FROM w GROUP BY doc_id
+    ), bands AS (
+        SELECT df, COUNT(*) AS cnt
+        FROM (SELECT DISTINCT word, df FROM w) GROUP BY df
+    ), cum AS (
+        SELECT df, SUM(df * (df - 1) // 2 * cnt) OVER (ORDER BY df) AS cpairs
+        FROM bands
+    ), thr AS (
+        SELECT COALESCE(
+                   MAX(CASE WHEN cpairs <= stats.n * {TFIDF_PAIR_BUDGET}
+                            THEN df END),
+                   MIN(df)) AS t
+        FROM cum CROSS JOIN stats GROUP BY stats.n
     ), rare AS (
-        SELECT w.* FROM w CROSS JOIN stats WHERE w.df * {TFIDF_CAND_SEL} <= stats.n
+        SELECT w.* FROM w CROSS JOIN thr WHERE w.df <= thr.t
     ), cdots AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                SUM(CAST(a.w AS DECIMAL(38,0)) * b.w) AS cdot
@@ -953,26 +976,52 @@ TFIDF_SHORTLIST = 10   # candidate pairs per doc before exact re-rank
     doc="Capped-candidate TF-IDF top-k — the scale path for "
     "text_tfidf_pairs, whose exact inverted-index join pays sum(df^2) "
     "pair-products and is dominated by the most COMMON terms, which "
-    "carry the least cosine weight. Stage 1 joins only RARE terms (df <= "
-    f"n/{TFIDF_CAND_SEL}) to rank candidates (the postings the index "
-    "would keep hot at 100 TB; fan-out tracks rare-df^2, orders of "
-    "magnitude smaller on Zipfian vocabularies), stage 2 re-ranks the "
+    "carry the least cosine weight. Stage 1 joins only RARE terms to "
+    "rank candidates, where the df cut-off is ADAPTIVE: the largest df "
+    "band whose cumulative sum(df*(df-1)/2) — the exact pre-aggregation "
+    "row count of the candidate self-join — fits a linear budget of "
+    f"{TFIDF_PAIR_BUDGET}*n_docs pair-products (a fixed df*16<=n cut "
+    "kept 100% of postings on a suffix-sharded vocabulary and went "
+    "super-linear at sf1). The threshold derivation is one window-"
+    "cumsum over the per-df band counts — a frame of at most "
+    "|distinct df| <= n/2 rows, computed lazily inside the plan (a "
+    "1-row broadcast side, no driver collect). Stage 2 re-ranks the "
     f"top-{TFIDF_SHORTLIST} shortlist per doc with the FULL weight "
     "vectors — pair-restricted joins, so exact-scoring cost is "
     "shortlist-bounded. Both stages are deterministic relational "
-    "algebra: the oracle replays them exactly; recall vs the "
-    "uncapped op is gated in tests. Honest measurement: the fixture's "
-    "~900-bigram near-UNIFORM vocabulary has no Zipf tail, so the rare-"
-    "term cut removes little fan-out here and the extra stages make "
-    "this SLOWER than the exact op at fixture scale (percentile caps "
-    "measured worse recall/cost trade-offs) — the op earns its keep on "
-    "corpora where df is heavy-tailed, i.e. every real text corpus.",
+    "algebra: the oracle replays the identical threshold rule; recall "
+    "vs the uncapped op is gated in tests (the sf0.01 candidate set is "
+    "a strict superset of the old fixed cut's), and a Zipf(1.2) corpus "
+    "exactness pin covers the heavy-tailed regime the budget exists "
+    "for. If even the rarest df band overflows the budget the rule "
+    "keeps that band (COALESCE to MIN(df)) so candidates never go "
+    "empty.",
 )
 def text_tfidf_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w, norms, n_docs, dot_sum = _tfidf_weights(spark, sf_dir)
-    rare = w.filter(F.col("df") * TFIDF_CAND_SEL <= F.lit(n_docs))
+    # Adaptive rare-term threshold: cumulative candidate-pair mass by df
+    # band, largest band under budget wins; all lazy, 1-row broadcast.
+    bands = (
+        w.select("word", "df")
+        .distinct()
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cumw = Window.orderBy("df")  # ~|distinct df| rows: single partition OK
+    cum = bands.select(
+        "df",
+        F.sum(F.expr("df * (df - 1) div 2") * F.col("cnt")).over(cumw).alias("cpairs"),
+    )
+    budget = F.lit(int(n_docs) * TFIDF_PAIR_BUDGET)
+    thr = cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cpairs") <= budget, F.col("df"))),
+            F.min("df"),
+        ).alias("t")
+    )
+    rare = w.join(F.broadcast(thr), F.col("df") <= F.col("t")).drop("t")
     ra = rare.select(F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa"))
     rb = rare.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
     cdots = (

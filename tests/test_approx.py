@@ -145,10 +145,80 @@ def test_lsh_bucket_width_fixed_across_scale(spark, sf_dir):
 def test_tfidf_capped_recall_vs_exact(spark, sf_dir):
     """Capped-candidate TF-IDF top-k recall against the exact inverted-
     index op. The binding constraint is the rare-term candidate stage on
-    the fixture's near-uniform vocabulary (recall ~0.76 measured); the
-    bound catches broken candidate generation or re-ranking."""
+    the fixture's near-uniform vocabulary (recall ~0.76 measured under
+    the old fixed df*16<=n cut; the adaptive pair-budget threshold keeps
+    a strict superset of that candidate set at fixture scale, measured
+    0.82); the bound catches broken candidate generation or re-ranking."""
     specs = all_specs()
     ex = {(r.doc_a, r.doc_b) for r in specs["text_tfidf_pairs"].builder(spark, sf_dir).collect()}
     cp = {(r.doc_a, r.doc_b) for r in specs["text_tfidf_topk_capped"].builder(spark, sf_dir).collect()}
     recall = len(ex & cp) / len(ex)
     assert recall >= 0.6, f"capped TF-IDF recall {recall:.2f} vs exact"
+
+
+def test_tfidf_capped_zipf_corpus_exact_and_pruning(spark, tmp_path):
+    """Zipf(1.2) exactness pin for the ADAPTIVE df-cap — the heavy-tailed
+    regime the pair budget exists for. Generates the bench_zipf corpus
+    (deterministic seed), then asserts (a) the Spark builder matches the
+    DuckDB oracle value-for-value (the threshold rule is replayed
+    identically by both engines), and (b) the adaptive threshold REALLY
+    prunes on a Zipf vocabulary: kept candidate-pair mass is within the
+    n_docs * TFIDF_PAIR_BUDGET budget and strictly below the un-capped
+    sum(df*(df-1)/2) — the fixed df*16<=n cut this replaced kept ~100%
+    of postings on sharded vocabularies and went super-linear at sf1."""
+    import duckdb
+
+    from nrg_etl_airflow_spark_emr_spark.operators.text import TFIDF_PAIR_BUDGET
+    from scripts.bench_zipf import make_corpus
+
+    zdir = make_corpus(str(tmp_path / "zipf"), n_docs=400, s=1.2)
+    spec = all_specs()["text_tfidf_topk_capped"]
+    srows = sorted(
+        (r.doc_a, r.doc_b, round(r.cosine, 9), r.rn)
+        for r in spec.builder(spark, zdir).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{zdir}/documents.parquet'"
+    )
+    orows = sorted(
+        (a, b, round(c, 9), rn) for a, b, c, rn in con.execute(spec.oracle).fetchall()
+    )
+    assert len(srows) > 0, "Zipf corpus must produce pairs (seeded near-dups)"
+    assert srows == orows, "Spark and oracle diverge on the Zipf corpus"
+
+    # Pruning audit, replayed on the oracle's own df frame.
+    n, total, kept = con.execute(
+        f"""
+        WITH grams0 AS (
+            SELECT doc_id, unnest([l[i] || ' ' || l[i+1]
+                   for i in generate_series(1, len(l)-1)]) AS word
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+        ), tf AS (
+            SELECT doc_id, word, COUNT(*) AS tf FROM grams0
+            WHERE NOT contains(word, '  ')
+              AND word NOT LIKE ' %' AND word NOT LIKE '% '
+            GROUP BY doc_id, word
+        ), stats AS (SELECT COUNT(*) AS n FROM documents),
+        dft AS (
+            SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+        ), live AS (
+            SELECT df FROM dft CROSS JOIN stats WHERE df * 2 <= stats.n
+        ), bands AS (SELECT df, COUNT(*) AS cnt FROM live GROUP BY df),
+        cum AS (
+            SELECT df, SUM(df * (df - 1) // 2 * cnt) OVER (ORDER BY df) AS cpairs
+            FROM bands
+        ), thr AS (
+            SELECT COALESCE(MAX(CASE WHEN cpairs <= stats.n * {TFIDF_PAIR_BUDGET}
+                                     THEN df END), MIN(df)) AS t
+            FROM cum CROSS JOIN stats GROUP BY stats.n
+        )
+        SELECT (SELECT n FROM stats),
+               (SELECT SUM(df * (df - 1) // 2) FROM live),
+               (SELECT SUM(df * (df - 1) // 2) FROM live CROSS JOIN thr
+                 WHERE df <= thr.t)
+        """
+    ).fetchone()
+    assert kept <= n * TFIDF_PAIR_BUDGET, "kept pair mass exceeds the budget"
+    assert kept < total, "adaptive threshold pruned nothing on a Zipf corpus"

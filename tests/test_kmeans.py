@@ -107,17 +107,26 @@ def test_kmeans_step_tie_and_update_semantics(spark, tmp_path):
 
 
 def test_kmeans_step_rejects_vectors_past_the_bigint_bound(spark, tmp_path):
-    """The long-accumulator exactness guard (_assert_long_d2_safe) must
+    """The long-accumulator exactness guard (_long_d2_guard) must
     hard-fail on vectors whose derived squared-L2 bound exceeds 2^63 —
     the oracle accumulates in HUGEINT, so without the guard a
-    high-magnitude fixture would ANSI-overflow on the Spark side only."""
+    high-magnitude fixture would ANSI-overflow on the Spark side only.
+    The guard is LAZY (an assert_true on a 1-row broadcast side of the
+    plan), so the failure surfaces at .collect() as a Spark runtime
+    error, not at builder time. The fixture magnitude is derived from
+    FP_SCALE — quantized component 2^31, i.e. (2*q)^2 * dims = 2^66 —
+    so the test tracks the actual bound, not the current constant."""
     import pytest
+    from pyspark.errors.exceptions.base import PySparkException
 
     from nrg_etl_airflow_spark_emr_spark.operators.kmeans import sim_kmeans_step
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import FP_SCALE
 
-    rows = [(i, [float(i), 1000.0], 0) for i in range(6)]
+    mag = float(2**31) / FP_SCALE  # quantizes to |q| = 2^31 regardless of scale
+    rows = [(i, [float(i), mag], 0) for i in range(6)]
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
-    with pytest.raises(ValueError, match="BIGINT squared-L2 bound"):
-        sim_kmeans_step(spark, str(tmp_path)).collect()
+    df = sim_kmeans_step(spark, str(tmp_path))  # builder must NOT raise (lazy)
+    with pytest.raises(PySparkException, match="BIGINT squared-L2 bound"):
+        df.collect()
