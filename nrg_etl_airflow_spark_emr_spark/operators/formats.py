@@ -222,6 +222,36 @@ def src_gzcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_avro_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    window_defer=True,
+    doc="Avro Object Container File sink + source round-trip — the last "
+    "mainstream interchange format without a catalog query (SURVEY.md "
+    "§2.1 absent-format gap-fill; JSON/ORC/CSV/gz-CSV/binary all have "
+    "one). This deployment ships pyspark WITHOUT the separate "
+    "spark-avro DataSource package, so the codec is implemented from "
+    "the public Avro 1.12 spec (sources/avro_ocf.py): distributed "
+    "one-file-per-partition encode via an Arrow-batched kernel, "
+    "distributed decode over a binaryFile scan, deterministic sync "
+    "markers, explicit writer==reader schema. Orders columns (long/"
+    "string/double/date — date as the spec's int logical type) round-"
+    "trip through the container file and aggregate against the parquet-"
+    "side oracle, so any varint/union/logical-type drift breaks the "
+    "value hash. Scale: Avro is the row-oriented LANDING format (no "
+    "projection/pushdown) — the query models exactly the Avro-in/"
+    "columnar-out hop a 100 TB ingest makes on arrival.",
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro_ocf import read_avro, write_avro
+
+    path = _roundtrip_dir(spark, "avro", sf_dir)
+    src = t(spark, sf_dir, "orders").select(*_COLS)
+    write_avro(src, path)
+    return _agg(read_avro(spark, path, src.schema))
+
+
+@register(
     "snk_partitioned_parquet",
     bench=True,
     oracle=_AGG_ORACLE,
