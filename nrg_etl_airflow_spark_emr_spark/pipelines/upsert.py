@@ -189,6 +189,116 @@ def scd2_apply(
     ).unionByName(closed).unionByName(opened)
 
 
+def merge_src(name: str) -> F.Column:
+    """Reference a SOURCE column inside a merge_into clause expression
+    (source columns are prefixed on the join to avoid ambiguity with
+    same-named target columns — the standard MERGE s.col / t.col split)."""
+    return F.col(f"_s_{name}")
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    matched: list[tuple] = (),
+    not_matched: list[tuple] = (),
+    not_matched_by_source: list[tuple] = (),
+) -> DataFrame:
+    """ANSI/Delta-style MERGE INTO semantics over plain DataFrames —
+    returns the POST-MERGE target (same columns as ``target``).
+
+    Clauses, each ``(condition_or_None, action, set_map)``:
+
+    - ``matched``: applied when a target row joins a source row;
+      ``action`` is ``"update"`` (``set_map``: target col → Column over
+      target cols and ``merge_src(...)``) or ``"delete"``.
+    - ``not_matched``: source rows with no target match; action is
+      ``"insert"`` (``set_map`` must cover every target column). A
+      source-only row matching NO insert clause is discarded (ANSI).
+    - ``not_matched_by_source``: target rows with no source match;
+      ``"update"`` or ``"delete"`` (Spark 3.4+/Delta extension). With no
+      clause the row passes through unchanged.
+
+    Within each group the FIRST clause whose condition holds wins —
+    clause order is semantics, exactly as in SQL MERGE.
+
+    Plan shape: ONE full-outer join on the key plus per-column CASE
+    expressions — no per-clause passes, no driver loop; at 100 TB both
+    sides shuffle once on the key (or co-locate via bucketing) and the
+    clause logic is whole-stage-codegen arithmetic. The MERGE contract's
+    cardinality rule (at most one source row per key; a violating merge
+    is nondeterministic) is enforced LAZILY the way Delta enforces it at
+    execution: a 1-row broadcast guard (assert_true over max per-key
+    source count) rides the plan, so the builder stays lazy and a
+    violation fails the job instead of silently picking a winner.
+    """
+    tcols = list(target.columns)
+    tt = target.withColumn("_t", F.lit(True))
+    ss = source.select(
+        *[F.col(c).alias(f"_s_{c}") for c in source.columns], F.lit(True).alias("_s")
+    )
+    guard = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .select(
+            F.assert_true(
+                F.coalesce(F.col("mx") <= 1, F.lit(True)),
+                F.concat(
+                    F.lit("MERGE cardinality violation: a target row matches "),
+                    F.col("mx").cast("string"),
+                    F.lit(" source rows"),
+                ),
+            ).alias("_card_ok")
+        )
+    )
+    cond = reduce(lambda a, b: a & b, [F.col(k) == F.col(f"_s_{k}") for k in on])
+    joined = tt.join(ss, cond, "full_outer")
+
+    is_matched = F.col("_t").isNotNull() & F.col("_s").isNotNull()
+    src_only = F.col("_t").isNull() & F.col("_s").isNotNull()
+    tgt_only = F.col("_t").isNotNull() & F.col("_s").isNull()
+
+    # One action label per row: first matching clause per group wins.
+    action = None
+    labeled: list[tuple[str, str, dict]] = []
+    for scope, flag, clauses in (
+        ("m", is_matched, matched),
+        ("i", src_only, not_matched),
+        ("n", tgt_only, not_matched_by_source),
+    ):
+        for idx, (c, act, *rest) in enumerate(clauses):
+            label = f"{scope}{idx}"
+            labeled.append((label, act, rest[0] if rest else {}))
+            branch = flag if c is None else (flag & c)
+            action = (F.when if action is None else action.when)(branch, label)
+    if action is None:  # no clauses at all: MERGE degenerates to identity
+        action = F.when(F.lit(False), F.lit("x"))
+    action = action.otherwise(F.when(src_only, "discard").otherwise("keep"))
+    joined = joined.withColumn("_act", action)
+
+    keep_actions = [lbl for lbl, act, _ in labeled if act != "delete"] + ["keep"]
+    out = joined.filter(F.col("_act").isin(keep_actions))
+
+    def col_expr(c: str) -> F.Column:
+        expr = None
+        for lbl, act, smap in labeled:
+            if act == "delete" or (act == "update" and c not in smap):
+                continue
+            val = smap[c] if act in ("update", "insert") else None
+            if act == "insert" and c not in smap:
+                raise ValueError(f"insert clause must set every target column ({c})")
+            expr = (F.when if expr is None else expr.when)(F.col("_act") == lbl, val)
+        return (expr.otherwise(F.col(c)) if expr is not None else F.col(c)).alias(c)
+
+    return (
+        out.select(*[col_expr(c) for c in tcols])
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("_card_ok").isNull())
+        .drop("_card_ok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog query twins: driver-visible evidence for the merge kernels above.
 # ---------------------------------------------------------------------------
@@ -669,4 +779,106 @@ def upsert_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "order_ts_us",
         F.col("segment").alias("segment_asof"),
+    )
+
+
+_MERGE_YEAR = 1995        # source increment: this year's order activity
+_MERGE_BIG = 200_000.0    # spend above this upgrades the account
+
+
+@register(
+    "upsert_merge_into",
+    oracle=f"""
+    WITH tgt AS (
+        SELECT c_custkey AS custkey, c_name AS name,
+               c_acctbal AS acctbal, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 3 <> 0
+    ), src AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000 AS spend
+        FROM orders WHERE year(o_orderdate) = {_MERGE_YEAR}
+        GROUP BY o_custkey
+    )
+    SELECT t.custkey, t.name,
+           CASE WHEN s.custkey IS NOT NULL AND s.spend > {_MERGE_BIG}
+                THEN t.acctbal + s.spend ELSE t.acctbal END AS acctbal,
+           CASE WHEN s.custkey IS NOT NULL AND s.spend > {_MERGE_BIG}
+                THEN 'PLATINUM' ELSE t.segment END AS segment
+    FROM tgt t LEFT JOIN src s ON t.custkey = s.custkey
+    WHERE NOT (s.custkey IS NOT NULL AND NOT (s.spend > {_MERGE_BIG})
+               AND s.n_orders <= 1)
+    UNION ALL
+    SELECT s.custkey, 'NEW-' || CAST(s.custkey AS VARCHAR) AS name,
+           s.spend AS acctbal, 'ONBOARD' AS segment
+    FROM src s LEFT JOIN tgt t ON t.custkey = s.custkey
+    WHERE t.custkey IS NULL AND s.n_orders >= 2
+    """,
+    tags=("upsert", "merge"),
+    window_defer=True,
+    doc="MERGE-INTO-semantics twin over the merge_into kernel — the "
+    "upsert family's mechanisms (last-wins, SCD2, CDC apply) were "
+    "oracle-proven piecewise, but no query exercised the full ANSI "
+    "MERGE contract end-to-end: clause ORDER (a matched big-spender "
+    "hits the UPDATE clause even when the DELETE clause's condition "
+    "also holds), conditional INSERT (source-only rows failing the "
+    "insert condition are discarded), unconditional pass-through of "
+    "unmatched target rows, and the at-most-one-source-row-per-key "
+    "cardinality rule (enforced lazily in-plan, Delta-style). Target = "
+    "customers with custkey % 3 <> 0; source = the 1995 per-customer "
+    f"order summary. WHEN MATCHED AND spend > {int(_MERGE_BIG)} THEN "
+    "UPDATE (acctbal += spend, segment = PLATINUM); WHEN MATCHED AND "
+    "n_orders <= 1 THEN DELETE; WHEN NOT MATCHED AND n_orders >= 2 "
+    "THEN INSERT. The oracle replays the same clause lattice "
+    "relationally (LEFT JOIN + CASE + anti-join UNION). Plan: ONE "
+    "full-outer shuffle join on the key + codegen CASE columns — the "
+    "shape a table-format MERGE compiles to at 100 TB.",
+)
+def upsert_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    source = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == _MERGE_YEAR)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(fixed("o_totalprice")).cast("double") / 10**4).alias("spend"),
+        )
+    )
+    return merge_into(
+        target,
+        source,
+        on=["custkey"],
+        matched=[
+            (
+                merge_src("spend") > _MERGE_BIG,
+                "update",
+                {
+                    "acctbal": F.col("acctbal") + merge_src("spend"),
+                    "segment": F.lit("PLATINUM"),
+                },
+            ),
+            (merge_src("n_orders") <= 1, "delete"),
+        ],
+        not_matched=[
+            (
+                merge_src("n_orders") >= 2,
+                "insert",
+                {
+                    "custkey": merge_src("custkey"),
+                    "name": F.concat(
+                        F.lit("NEW-"), merge_src("custkey").cast("string")
+                    ),
+                    "acctbal": merge_src("spend"),
+                    "segment": F.lit("ONBOARD"),
+                },
+            )
+        ],
     )

@@ -223,3 +223,100 @@ def test_cdc_deletes_all_three_classes_nonvacuous(spark, sf_dir):
     }
     assert set(counts) == {"insert", "update", "delete"}, counts
     assert all(v > 0 for v in counts.values()), counts
+
+
+# ---------------------------------------------------------------------------
+# merge_into: the ANSI MERGE contract, kernel-level.
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixtures(spark):
+    target = spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0), (3, "gamma", 30.0)],
+        "k long, name string, bal double",
+    )
+    # k=1 matched (big), k=2 matched (small), k=3 unmatched-by-source,
+    # k=9 source-only big, k=8 source-only small.
+    source = spark.createDataFrame(
+        [(1, 100.0), (2, 1.0), (9, 100.0), (8, 1.0)], "k long, amt double"
+    )
+    return target, source
+
+
+def test_merge_into_clause_order_and_all_three_scopes(spark):
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import (
+        merge_into,
+        merge_src,
+    )
+
+    target, source = _merge_fixtures(spark)
+    out = merge_into(
+        target,
+        source,
+        on=["k"],
+        matched=[
+            # Clause ORDER is semantics: k=1 satisfies BOTH conditions
+            # (amt >= 1 would also delete); first-match-wins keeps it.
+            (merge_src("amt") > 50, "update", {"bal": F.col("bal") + merge_src("amt")}),
+            (merge_src("amt") <= 50, "delete", {}),
+        ],
+        not_matched=[
+            (
+                merge_src("amt") > 50,
+                "insert",
+                {
+                    "k": merge_src("k"),
+                    "name": F.lit("new"),
+                    "bal": merge_src("amt"),
+                },
+            )
+        ],
+    )
+    got = {r.k: (r.name, r.bal) for r in out.collect()}
+    assert got == {
+        1: ("alpha", 110.0),  # matched, first clause (update) wins
+        3: ("gamma", 30.0),   # unmatched by source: pass-through
+        9: ("new", 100.0),    # source-only, insert condition holds
+        # 2 deleted (matched, second clause); 8 discarded (insert cond fails)
+    }
+
+
+def test_merge_into_not_matched_by_source_clauses(spark):
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import (
+        merge_into,
+        merge_src,
+    )
+
+    target, source = _merge_fixtures(spark)
+    out = merge_into(
+        target,
+        source,
+        on=["k"],
+        matched=[(None, "update", {"bal": merge_src("amt")})],
+        not_matched_by_source=[
+            (F.col("bal") >= 30, "delete", {}),
+            (None, "update", {"name": F.lit("stale")}),
+        ],
+    )
+    got = {r.k: (r.name, r.bal) for r in out.collect()}
+    # k=3 (bal 30) deleted by the first by-source clause; an unmatched
+    # target row below the bar would take the second clause instead.
+    assert got == {1: ("alpha", 100.0), 2: ("beta", 1.0)}
+
+
+def test_merge_into_rejects_duplicate_source_keys_lazily(spark):
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import (
+        merge_into,
+        merge_src,
+    )
+
+    target, _ = _merge_fixtures(spark)
+    dup = spark.createDataFrame([(1, 5.0), (1, 6.0)], "k long, amt double")
+    df = merge_into(  # builder must stay lazy — no error yet
+        target, dup, on=["k"], matched=[(None, "update", {"bal": merge_src("amt")})]
+    )
+    with pytest.raises(PySparkException, match="cardinality violation"):
+        df.collect()
