@@ -445,3 +445,99 @@ def st_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "left",
     ).select("click_id", "user_id", "purchase_id")
+
+
+@register(
+    "st_dedup_within_watermark",
+    oracle=f"""
+    SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_id, strftime(ts, '{SQL_TS_FMT}') AS first_ts
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+    window_defer=True,
+    doc="Keep-earliest dedup on the daily idempotency key (user_id, "
+    "event_type, day) — batch twin of streaming/jobs.py "
+    "dedup_events_within_watermark (dropDuplicatesWithinWatermark, the "
+    "Spark 3.5+ stateful built-in): at-least-once redelivery "
+    "suppression where state expires a fixed delay past each FIRST "
+    "arrival, so streaming state is bounded by the delay window even "
+    "for keys that re-arrive forever — the property plain "
+    "dropDuplicates lacks on an unbounded stream. Expressed as "
+    "row_number=1 over (ts, event_id) (deterministic); the stream==" 
+    "batch equality under a span-covering delay is pinned in "
+    "tests/test_streaming.py. One shuffle on the dedup key.",
+)
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "st_click_purchase_full_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           COALESCE(c.user_id, p.user_id) AS uid,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+    window_defer=True,
+    doc="Click<->purchase attribution within 1 hour, FULL OUTER: every "
+    "click AND every purchase appears — unconverted clicks null-padded "
+    "on the purchase side (the conversion denominator) and orphan "
+    "purchases null-padded on the click side (the attribution-loss "
+    "numerator the left join drops). Batch twin of streaming/jobs.py "
+    "click_purchase_full_join, the last stream-stream outer form the "
+    "engine lacked; streaming emits each side's null rows only on "
+    "state expiry and WITHHOLDS the end-of-input open tail on BOTH "
+    "sides (pinned in tests/test_streaming.py). Same keyed equi-join "
+    "+ row-local range bound: one user_id exchange, state bounded by "
+    "watermark + join range.",
+)
+def st_click_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full",
+    ).select(
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("uid"),
+        "purchase_id",
+    )

@@ -395,6 +395,83 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "45 days"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` (Spark 3.5+
+    stateful built-in) on the daily idempotency key (user_id, event_type,
+    day) — the at-least-once delivery suppression pattern: a redelivered
+    event carries the same natural key + event-day and must land once.
+
+    Contrast with ``dropDuplicates`` (dedup_events): state there needs
+    the watermark to pass the KEY's event time; here every state entry
+    expires ``watermark`` past its FIRST event's time even while the key
+    keeps re-arriving, so state is bounded by the delay window, not by
+    key cardinality — the property that matters on an unbounded 100
+    TB/day stream. The fixture spans 30 days < the 45-day delay, so the
+    whole replay falls in one retention window and the result is exactly
+    keep-first-arrival — which under ts-ordered replay equals the batch
+    twin's earliest-by-(ts, event_id) (st_dedup_within_watermark); the
+    burst-boundary case (duplicates farther apart than the delay both
+    surviving) is the documented divergence a span-sized delay removes.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("day", F.to_date("ts"))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select(
+            "user_id",
+            "event_type",
+            "day",
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("first_ts"),
+        )
+    )
+
+
+def click_purchase_full_join(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER self-join: every click AND every purchase,
+    matched within the hour when possible, null-padded otherwise.
+
+    The full-outer form needs state expiry on BOTH sides: an unmatched
+    click emits nulls when its 1-hour match window closes under the
+    joint watermark, an unmatched purchase when no in-range click can
+    still arrive. Same keyed equi-join + row-local range bound as the
+    inner/left forms — one user_id exchange, state bounded by watermark
+    + join range; unmatched state still open at end-of-input is WITHHELD
+    on both sides (pinned in tests/test_streaming.py).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("uid"),
+        "purchase_id",
+    )
+
+
 def click_purchase_left_join(events: DataFrame) -> DataFrame:
     """Stream-stream LEFT OUTER self-join: every click, attributed to the
     same user's purchase in the following hour OR emitted with NULLs

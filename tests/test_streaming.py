@@ -408,3 +408,58 @@ def test_left_outer_join_withholds_open_tail(spark, sf_dir, events_stream):
     assert all(click_ts[c] < joint_wm for c in s_nulls), (
         "an emitted null's click must be behind the final joint watermark"
     )
+
+
+def test_dedup_within_watermark_matches_batch(spark, sf_dir, events_stream):
+    """dropDuplicatesWithinWatermark under a span-covering delay: the
+    whole replay falls inside one state-retention window, so the result
+    is exactly keep-first-arrival == the batch twin's earliest-by-
+    (ts, event_id) per daily idempotency key. Also pins non-vacuity: the
+    key must actually collapse rows (fixture has many same-day repeats)."""
+    stream_out = jobs.run_to_memory(
+        jobs.dedup_events_within_watermark(events_stream),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    batch = SPECS["st_dedup_within_watermark"].builder(spark, sf_dir)
+    srows, brows = _rows(stream_out), _rows(batch)
+    assert srows == brows
+    from nrg_etl_airflow_spark_emr_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(brows) < n_events, "dedup key never collapses anything"
+
+
+def test_full_outer_join_withholds_open_tails_both_sides(spark, sf_dir, events_stream):
+    """Stream-stream FULL OUTER: matched rows equal the batch twin
+    exactly; each side's null-padded rows are a subset of the batch
+    twin's (the end-of-input open tail is withheld on BOTH sides)."""
+    stream_out = jobs.run_to_memory(
+        jobs.click_purchase_full_join(events_stream),
+        "t_full_join",
+        output_mode="append",
+    ).collect()
+    batch = SPECS["st_click_purchase_full_join"].builder(spark, sf_dir).collect()
+
+    s_matched = {
+        (r.click_id, r.purchase_id)
+        for r in stream_out
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    b_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    assert s_matched == b_matched, "inner rows must match the batch twin exactly"
+
+    s_click_nulls = {r.click_id for r in stream_out if r.purchase_id is None}
+    b_click_nulls = {r.click_id for r in batch if r.purchase_id is None}
+    assert s_click_nulls <= b_click_nulls, "streamed click-null must be a batch null"
+
+    s_orphan_purch = {r.purchase_id for r in stream_out if r.click_id is None}
+    b_orphan_purch = {r.purchase_id for r in batch if r.click_id is None}
+    assert s_orphan_purch <= b_orphan_purch, "streamed orphan purchase must be real"
+
+    # Non-vacuous on both outer sides in the batch twin.
+    assert b_click_nulls and b_orphan_purch, "fixture must exercise both null sides"
