@@ -98,6 +98,64 @@ from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
 from nrg_etl_airflow_spark_emr_spark.session import get_spark
 
 
+def make_spill_probe(spark):
+    """Per-query shuffle-spill capture from the live AppStatusStore.
+
+    Spill is a REGIME, not a slope: the sf1 TF-IDF cliff (exp ~1.13-1.34)
+    was invisible in sf0.1 wall-clock because the extra cost only appears
+    once the (doc_a, doc_b) aggregation no longer fits executor memory.
+    Recording memory+disk spilled bytes per bench query makes the next
+    spill regression self-report in the BENCH artifact the way host
+    drift now does via the canary.
+
+    Returns (mark, measure): ``mark()`` notes the newest stage id;
+    ``measure(marker)`` sums memoryBytesSpilled/diskBytesSpilled over
+    stages newer than the marker (stage ids are monotone per app, so
+    eviction of OLD stages from the status store cannot corrupt the
+    window). Uses the documented status-store surface (the same data the
+    UI/REST API serves); if the internal call signature ever changes,
+    the probe degrades to omitting the field — never failing the bench —
+    mirroring the canary-omission rule.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+
+    def _stages():
+        store = sc._jsc.sc().statusStore()
+        return store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+
+    def mark() -> int | None:
+        try:
+            seq = _stages()
+            ids = [seq.apply(i).stageId() for i in range(seq.size())]
+            return max(ids) if ids else -1
+        except Exception:
+            return None
+
+    def measure(marker: int | None) -> tuple[int, int] | None:
+        if marker is None:
+            return None
+        try:
+            seq = _stages()
+            mem = disk = 0
+            for i in range(seq.size()):
+                s = seq.apply(i)
+                if s.stageId() > marker:
+                    mem += s.memoryBytesSpilled()
+                    disk += s.diskBytesSpilled()
+            return int(mem), int(disk)
+        except Exception:
+            return None
+
+    return mark, measure
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -119,10 +177,13 @@ def main() -> None:
         specs[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    mark, measure = make_spill_probe(spark)
     timings: dict[str, float] = {}
+    spill: dict[str, dict[str, int]] = {}
     for name in sorted(specs):
         best = float("inf")
         for _ in range(reps):
+            marker = mark()
             # Each rep is timed in isolation: several queries .cache()
             # intermediate frames, and Spark's cache manager substitutes any
             # matching plan fragment in LATER queries/reps, so leftover
@@ -135,6 +196,16 @@ def main() -> None:
             # Consume fully without driver-side materialization of wide rows.
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            # Max-of-reps spill: the regime question is "does this query
+            # EVER spill here", so the conservative rep wins (unlike time,
+            # where min estimates code cost).
+            sp = measure(marker)
+            if sp is not None:
+                prev = spill.get(name, {"mem": 0, "disk": 0})
+                spill[name] = {
+                    "mem": max(prev["mem"], sp[0]),
+                    "disk": max(prev["disk"], sp[1]),
+                }
         # Min-of-reps: single-run timings at this fixture scale swing ±50%
         # with JIT/GC state (measured 22s vs 40s totals for identical code);
         # the minimum estimates the code's actual cost, which is what
@@ -158,6 +229,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # Per-query spilled bytes (max over reps); key omitted
+                # entirely if the status-store probe failed, per the
+                # canary-omission rule.
+                **({"spill": spill} if spill else {}),
                 "sf": sf,
                 **canary,
             }
