@@ -741,3 +741,37 @@ def test_scd2_asof_lookup_is_keyed_join(spark, sf_dir):
     temporal-join regression."""
     plan = _plan(spark, sf_dir, "upsert_scd2_asof_lookup")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_merge_into_is_one_join_no_cartesian(spark, sf_dir):
+    """upsert_merge_into's clause lattice must compile to ONE data-sized
+    join (the full-outer key join) plus codegen CASE columns — per-clause
+    passes or a cartesian here is the classic MERGE blow-up. The only
+    nested-loop allowed is the 1-row broadcast cardinality guard."""
+    plan = _plan(spark, sf_dir, "upsert_merge_into")
+    assert "CartesianProduct" not in plan
+    data_joins = sum(
+        plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin")
+    ) + plan.count("BroadcastHashJoin")
+    assert data_joins <= 2, (  # key join + AQE may broadcast one side
+        f"MERGE regressed to {data_joins} data joins:\n{plan}"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        "only the 1-row cardinality-guard BNLJ is allowed"
+    )
+
+
+def test_tfidf_capped_threshold_is_broadcast_not_shuffled(spark, sf_dir):
+    """The adaptive df threshold must enter the plan as a 1-row broadcast
+    side (BNLJ against the cached weights), never as a data-sized
+    shuffle; and the candidate self-join must stay keyed on the gram."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "text_tfidf_topk_capped")
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    # The rare frame feeds both self-join sides, so the threshold join
+    # prints once per side; every nested loop must BE the threshold join
+    # (df <= t against the 1-row broadcast), nothing data-sized.
+    assert len(bnlj) <= 2 and all("<= t#" in l for l in bnlj), (
+        f"unexpected nested-loop joins:\n" + "\n".join(bnlj)
+    )
