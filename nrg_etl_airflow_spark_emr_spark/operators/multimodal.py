@@ -782,3 +782,165 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return docs.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+# --- Perceptual-hash near-dup (aHash + banded Hamming) ----------------------
+
+PHASH_POS = 64        # sampled positions -> 64-bit hash as 4 x 16-bit bands
+PHASH_BANDS = 4
+PHASH_MAXH = 12       # near-dup Hamming threshold over the banded candidates
+
+
+def phash_bands_image(payload: bytes) -> list[int]:
+    """REAL image average-hash (aHash): decode (PNG/BMP via the pure
+    NumPy codecs), grayscale by channel mean, nearest-neighbor resample
+    to 8x8, threshold each cell against the global mean -> 64 bits,
+    returned as 4 x 16-bit band ints (the banding the dedup join keys
+    on). Perceptual by construction: resizing/re-encoding the same image
+    preserves the hash, small local edits flip few bits (pinned in
+    tests/test_multimodal.py). Non-image payloads take the byte-stream
+    positional hash — the SAME definition mm_phash_dedup computes
+    relationally, so kernel and catalog query agree on the fixture."""
+    import numpy as np
+
+    if payload[:8] == _PNG_MAGIC or payload[:2] == b"BM":
+        if payload[:8] == _PNG_MAGIC:
+            _, h, _, px = decode_png(payload)
+        else:
+            _, h, _, px = decode_bmp(payload)
+        gray = px.astype(np.int64).mean(axis=2) if px.ndim == 3 else px.astype(np.int64)
+        ys = (np.arange(8) * gray.shape[0] // 8).clip(0, gray.shape[0] - 1)
+        xs = (np.arange(8) * gray.shape[1] // 8).clip(0, gray.shape[1] - 1)
+        cells = gray[ys][:, xs].reshape(64)
+        bits = (64 * cells >= cells.sum()).astype(np.int64)
+    else:
+        n = len(payload)
+        if n == 0:
+            return [0] * PHASH_BANDS
+        idx = [(k * n) // PHASH_POS for k in range(PHASH_POS)]
+        vals = np.frombuffer(payload, dtype=np.uint8)[idx].astype(np.int64)
+        bits = (PHASH_POS * vals >= vals.sum()).astype(np.int64)
+    return [
+        int((bits[j * 16 : (j + 1) * 16] << np.arange(16)).sum())
+        for j in range(PHASH_BANDS)
+    ]
+
+
+def _phash_band_sql(j: int, char_fn: str) -> str:
+    """One 16-bit band of the positional average hash, as engine SQL
+    (char_fn: 'ascii' for Spark, 'ord' for DuckDB; both return the
+    codepoint of the first character, identical on any text)."""
+    bits = []
+    for k in range(j * 16, j * 16 + 16):
+        c = f"{char_fn}(substr(text, ({k} * n) {{div}} 64 + 1, 1))"
+        bits.append(
+            f"(CASE WHEN 64 * {c} >= total THEN 1 ELSE 0 END) * {1 << (k - j * 16)}"
+        )
+    return " + ".join(bits)
+
+
+def _phash_total_sql(char_fn: str) -> str:
+    return " + ".join(
+        f"{char_fn}(substr(text, ({k} * n) {{div}} 64 + 1, 1))"
+        for k in range(PHASH_POS)
+    )
+
+
+_PHASH_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+        WHERE length(text) >= 1
+    ), t AS (
+        SELECT doc_id, text, n, {_phash_total_sql("ord")} AS total FROM d
+    ), h AS (
+        SELECT doc_id,
+               {_phash_band_sql(0, "ord")} AS b0,
+               {_phash_band_sql(1, "ord")} AS b1,
+               {_phash_band_sql(2, "ord")} AS b2,
+               {_phash_band_sql(3, "ord")} AS b3
+        FROM t
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS INTEGER) AS hamming
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {PHASH_MAXH}
+    """.replace("{div}", "//")
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=_PHASH_ORACLE,
+    tags=("multimodal", "dedup", "similarity"),
+    window_defer=True,
+    doc="Perceptual-hash near-dup pairs — the multimodal dedup bridge: "
+    "the image pipeline's aHash (8x8 average hash; REAL for PNG/BMP via "
+    "phash_bands_image, property-pinned: resize-invariant, local-edit "
+    "tolerant) applied with the SAME banded-Hamming join the simhash "
+    "family uses. The catalog query computes the hash RELATIONALLY "
+    f"(positional {PHASH_POS}-sample average over the text fixture — "
+    "pure codegen column expressions, no Python), split into "
+    f"{PHASH_BANDS} x 16-bit bands; candidates share at least one band "
+    "(posexplode + equi-join on (band_id, band_val) — never all-pairs), "
+    f"then exact Hamming <= {PHASH_MAXH} on candidates only. LSH "
+    "contract like dedup_containment_lsh: recall is guaranteed by "
+    "pigeonhole for Hamming <= 3 (4 bands) and is candidates-only above "
+    "that; the oracle replays the identical banding rule, so the gate "
+    "is exact. At 100 TB the hash frame is 8 bytes/doc cached, band "
+    "buckets bound the join exactly like minhash/simhash LSH.",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    withn = docs.select("doc_id", "text", F.length("text").alias("n"))
+    total = F.expr(_phash_total_sql("ascii").replace("{div}", "div"))
+    t2 = withn.select("doc_id", "text", "n", total.alias("total"))
+    band_cols = [
+        F.expr(_phash_band_sql(j, "ascii").replace("{div}", "div")).alias(f"b{j}")
+        for j in range(PHASH_BANDS)
+    ]
+    # cache(): the hash is a pure projection — without the barrier
+    # CollapseProject would inline the 64 substr/ascii expressions into
+    # the posexplode AND both self-join sides (the simhash_banded trap).
+    h = t2.select("doc_id", *band_cols).cache()
+    bands = h.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(PHASH_BANDS)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(PHASH_BANDS)],
+    )
+    hb = h.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(PHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}")))
+        for j in range(PHASH_BANDS)
+    )
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAXH)
+    )

@@ -442,3 +442,65 @@ def test_frame_sample_real_avi_through_spark(spark):
     assert len(avi_frames) == 4
     txt_frames = [v for (d, _), v in sorted(got.items()) if d == 2]
     assert txt_frames == mm.sample_frames(txt)
+
+
+# --- perceptual hash (aHash) ------------------------------------------------
+
+
+def _checker_png(size: int = 32, noise_seed: int | None = None) -> bytes:
+    """Deterministic high-contrast test image (checkerboard + gradient);
+    optional single-cell perturbation to model a small local edit."""
+    import numpy as np
+
+    y, x = np.mgrid[0:size, 0:size]
+    px = ((x // 4 + y // 4) % 2 * 160 + x * 2).astype(np.uint8)
+    px = np.stack([px, px, px], axis=2)
+    if noise_seed is not None:
+        rng = np.random.default_rng(noise_seed)
+        yy, xx = rng.integers(0, size, 2)
+        px[yy, xx] = 255 - px[yy, xx]
+    return mm.encode_png(px)
+
+
+def test_phash_is_resize_invariant():
+    """The perceptual property: the SAME image at different resolutions
+    hashes (near-)identically — byte-level digests can never do this."""
+    import numpy as np
+
+    big = _checker_png(64)
+    small = mm.resize_image(big, 32, 32)
+    hb, hs = mm.phash_bands_image(big), mm.phash_bands_image(small)
+    ham = sum(int(a ^ b).bit_count() for a, b in zip(hb, hs))
+    assert ham <= 3, f"resize moved the hash by {ham} bits"
+
+
+def test_phash_tolerates_local_edit_but_separates_images():
+    edited = mm.phash_bands_image(_checker_png(32, noise_seed=7))
+    base = mm.phash_bands_image(_checker_png(32))
+    ham_near = sum(int(a ^ b).bit_count() for a, b in zip(base, edited))
+    assert ham_near <= mm.PHASH_MAXH, f"one-pixel edit moved {ham_near} bits"
+
+    import numpy as np
+
+    other_px = (np.arange(32 * 32) % 251).astype(np.uint8).reshape(32, 32)
+    other = mm.phash_bands_image(mm.encode_png(np.stack([other_px] * 3, axis=2)))
+    ham_far = sum(int(a ^ b).bit_count() for a, b in zip(base, other))
+    assert ham_far > mm.PHASH_MAXH, f"unrelated images only {ham_far} bits apart"
+
+
+def test_phash_bands_are_16bit_and_text_path_matches_relational():
+    """Band ints fit 16 bits, and the byte-stream fallback implements the
+    same positional-average definition the catalog query computes
+    relationally (kernel == SQL on ASCII payloads)."""
+    payload = b"the quick brown fox jumps over the lazy dog " * 8
+    bands = mm.phash_bands_image(payload)
+    assert len(bands) == mm.PHASH_BANDS
+    assert all(0 <= b < 2**16 for b in bands)
+    n = len(payload)
+    vals = [payload[(k * n) // mm.PHASH_POS] for k in range(mm.PHASH_POS)]
+    total = sum(vals)
+    bits = [1 if mm.PHASH_POS * v >= total else 0 for v in vals]
+    expect = [
+        sum(bits[j * 16 + i] << i for i in range(16)) for j in range(mm.PHASH_BANDS)
+    ]
+    assert bands == expect

@@ -463,3 +463,69 @@ def test_full_outer_join_withholds_open_tails_both_sides(spark, sf_dir, events_s
 
     # Non-vacuous on both outer sides in the batch twin.
     assert b_click_nulls and b_orphan_purch, "fixture must exercise both null sides"
+
+
+def test_dedup_within_watermark_reemits_after_state_expiry(spark, tmp_path):
+    """THE semantic that separates dropDuplicatesWithinWatermark from
+    plain dropDuplicates: a key's dedup state expires a fixed delay past
+    its event time, so a re-arrival AFTER expiry is emitted again (plain
+    dropDuplicates would suppress it forever and hold state forever).
+    Three staged micro-batches, 2-day delay (state eviction engages one
+    batch AFTER the watermark advances, same lag the late-row test
+    pins): batch 0 seeds user-1@day1 + user-2@day10 (watermark -> day8
+    at batch end); batch 1 sends a user-2 same-day duplicate (DROPPED —
+    state alive; user-1's day-3 expiry is evicted at THIS batch's end);
+    batch 2 re-sends user-1@day10 (EMITTED — state gone, which plain
+    dropDuplicates would have suppressed forever)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def ns(day, hour=0):
+        return int(
+            datetime.datetime(
+                2024, 1, day, hour, tzinfo=datetime.timezone.utc
+            ).timestamp()
+            * 1e9
+        )
+
+    d = str(tmp_path / "ddww")
+    os.makedirs(d)
+    batches = [
+        ("a", [(1, ns(1), 1, "click", 1.0, "{}"), (2, ns(10), 2, "click", 1.0, "{}")]),
+        ("b", [(3, ns(10, 1), 2, "click", 1.0, "{}")]),
+        ("c", [(4, ns(10), 1, "click", 1.0, "{}")]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        tmp = str(tmp_path / f"ddww_stage_{name}")
+        spark.createDataFrame(rows, LONG_NS_SCHEMA).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+    stream = (
+        spark.readStream.schema(LONG_NS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dedup = (
+        stream.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("event_id", "user_id")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("t_ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id for r in spark.table("t_ddww").collect()}
+    assert got == {1, 2, 4}, (
+        f"expected re-emit after expiry (4) and same-window drop (3): {got}"
+    )
