@@ -222,6 +222,47 @@ def main() -> None:
     # quiet run reads as "load arrived mid-run" (review finding).
     spark.stop()
     canary.update({f"{k}_end": v for k, v in run_canary().items()})
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # Per-query spilled bytes (max over reps); key omitted
+        # entirely if the status-store probe failed, per the
+        # canary-omission rule.
+        **({"spill": spill} if spill else {}),
+        "sf": sf,
+        **canary,
+    }
+    # The driver records only the LAST ~2000 chars of combined output and
+    # parses the {"metric": ...} line it finds there. Round 7's single
+    # full line outgrew that window once per-query spill was added
+    # (BENCH_r07.json "parsed": null — the metric/value head was
+    # truncated). Emission therefore happens in three steps:
+    #   1. the full line, first, for humans running bench.py directly;
+    #   2. a sidecar file (bench_full_last.json) committed with the repo
+    #      so the per-query spill detail survives in the round artifacts;
+    #   3. a compact FINAL line — metric/value/queries/sf/canaries plus
+    #      spill rolled up to three scalars — sized to always fit whole
+    #      inside the tail window (~1.2 KB for the 28-query set).
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full_last.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; the printed lines are the record
+    spill_summary = (
+        {
+            "spill_mem_total": sum(v["mem"] for v in spill.values()),
+            "spill_disk_total": sum(v["disk"] for v in spill.values()),
+            "spill_queries_nonzero": sum(
+                1 for v in spill.values() if v["mem"] or v["disk"]
+            ),
+        }
+        if spill
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -229,10 +270,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # Per-query spilled bytes (max over reps); key omitted
-                # entirely if the status-store probe failed, per the
-                # canary-omission rule.
-                **({"spill": spill} if spill else {}),
+                **spill_summary,
                 "sf": sf,
                 **canary,
             }
