@@ -34,8 +34,27 @@ gzip CSV: a container file is splittable at sync points in principle,
 but a from-spec reader that seeks sync markers buys nothing at the
 many-small-files landing pattern this models); encode is
 one-file-per-Spark-partition, so write parallelism is the frame's
-partitioning, and per-record Python encode cost is confined to the
-landing path, never the analytics path.
+partitioning.
+
+Vectorization (round 8 — the codec was the repo's one `weak` component at
+~93µs/row): both directions are NumPy-columnar, no per-record Python in
+the steady state.
+
+* Encode: zigzag + varint for a whole int64 column at once (a (n,10)
+  7-bit-group matrix, continuation bits by mask, row-major boolean
+  select), doubles as a bulk little-endian byte view, strings as one
+  ``b"".join`` plus offset arithmetic; the row-major interleave that the
+  Avro record layout requires is a per-column scatter into one
+  preallocated buffer at ``row_offset + column_prefix`` positions.
+* Decode: the container's own framing makes blocks addressable WITHOUT
+  parsing records (each block header carries its byte size), so every
+  block becomes a NumPy lane and all lanes decode in lockstep — one
+  vectorized step per (row-in-block, field) across all blocks, varints
+  via a masked ≤10-round loop. Smaller blocks mean more lanes: the
+  writer uses block_rows=256, giving hundreds of lanes per part file at
+  fixture scale (and the block/sync overhead is 18 bytes per 256 rows —
+  noise). Files from other writers with few huge blocks fall back to the
+  scalar from-spec decoder, which stays as the reference implementation.
 """
 
 from __future__ import annotations
@@ -139,11 +158,129 @@ def _decode_value(dt: T.DataType, buf: memoryview, pos: int):
     raise ValueError(f"unsupported type {dt}")  # pragma: no cover
 
 
-def _encode_container(
-    schema: T.StructType, rows: Iterator[tuple], sync: bytes, block_rows: int = 4096
-) -> bytes:
-    """Serialize rows (tuples in schema field order, dates already epoch
-    days) into one complete OCF byte string."""
+_INT_LIKE = (T.LongType, T.IntegerType, T.DateType, T.TimestampType)
+
+
+def _varint_flat(vals) -> tuple["object", "object"]:
+    """Vectorized zigzag+varint for an int64 array: returns
+    (row-major flat uint8 bytes, per-value byte counts). The (n,10)
+    7-bit-group matrix exploits the prefix property of unsigned shifts
+    (group k zero ⇒ all higher groups zero), so the byte count is just a
+    row count of nonzero groups, min 1."""
+    import numpy as np
+
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if v.size == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    # Two's-complement reinterpret (bit-exact, no value conversion), then
+    # zigzag entirely in uint64 where wraparound is defined.
+    u = v.view(np.uint64)
+    z = (u << np.uint64(1)) ^ (v >> np.int64(63)).view(np.uint64)
+    shifts = z[:, None] >> (np.uint64(7) * np.arange(10, dtype=np.uint64))[None, :]
+    groups = (shifts & np.uint64(0x7F)).astype(np.uint8)
+    nbytes = np.maximum((shifts != 0).sum(axis=1), 1).astype(np.int64)
+    k = np.arange(10)
+    cont = k[None, :] < (nbytes[:, None] - 1)
+    groups = np.where(cont, groups | 0x80, groups).astype(np.uint8)
+    sel = k[None, :] < nbytes[:, None]
+    return groups[sel], nbytes
+
+
+def _scatter(out, starts, lens, payload) -> None:
+    """Place variable-length byte runs (concatenated in ``payload``) at
+    per-run destination offsets ``starts`` — the repeat/arange gather that
+    turns row-major interleave into one fancy-index assignment."""
+    import numpy as np
+
+    if payload.size == 0:
+        return
+    off = np.concatenate(([0], np.cumsum(lens)))
+    dst = np.repeat(starts, lens) + (np.arange(off[-1]) - np.repeat(off[:-1], lens))
+    out[dst] = payload
+
+
+def _encode_batch(schema: T.StructType, cols: list, nulls: list):
+    """Vectorized Avro record-body encoder. ``cols[j]`` holds column j's
+    wire values (int64 array for int-like, float64 for double, object
+    array of str for string, bool array for boolean; null positions
+    arbitrary), ``nulls[j]`` the per-row null mask. Returns
+    (uint8 buffer of all rows' record bytes, row offsets len n+1)."""
+    import numpy as np
+
+    n = len(nulls[0]) if nulls else 0
+    plens: list = []  # per column: payload length per row (0 where null)
+    payloads: list = []  # per column: flat non-null payload bytes
+    for f, col, mask in zip(schema.fields, cols, nulls):
+        nn = ~mask
+        plen = np.zeros(n, np.int64)
+        if isinstance(f.dataType, _INT_LIKE):
+            flat, nb = _varint_flat(np.asarray(col, np.int64)[nn])
+            plen[nn] = nb
+        elif isinstance(f.dataType, T.DoubleType):
+            flat = (
+                np.ascontiguousarray(np.asarray(col, np.float64)[nn])
+                .astype("<f8")
+                .view(np.uint8)
+            )
+            plen[nn] = 8
+        elif isinstance(f.dataType, T.StringType):
+            blist = [s.encode("utf-8") for s in np.asarray(col, object)[nn]]
+            slens = np.fromiter((len(b) for b in blist), np.int64, len(blist))
+            vflat, vb = _varint_flat(slens)
+            sbuf = np.frombuffer(b"".join(blist), np.uint8)
+            flat = np.empty(vb.sum() + slens.sum(), np.uint8)
+            tot = vb + slens
+            starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+            _scatter(flat, starts, vb, vflat)
+            _scatter(flat, starts + vb, slens, sbuf)
+            plen[nn] = tot
+        elif isinstance(f.dataType, T.BooleanType):
+            flat = np.asarray(col)[nn].astype(np.uint8)
+            plen[nn] = 1
+        else:  # pragma: no cover - guarded by avro_schema_json
+            raise ValueError(f"unsupported type {f.dataType}")
+        plens.append(plen)
+        payloads.append(flat)
+
+    cell_lens = [1 + p for p in plens]  # +1: the union branch byte
+    row_len = np.sum(cell_lens, axis=0) if cell_lens else np.zeros(0, np.int64)
+    row_off = np.concatenate(([0], np.cumsum(row_len))).astype(np.int64)
+    out = np.zeros(int(row_off[-1]), np.uint8)
+    col_prefix = np.zeros(n, np.int64)
+    for f, mask, plen, flat, clen in zip(schema.fields, nulls, plens, payloads, cell_lens):
+        dst0 = row_off[:-1] + col_prefix  # branch byte position per row
+        out[dst0] = np.where(mask, 0, 2)  # zigzag(0)=0x00 null, zigzag(1)=0x02
+        nn = ~mask
+        _scatter(out, dst0[nn] + 1, plen[nn], flat)
+        col_prefix = col_prefix + clen
+    return out, row_off
+
+
+def _columnarize(schema: T.StructType, rows: list) -> tuple[list, list]:
+    """Row tuples → (cols, nulls) in _encode_batch's wire convention."""
+    import numpy as np
+
+    n = len(rows)
+    cols, nulls = [], []
+    for j, f in enumerate(schema.fields):
+        vals = [r[j] for r in rows]
+        mask = np.fromiter((v is None for v in vals), bool, n)
+        if isinstance(f.dataType, _INT_LIKE):
+            col = np.fromiter((0 if v is None else int(v) for v in vals), np.int64, n)
+        elif isinstance(f.dataType, T.DoubleType):
+            col = np.fromiter(
+                (0.0 if v is None else float(v) for v in vals), np.float64, n
+            )
+        elif isinstance(f.dataType, T.BooleanType):
+            col = np.fromiter((bool(v) for v in vals), bool, n)
+        else:
+            col = np.array(["" if v is None else v for v in vals], object)
+        cols.append(col)
+        nulls.append(mask)
+    return cols, nulls
+
+
+def _container_header(schema: T.StructType, sync: bytes) -> bytes:
     meta_schema = avro_schema_json(schema).encode("utf-8")
     out = io.BytesIO()
     out.write(_MAGIC)
@@ -154,32 +291,45 @@ def _encode_container(
         out.write(_zigzag_encode(len(v)) + v)
     out.write(_zigzag_encode(0))
     out.write(sync)
-    dts = [f.dataType for f in schema.fields]
-    block = bytearray()
-    n_in_block = 0
-    for row in rows:
-        for dt, v in zip(dts, row):
-            _encode_value(dt, v, block)
-        n_in_block += 1
-        if n_in_block >= block_rows:
-            out.write(_zigzag_encode(n_in_block))
-            out.write(_zigzag_encode(len(block)))
-            out.write(block)
-            out.write(sync)
-            block = bytearray()
-            n_in_block = 0
-    if n_in_block:
-        out.write(_zigzag_encode(n_in_block))
-        out.write(_zigzag_encode(len(block)))
-        out.write(block)
+    return out.getvalue()
+
+
+def _frame_blocks(body, row_off, sync: bytes, block_rows: int) -> bytes:
+    """Slice the contiguous record-body buffer into spec block framing:
+    (count, size, records, sync) per ``block_rows`` rows."""
+    out = io.BytesIO()
+    n = len(row_off) - 1
+    for s in range(0, n, block_rows):
+        e = min(s + block_rows, n)
+        payload = body[row_off[s] : row_off[e]]
+        out.write(_zigzag_encode(e - s))
+        out.write(_zigzag_encode(len(payload)))
+        out.write(payload.tobytes())
         out.write(sync)
     return out.getvalue()
 
 
-def _decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
-    """Decode one OCF into row tuples (dates as epoch-day ints). The
-    reader schema must match the writer schema (asserted from metadata) —
-    schema resolution/evolution is out of scope for the landing path."""
+def _encode_container(
+    schema: T.StructType, rows: Iterator[tuple], sync: bytes, block_rows: int = 256
+) -> bytes:
+    """Serialize rows (tuples in schema field order, dates already epoch
+    days) into one complete OCF byte string. block_rows=256 keeps blocks
+    small so the lockstep reader gets many lanes (18 bytes framing per
+    block — 0.03% overhead at typical row widths)."""
+    row_list = list(rows)
+    cols, nulls = _columnarize(schema, row_list)
+    body, row_off = _encode_batch(schema, cols, nulls)
+    return _container_header(schema, sync) + _frame_blocks(
+        body, row_off, sync, block_rows
+    )
+
+
+def _walk_blocks(data: bytes, schema: T.StructType):
+    """Parse the container header and block framing WITHOUT touching
+    record bytes: validates magic/codec/schema and every sync marker,
+    returns (record-count, payload-start, payload-end) per block. This is
+    what makes the lockstep decoder possible — block boundaries come from
+    the framing alone."""
     buf = memoryview(data)
     if bytes(buf[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -207,22 +357,132 @@ def _decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
         raise ValueError("writer/reader schema field mismatch")
     sync = bytes(buf[pos : pos + 16])
     pos += 16
-    dts = [f.dataType for f in schema.fields]
-    rows: list[tuple] = []
+    blocks: list[tuple[int, int, int]] = []
     total = len(buf)
     while pos < total:
         n, pos = _zigzag_decode(buf, pos)
-        _size, pos = _zigzag_decode(buf, pos)
-        for _ in range(n):
-            vals = []
-            for dt in dts:
-                v, pos = _decode_value(dt, buf, pos)
-                vals.append(v)
-            rows.append(tuple(vals))
+        size, pos = _zigzag_decode(buf, pos)
+        blocks.append((n, pos, pos + size))
+        pos += size
         if bytes(buf[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch (corrupt block boundary)")
         pos += 16
-    return rows
+    return blocks
+
+
+def _decode_columns(data: bytes, schema: T.StructType):
+    """Vectorized container decode → (list of per-field object arrays
+    with None at nulls, total row count). Every block is a NumPy lane;
+    lanes advance in lockstep one (row, field) step at a time, so the
+    per-step cost is a handful of whole-vector ops regardless of row
+    count. Falls back to the scalar from-spec reader when the file has
+    too few blocks to vectorize across (foreign writers with huge
+    blocks)."""
+    import numpy as np
+
+    blocks = _walk_blocks(data, schema)
+    nrows_arr = np.array([b[0] for b in blocks], np.int64)
+    total = int(nrows_arr.sum()) if blocks else 0
+    dts = [f.dataType for f in schema.fields]
+    outs = [np.full(total, None, object) for _ in dts]
+    if total == 0:
+        return outs, 0
+    if len(blocks) < 8 and total > 16 * len(blocks):
+        # Degenerate lane count: scalar walk is faster than paying NumPy
+        # dispatch per row. Correctness identical (same spec).
+        buf = memoryview(data)
+        i = 0
+        for n, start, _end in blocks:
+            pos = start
+            for _ in range(n):
+                for j, dt in enumerate(dts):
+                    v, pos = _decode_value(dt, buf, pos)
+                    outs[j][i] = v
+                i += 1
+        return outs, total
+
+    buf = np.frombuffer(data, np.uint8)
+    base = np.concatenate(([0], np.cumsum(nrows_arr)))[:-1]
+    pos = np.array([b[1] for b in blocks], np.int64)
+    max_rows = int(nrows_arr.max())
+    for r in range(max_rows):
+        act = np.flatnonzero(nrows_arr > r)
+        row_idx = base[act] + r
+        for j, dt in enumerate(dts):
+            branch = buf[pos[act]]
+            pos[act] += 1
+            sel = np.flatnonzero(branch != 0)  # zigzag(1)=0x02; 0x00=null
+            if sel.size == 0:
+                continue
+            nn = act[sel]
+            onn = row_idx[sel]
+            if isinstance(dt, _INT_LIKE):
+                acc = np.zeros(nn.size, np.uint64)
+                shift = np.uint64(0)
+                rem = np.arange(nn.size)
+                while rem.size:
+                    b = buf[pos[nn[rem]]]
+                    acc[rem] |= (b & np.uint64(0x7F)).astype(np.uint64) << shift
+                    pos[nn[rem]] += 1
+                    rem = rem[(b & 0x80) != 0]
+                    shift += np.uint64(7)
+                vals = (
+                    (acc >> np.uint64(1))
+                    ^ (np.uint64(0) - (acc & np.uint64(1)))
+                ).view(np.int64)
+                outs[j][onn] = vals
+            elif isinstance(dt, T.DoubleType):
+                idx = pos[nn][:, None] + np.arange(8)
+                outs[j][onn] = buf[idx].copy().view("<f8").ravel()
+                pos[nn] += 8
+            elif isinstance(dt, T.StringType):
+                acc = np.zeros(nn.size, np.uint64)
+                shift = np.uint64(0)
+                rem = np.arange(nn.size)
+                while rem.size:
+                    b = buf[pos[nn[rem]]]
+                    acc[rem] |= (b & np.uint64(0x7F)).astype(np.uint64) << shift
+                    pos[nn[rem]] += 1
+                    rem = rem[(b & 0x80) != 0]
+                    shift += np.uint64(7)
+                lens = (acc >> np.uint64(1)).astype(np.int64)  # lengths ≥ 0
+                off = np.concatenate(([0], np.cumsum(lens)))
+                gidx = np.repeat(pos[nn], lens) + (
+                    np.arange(off[-1]) - np.repeat(off[:-1], lens)
+                )
+                flat = buf[gidx].tobytes()
+                outs[j][onn] = [
+                    flat[off[i] : off[i + 1]].decode("utf-8")
+                    for i in range(nn.size)
+                ]
+                pos[nn] += lens
+            elif isinstance(dt, T.BooleanType):
+                outs[j][onn] = buf[pos[nn]] == 1
+                pos[nn] += 1
+            else:  # pragma: no cover - guarded by avro_schema_json
+                raise ValueError(f"unsupported type {dt}")
+    return outs, total
+
+
+def _decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
+    """Decode one OCF into row tuples (dates as epoch-day ints). The
+    reader schema must match the writer schema (asserted from metadata) —
+    schema resolution/evolution is out of scope for the landing path.
+    Thin row-tuple view over the columnar decoder (kept for tests and
+    symmetry with _encode_container)."""
+    outs, total = _decode_columns(data, schema)
+    # Python-native values so round-trip tuples compare == to the input.
+    pyout = []
+    for dt, arr in zip([f.dataType for f in schema.fields], outs):
+        if isinstance(dt, _INT_LIKE):
+            pyout.append([None if v is None else int(v) for v in arr])
+        elif isinstance(dt, T.DoubleType):
+            pyout.append([None if v is None else float(v) for v in arr])
+        elif isinstance(dt, T.BooleanType):
+            pyout.append([None if v is None else bool(v) for v in arr])
+        else:
+            pyout.append(list(arr))
+    return [tuple(col[i] for col in pyout) for i in range(total)]
 
 
 def write_avro(df: DataFrame, path: str) -> int:
@@ -230,10 +490,21 @@ def write_avro(df: DataFrame, path: str) -> int:
     (the frame's partitioning IS the write parallelism, like every Spark
     file sink), written from an Arrow-batched kernel. Dates are shipped
     to the kernel as epoch-day ints (built-in datediff — the logical-type
-    conversion stays JVM-side). Returns the number of files written; the
-    per-file manifest collect is file-count-sized, never data-sized."""
+    conversion stays JVM-side) and the record bytes are assembled by the
+    vectorized columnar encoder. Returns the number of files written; the
+    per-file manifest collect is file-count-sized, never data-sized.
+
+    Filesystem contract: driver-side setup (makedirs + stale-part
+    cleanup) and executor-side part writes address the SAME filesystem —
+    true in local mode and on any shared mount (NFS/EFS); on a real
+    cluster with executor-local disks this sink needs an object-store or
+    DFS path the way Spark's own committers do. Each part is written to
+    a temp name and os.replace'd into place so a retried or speculative
+    task can never leave a half-written part-NNNNN.avro for read_avro to
+    decode as corrupt."""
     import os
 
+    import numpy as np
     import pandas as pd
 
     schema = df.schema
@@ -256,19 +527,42 @@ def write_avro(df: DataFrame, path: str) -> int:
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
+        # Sync marker derives from the FINAL name (determinism contract:
+        # same input → byte-identical file, attempt number excluded).
         sync = hashlib.md5(fname.encode()).digest()
-        rows: list[tuple] = []
-        for pdf in it:
-            rows.extend(
-                tuple(None if pd.isna(v) else v for v in rec)
-                for rec in pdf[names].itertuples(index=False, name=None)
-            )
-        data = _encode_container(schema, iter(rows), sync)
-        with open(fname, "wb") as fh:
+        pdfs = [p[names] for p in it]
+        pdf = (
+            pd.concat(pdfs, ignore_index=True)
+            if pdfs
+            else pd.DataFrame(columns=names)
+        )
+        cols, nulls = [], []
+        for f in schema.fields:
+            s = pdf[f.name]
+            mask = s.isna().to_numpy(bool)
+            if isinstance(f.dataType, _INT_LIKE):
+                # Nullable ints arrive as float64 (NaN) or Int64; fill
+                # nulls with 0 — masked out of the encoding anyway.
+                cols.append(s.fillna(0).to_numpy(np.int64))
+            elif isinstance(f.dataType, T.DoubleType):
+                cols.append(s.fillna(0.0).to_numpy(np.float64))
+            elif isinstance(f.dataType, T.BooleanType):
+                cols.append(s.fillna(False).to_numpy(bool))
+            else:
+                cols.append(s.to_numpy(object))
+            nulls.append(mask)
+        body, row_off = _encode_batch(schema, cols, nulls)
+        data = _container_header(schema, sync) + _frame_blocks(
+            body, row_off, sync, 256
+        )
+        tmp = f"{fname}.tmp-attempt{tc.taskAttemptId()}"
+        with open(tmp, "wb") as fh:
             fh.write(data)
-        yield pd.DataFrame({"file": [fname], "n_rows": [len(rows)]})
+        os.replace(tmp, fname)  # atomic publish: readers never see partials
+        yield pd.DataFrame({"file": [fname], "n_rows": [len(pdf)]})
 
     manifest = df.select(*ship).mapInPandas(kernel, schema="file string, n_rows long")
     return manifest.count()
@@ -296,8 +590,8 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             for blob in pdf["content"]:
-                rows = _decode_container(bytes(blob), schema)
-                yield pd.DataFrame(rows, columns=names)
+                outs, _total = _decode_columns(bytes(blob), schema)
+                yield pd.DataFrame(dict(zip(names, outs)))
 
     raw = (
         spark.read.format("binaryFile")
