@@ -226,8 +226,9 @@ def merge_into(
     expressions — no per-clause passes, no driver loop; at 100 TB both
     sides shuffle once on the key (or co-locate via bucketing) and the
     clause logic is whole-stage-codegen arithmetic. The MERGE contract's
-    cardinality rule (at most one source row per key; a violating merge
-    is nondeterministic) is enforced LAZILY the way Delta enforces it at
+    cardinality rule (at most one source row per MATCHED target key —
+    duplicate source-only keys are legal multiple inserts; a violating
+    merge is nondeterministic) is enforced LAZILY the way Delta does at
     execution: a 1-row broadcast guard (assert_true over max per-key
     source count) rides the plan, so the builder stays lazy and a
     violation fails the job instead of silently picking a winner.
@@ -237,8 +238,16 @@ def merge_into(
     ss = source.select(
         *[F.col(c).alias(f"_s_{c}") for c in source.columns], F.lit(True).alias("_s")
     )
+    # The cardinality guard counts source rows ONLY for keys that hit a
+    # target row (left-semi on the key first): ANSI/Delta MERGE forbids
+    # one target row matching several source rows, but duplicate
+    # source-ONLY keys are legal — they become multiple NOT MATCHED
+    # inserts. The semi-join shuffles on the same key as the main join,
+    # so it co-partitions with work the merge already does.
     guard = (
-        source.groupBy(*on)
+        source.select(*on)
+        .join(target.select(*on), on, "left_semi")
+        .groupBy(*on)
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("mx"))
         .select(
@@ -285,9 +294,9 @@ def merge_into(
         for lbl, act, smap in labeled:
             if act == "delete" or (act == "update" and c not in smap):
                 continue
-            val = smap[c] if act in ("update", "insert") else None
             if act == "insert" and c not in smap:
                 raise ValueError(f"insert clause must set every target column ({c})")
+            val = smap[c] if act in ("update", "insert") else None
             expr = (F.when if expr is None else expr.when)(F.col("_act") == lbl, val)
         return (expr.otherwise(F.col(c)) if expr is not None else F.col(c)).alias(c)
 

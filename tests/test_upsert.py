@@ -320,3 +320,58 @@ def test_merge_into_rejects_duplicate_source_keys_lazily(spark):
     )
     with pytest.raises(PySparkException, match="cardinality violation"):
         df.collect()
+
+
+def test_merge_into_allows_duplicate_source_only_keys(spark):
+    """ANSI/Delta MERGE only forbids several source rows hitting ONE
+    target row; duplicate source-only keys are legal and become multiple
+    NOT MATCHED inserts (the guard semi-joins source keys against the
+    target before counting)."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import (
+        merge_into,
+        merge_src,
+    )
+
+    target, _ = _merge_fixtures(spark)
+    dup = spark.createDataFrame([(7, 5.0), (7, 6.0)], "k long, amt double")
+    out = merge_into(
+        target,
+        dup,
+        on=["k"],
+        matched=[(None, "update", {"bal": merge_src("amt")})],
+        not_matched=[
+            (
+                None,
+                "insert",
+                {
+                    "k": merge_src("k"),
+                    "name": F.lit("ins"),
+                    "bal": merge_src("amt"),
+                },
+            )
+        ],
+    )
+    got = sorted((r.k, r.bal) for r in out.collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (7, 5.0), (7, 6.0)]
+
+
+def test_merge_into_insert_missing_column_raises_value_error(spark):
+    """An insert clause that does not set every target column must fail
+    with the explanatory ValueError, not a bare KeyError."""
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines.upsert import (
+        merge_into,
+        merge_src,
+    )
+
+    target, _ = _merge_fixtures(spark)
+    src = spark.createDataFrame([(7, 5.0)], "k long, amt double")
+    with pytest.raises(ValueError, match="insert clause must set every"):
+        merge_into(
+            target,
+            src,
+            on=["k"],
+            matched=[],
+            not_matched=[(None, "insert", {"k": merge_src("k")})],
+        )
