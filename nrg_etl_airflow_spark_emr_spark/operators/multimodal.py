@@ -261,6 +261,30 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def encode_bmp(pixels) -> bytes:
+    """Encode an ndarray[h, w, 3] (uint8, RGB) as an uncompressed 24-bit
+    bottom-up BMP — the inverse of decode_bmp's 24-bit path, including
+    the 4-byte row padding and BGR byte order."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    height, width, channels = px.shape
+    if channels != 3:
+        raise ValueError("encode_bmp writes 24-bit RGB only")
+    row_size = (width * 3 + 3) & ~3
+    rows = np.zeros((height, row_size), np.uint8)
+    rows[:, : width * 3] = px[::-1, :, ::-1].reshape(height, width * 3)
+    data = rows.tobytes()
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + dib + data
+
+
 def decode_bmp(payload: bytes):
     """Decode an uncompressed 24/32-bit BMP to (width, height, channels,
     pixels ndarray[h, w, c] in RGB order). Handles bottom-up row order
@@ -907,6 +931,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject would inline the 64 substr/ascii expressions into
     # the posexplode AND both self-join sides (the simhash_banded trap).
     h = t2.select("doc_id", *band_cols).cache()
+    return _banded_hamming_pairs(h)
+
+
+def _banded_hamming_pairs(h: DataFrame) -> DataFrame:
+    """Shared LSH tail of the phash dedups: from a hash frame
+    (doc_id, b0..b3), candidates share ≥1 band (posexplode + equi-join
+    on (band_id, band_val) — never all-pairs), then exact Hamming ≤
+    PHASH_MAXH on candidates only. Caller is responsible for caching
+    ``h`` if recomputing it is expensive (it feeds three plan arms)."""
     bands = h.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"b{j}") for j in range(PHASH_BANDS)])).alias(
@@ -944,3 +977,128 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_MAXH)
     )
+
+
+def _phash_clamped_band_sql(j: int) -> str:
+    """One 16-bit band of the positional hash with codepoints clamped to
+    255 (DuckDB SQL) — the exact pixel law the image corpus is built
+    with, so the oracle predicts the REAL decode→aHash output."""
+    bits = []
+    for k in range(j * 16, j * 16 + 16):
+        c = f"LEAST(ord(substr(text, ({k} * n) // 64 + 1, 1)), 255)"
+        bits.append(
+            f"(CASE WHEN 64 * {c} >= total THEN 1 ELSE 0 END) * {1 << (k - j * 16)}"
+        )
+    return " + ".join(bits)
+
+
+_PHASH_IMAGE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+        WHERE length(text) >= 1
+    ), t AS (
+        SELECT doc_id, text, n,
+               {" + ".join(f"LEAST(ord(substr(text, ({k} * n) // 64 + 1, 1)), 255)" for k in range(PHASH_POS))} AS total
+        FROM d
+    ), h AS (
+        SELECT doc_id,
+               {_phash_clamped_band_sql(0)} AS b0,
+               {_phash_clamped_band_sql(1)} AS b1,
+               {_phash_clamped_band_sql(2)} AS b2,
+               {_phash_clamped_band_sql(3)} AS b3
+        FROM t
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS INTEGER) AS hamming
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {PHASH_MAXH}
+    """
+
+
+def render_phash_image(text: str, doc_id: int) -> bytes:
+    """Deterministic 8x8 image whose pixel k is the (255-clamped)
+    codepoint of the text character the positional hash samples — so the
+    REAL decode→grayscale→8x8-resample→aHash of the image equals the
+    relationally-computable positional hash of the text, making the
+    image pipeline oracle-checkable in pure SQL. Even doc_ids render as
+    grayscale PNG, odd as 24-bit BMP, so BOTH from-spec decoders sit on
+    the driver-gated path."""
+    import numpy as np
+
+    n = len(text)
+    codes = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+    idx = (np.arange(PHASH_POS) * n) // PHASH_POS
+    cells = np.minimum(codes[idx], 255).astype(np.uint8).reshape(8, 8)
+    if doc_id % 2 == 0:
+        return encode_png(cells[:, :, None])
+    return encode_bmp(np.repeat(cells[:, :, None], 3, axis=2))
+
+
+@register(
+    "mm_phash_image_dedup",
+    oracle=_PHASH_IMAGE_ORACLE,
+    tags=("multimodal", "dedup", "similarity"),
+    window_defer=True,
+    doc="The REAL image path of the perceptual-hash dedup, driver-gated "
+    "end-to-end: every document is rendered to an actual image (8x8 "
+    "grayscale PNG for even doc_ids, 24-bit BMP for odd — both via the "
+    "repo's from-spec encoders) whose pixels are the 255-clamped "
+    "codepoints the positional hash samples; the hash kernel then runs "
+    "decode_png/decode_bmp → grayscale → 8x8 resample → aHash "
+    "(phash_bands_image, the SAME function the unit tests property-pin "
+    "for resize invariance) over the binary column, and the banded-"
+    "Hamming LSH join is shared verbatim with mm_phash_dedup. Because "
+    "pixel law == sampling law, the DuckDB oracle predicts the decoded "
+    "hash in pure SQL — the driver row therefore gates the actual "
+    "encode→decode→hash→join pipeline, not a relational stand-in. "
+    "Scale: render and hash are Arrow-batched partition-parallel "
+    "kernels (the multimodal pattern — Python only per binary payload), "
+    "the hash frame is 8 B/doc cached, and the join is band-keyed "
+    "equi-join, never all-pairs.",
+)
+def mm_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select("doc_id", "text")
+    )
+
+    def render_kernel(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "image": [
+                        render_phash_image(s, int(d))
+                        for d, s in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    def hash_kernel(it):
+        for pdf in it:
+            bands = [phash_bands_image(bytes(b)) for b in pdf["image"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        f"b{j}": [bb[j] for bb in bands]
+                        for j in range(PHASH_BANDS)
+                    },
+                }
+            )
+
+    images = docs.mapInPandas(render_kernel, schema="doc_id long, image binary")
+    h = images.mapInPandas(
+        hash_kernel,
+        schema="doc_id long, " + ", ".join(f"b{j} long" for j in range(PHASH_BANDS)),
+    ).cache()
+    return _banded_hamming_pairs(h)

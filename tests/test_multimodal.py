@@ -504,3 +504,34 @@ def test_phash_bands_are_16bit_and_text_path_matches_relational():
         sum(bits[j * 16 + i] << i for i in range(16)) for j in range(mm.PHASH_BANDS)
     ]
     assert bands == expect
+
+
+def test_bmp_encode_decode_roundtrip():
+    """encode_bmp is the exact inverse of decode_bmp's 24-bit path,
+    including bottom-up row order, BGR byte order, and row padding
+    (width 5 -> 15-byte rows padded to 16)."""
+    import numpy as np
+
+    px = (np.arange(7 * 5 * 3) % 253).astype(np.uint8).reshape(7, 5, 3)
+    w, h, c, back = mm.decode_bmp(mm.encode_bmp(px))
+    assert (w, h, c) == (5, 7, 3)
+    assert np.array_equal(back, px)
+
+
+def test_render_phash_image_decodes_to_the_clamped_text_law():
+    """The rendered corpus pins the whole image pipeline: the REAL
+    decode (PNG for even ids, BMP for odd) -> grayscale -> 8x8 resample
+    -> aHash must equal the 255-clamped positional hash of the source
+    text computed directly — the law the SQL oracle replays."""
+    text = "señor " + "the quick brown fox jumps over the lazy dog " * 3
+    n = len(text)
+    vals = [min(ord(text[(k * n) // mm.PHASH_POS]), 255) for k in range(mm.PHASH_POS)]
+    total = sum(vals)
+    bits = [1 if mm.PHASH_POS * v >= total else 0 for v in vals]
+    expect = [
+        sum(bits[j * 16 + i] << i for i in range(16)) for j in range(mm.PHASH_BANDS)
+    ]
+    for doc_id in (2, 3):  # PNG and BMP arms
+        img = mm.render_phash_image(text, doc_id)
+        assert img[:8] == mm._PNG_MAGIC if doc_id % 2 == 0 else img[:2] == b"BM"
+        assert mm.phash_bands_image(img) == expect
