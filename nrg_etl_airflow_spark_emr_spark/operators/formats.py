@@ -251,6 +251,59 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(read_avro(spark, path, src.schema))
 
 
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@register(
+    "src_jdbc_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    window_defer=True,
+    doc="JDBC sink + source round-trip — the LAST absent format from "
+    "SURVEY.md §2.1's gap list (JSON/ORC/Avro all have rows). The only "
+    "JDBC driver on this deployment's classpath is embedded Derby "
+    "(shipped with Spark for the Hive metastore), so the database is a "
+    "per-app Derby instance under the round-trip temp dir: orders "
+    "columns written through Spark's JDBC sink (mode=overwrite drops "
+    "and recreates the table via DerbyDialect; strings land as CLOB, "
+    "dates as DATE, doubles as DOUBLE), read back as a PARTITIONED "
+    "JDBC scan — partitionColumn=o_orderkey with true min/max bounds "
+    "and 4 range predicates, the exact parallel-read shape a 100 TB "
+    "ingest uses against a real warehouse URL — then aggregated "
+    "against the parquet-side oracle so any type mapping or range-"
+    "boundary drift (lost/duplicated boundary rows) breaks the value "
+    "hash. Scale: swap the URL for a network database and the plumbing "
+    "is unchanged; embedded Derby is the deployment constraint, not "
+    "the design. The min/max bounds collect is a 1-row aggregate — "
+    "metadata-sized, the same contract as JDBC ingest anywhere.",
+)
+def src_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(spark, "jdbc", sf_dir)
+    url = f"jdbc:derby:{path};create=true"
+    src = t(spark, sf_dir, "orders").select(*_COLS)
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_rt")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_rt")
+        .option("driver", _DERBY_DRIVER)
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", int(lo))
+        .option("upperBound", int(hi) + 1)
+        .option("numPartitions", 4)
+        .load()
+    )
+    return _agg(back)
+
+
 @register(
     "snk_partitioned_parquet",
     bench=True,
