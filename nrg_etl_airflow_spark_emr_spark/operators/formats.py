@@ -251,6 +251,35 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(read_avro(spark, path, src.schema))
 
 
+@register(
+    "src_avro_split_scan",
+    oracle=_AGG_ORACLE,
+    tags=("source", "format"),
+    window_defer=True,
+    doc="SPLITTABLE Avro read — the few-huge-files landing shape: orders "
+    "written as TWO container files (coalesce(2)), then read back with "
+    "16 byte-range splits via sync-marker seek (sources/avro_ocf.py "
+    "read_avro_split — the standard Avro/Hadoop split algorithm: a "
+    "split owns every block whose post-sync boundary falls in its "
+    "range, so any partition of the byte space reads every record "
+    "exactly once). This upgrades the previously declined splittable-"
+    "read item: at 100 TB a landing tier often arrives as few "
+    "multi-GB files, and one-task-per-file (read_avro) leaves the "
+    "cluster idle; byte-range splits restore full fan-out with "
+    "file-count-sized driver work. The aggregate against the parquet-"
+    "side oracle makes boundary bugs (lost or double-read records at "
+    "split edges) break the value hash, complementing the hypothesis "
+    "partition property in tests/test_avro.py.",
+)
+def src_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro_ocf import read_avro_split, write_avro
+
+    path = _roundtrip_dir(spark, "avrosplit", sf_dir)
+    src = t(spark, sf_dir, "orders").select(*_COLS).coalesce(2)
+    write_avro(src, path)
+    return _agg(read_avro_split(spark, path, src.schema, num_splits=16))
+
+
 _DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
 

@@ -359,12 +359,10 @@ def _encode_container(
     )
 
 
-def _walk_blocks(data: bytes, schema: T.StructType):
-    """Parse the container header and block framing WITHOUT touching
-    record bytes: validates magic/codec/schema and every sync marker,
-    returns (record-count, payload-start, payload-end) per block. This is
-    what makes the lockstep decoder possible — block boundaries come from
-    the framing alone."""
+def _parse_header(data: bytes, schema: T.StructType) -> tuple[bytes, int]:
+    """Validate magic/codec/schema from a buffer holding at least the
+    container header; returns (sync marker, header end offset — the
+    first block boundary)."""
     buf = memoryview(data)
     if bytes(buf[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -391,7 +389,17 @@ def _walk_blocks(data: bytes, schema: T.StructType):
     if [f["name"] for f in writer["fields"]] != [f["name"] for f in expect["fields"]]:
         raise ValueError("writer/reader schema field mismatch")
     sync = bytes(buf[pos : pos + 16])
-    pos += 16
+    return sync, pos + 16
+
+
+def _walk_blocks(data: bytes, schema: T.StructType):
+    """Parse the container header and block framing WITHOUT touching
+    record bytes: validates magic/codec/schema and every sync marker,
+    returns (record-count, payload-start, payload-end) per block. This is
+    what makes the lockstep decoder possible — block boundaries come from
+    the framing alone."""
+    buf = memoryview(data)
+    sync, pos = _parse_header(data, schema)
     blocks: list[tuple[int, int, int]] = []
     total = len(buf)
     while pos < total:
@@ -603,14 +611,8 @@ def write_avro(df: DataFrame, path: str) -> int:
     return manifest.count()
 
 
-def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """Distributed Avro OCF source: binaryFile scan (one task per file —
-    the landing-glob pattern), Arrow-batched from-spec decode, explicit
-    reader schema (never inferred from a partial listing). Epoch-day ints
-    rebuild DateType via built-in date_add — JVM-side, like the sink."""
-    import pandas as pd
-
-    names = [f.name for f in schema.fields]
+def _wire_schema(schema: T.StructType) -> T.StructType:
+    """Kernel output schema: logical date/timestamp ride as ints."""
     def _wire(dt):
         if isinstance(dt, T.DateType):
             return T.IntegerType()
@@ -618,9 +620,32 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
             return T.LongType()
         return dt
 
-    wire = T.StructType(
+    return T.StructType(
         [T.StructField(f.name, _wire(f.dataType)) for f in schema.fields]
     )
+
+
+def _unwire(decoded: DataFrame, schema: T.StructType) -> DataFrame:
+    """Rebuild logical types from wire ints — JVM-side, like the sink."""
+    def _back(f):
+        if isinstance(f.dataType, T.DateType):
+            return F.date_add(F.lit("1970-01-01"), F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, T.TimestampType):
+            return F.timestamp_micros(F.col(f.name)).alias(f.name)
+        return F.col(f.name)
+
+    return decoded.select(*[_back(f) for f in schema.fields])
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Distributed Avro OCF source: binaryFile scan (one task per file —
+    the landing-glob pattern), Arrow-batched from-spec decode, explicit
+    reader schema (never inferred from a partial listing). For a few-
+    huge-files landing tier use read_avro_split, which fans each file
+    out across tasks by sync-marker seek."""
+    import pandas as pd
+
+    names = [f.name for f in schema.fields]
 
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -634,12 +659,118 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
         .load(path)
         .select("content")
     )
-    decoded = raw.mapInPandas(kernel, schema=wire)
-    def _back(f):
-        if isinstance(f.dataType, T.DateType):
-            return F.date_add(F.lit("1970-01-01"), F.col(f.name)).alias(f.name)
-        if isinstance(f.dataType, T.TimestampType):
-            return F.timestamp_micros(F.col(f.name)).alias(f.name)
-        return F.col(f.name)
+    return _unwire(raw.mapInPandas(kernel, schema=_wire_schema(schema)), schema)
 
-    return decoded.select(*[_back(f) for f in schema.fields])
+
+def _split_slice(path: str, start: int, end: int, schema: T.StructType):
+    """Decode the blocks a byte-range split [start, end) of one OCF owns.
+    Split rule (the standard Avro/Hadoop one): a split owns every block
+    whose boundary — the offset where its count varint starts, i.e. the
+    position right after a sync marker (or the header end for the first
+    block) — lies in [start, end). Each boundary lies in exactly one
+    split, so any partition of [0, filesize) reads every record exactly
+    once. Reads only the split's own byte range plus the tail of its
+    last block; the contiguous owned region decodes through the same
+    lockstep columnar decoder as whole files (a valid container is
+    reassembled as header + owned slice)."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        head = fh.read(64 * 1024)
+        while True:
+            try:
+                sync, header_end = _parse_header(head, schema)
+                break
+            except IndexError:  # header longer than the probe read
+                more = fh.read(1 << 20)
+                if not more:
+                    raise ValueError("truncated Avro header") from None
+                head += more
+        if start <= header_end:
+            b = header_end
+            if b >= min(end, size):  # header spills past this split's end
+                return _decode_columns(head[:header_end], schema)
+        else:
+            # Seek the first sync marker whose END (= boundary) is >= start:
+            # markers start at boundary-16, so scan from start-16. A sync
+            # byte pattern inside record data is a false boundary — the
+            # accepted 2^-128 risk every splittable Avro reader takes.
+            scan_from = max(start - 16, header_end)
+            fh.seek(scan_from)
+            window = fh.read(min(end, size) - scan_from + 16)
+            idx = window.find(sync)
+            if idx == -1 or scan_from + idx + 16 >= min(end, size):
+                return _decode_columns(head[:header_end], schema)
+            b = scan_from + idx + 16
+
+        # Walk block framing from the boundary to the last owned block's
+        # end, extending the in-memory window only as the walk demands.
+        base = b
+        fh.seek(base)
+        buf = fh.read(max(0, min(end, size) - base) + (1 << 16))
+
+        def ensure(upto_abs: int) -> None:
+            nonlocal buf
+            need = upto_abs - (base + len(buf))
+            if need > 0:
+                fh.seek(base + len(buf))
+                buf += fh.read(need)
+
+        mv_pos = 0  # relative to base
+        while base + mv_pos < min(end, size):
+            ensure(base + mv_pos + 20)  # two varints are ≤ 20 bytes
+            n, p = _zigzag_decode(memoryview(buf), mv_pos)
+            bsize, p = _zigzag_decode(memoryview(buf), p)
+            block_end = p + bsize
+            ensure(base + block_end + 16)
+            if buf[block_end : block_end + 16] != sync:
+                raise ValueError("sync marker mismatch (corrupt block boundary)")
+            mv_pos = block_end + 16
+        synth = head[:header_end] + buf[:mv_pos]
+    return _decode_columns(synth, schema)
+
+
+def read_avro_split(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    num_splits: int | None = None,
+) -> DataFrame:
+    """Distributed SPLITTABLE Avro OCF source: byte-range splits with
+    sync-marker seek, so a few huge landing files fan out across tasks
+    instead of decoding one-file-per-task (read_avro's model). Driver
+    work is a file listing with sizes — file-count sized; each task then
+    reads only its own byte range plus the tail of its last block.
+    Shared-FS contract as write_avro documents; on a cluster the ranged
+    reads become object-store ranged GETs with the same algorithm."""
+    import os
+
+    import pandas as pd
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    )
+    sizes = {f: os.path.getsize(f) for f in files}
+    total = sum(sizes.values())
+    if num_splits is None:
+        num_splits = spark.sparkContext.defaultParallelism
+    target = max(1, total // max(1, num_splits))
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        sz = sizes[f]
+        nchunks = max(1, (sz + target - 1) // target)
+        bounds = [sz * i // nchunks for i in range(nchunks + 1)]
+        splits.extend((f, bounds[i], bounds[i + 1]) for i in range(nchunks))
+    names = [f.name for f in schema.fields]
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            for fpath, s, e in zip(pdf["file"], pdf["start"], pdf["end"]):
+                outs, _total = _split_slice(str(fpath), int(s), int(e), schema)
+                yield pd.DataFrame(dict(zip(names, outs)))
+
+    sdf = spark.createDataFrame(
+        splits, "file string, start long, end long"
+    ).repartition(max(1, len(splits)))
+    return _unwire(sdf.mapInPandas(kernel, schema=_wire_schema(schema)), schema)

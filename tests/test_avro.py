@@ -103,3 +103,75 @@ def test_spark_roundtrip_preserves_nulls_and_types(spark, tmp_path):
     assert sorted(
         map(tuple, back.collect()), key=lambda r: (r[0] is None, r[0])
     ) == sorted(rows, key=lambda r: (r[0] is None, r[0]))
+
+
+@given(
+    st.integers(min_value=1, max_value=9),  # block_rows: many small blocks
+    st.lists(st.integers(min_value=1, max_value=4000), min_size=0, max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_split_slices_partition_every_record_exactly_once(
+    tmp_path_factory, block_rows, cut_sizes
+):
+    """Any byte-range partition of a container file — including cuts in
+    the middle of the header, of a sync marker, and of record data —
+    decodes to exactly the whole-file rows, each once (the boundary
+    ownership rule of _split_slice)."""
+    import os
+
+    from nrg_etl_airflow_spark_emr_spark.sources.avro_ocf import _split_slice
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    rows = [(i, f"row-{i}-" + "x" * (i % 11)) for i in range(57)]
+    data = _encode_container(schema, iter(rows), SYNC, block_rows=block_rows)
+    d = tmp_path_factory.mktemp("avro_split")
+    path = os.path.join(str(d), "f.avro")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    size = len(data)
+    # Build a partition of [0, size) from the drawn cut sizes.
+    bounds = [0]
+    for c in cut_sizes:
+        if bounds[-1] + c < size:
+            bounds.append(bounds[-1] + c)
+    bounds.append(size)
+    got = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        outs, total = _split_slice(path, s, e, schema)
+        got.extend((int(outs[0][i]), outs[1][i]) for i in range(total))
+    assert sorted(got) == rows
+
+
+def test_read_avro_split_equals_whole_file_read(spark, tmp_path):
+    """Spark-level: the splittable reader with many more splits than
+    files (and than blocks) returns exactly the rows write_avro wrote,
+    types intact."""
+    import datetime
+
+    from nrg_etl_airflow_spark_emr_spark.sources.avro_ocf import (
+        read_avro_split,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("d", T.DateType()),
+        ]
+    )
+    rows = [
+        (i, f"s{i}", i / 7.0, datetime.date(1995, 1 + i % 12, 1 + i % 28))
+        for i in range(1000)
+    ]
+    src = spark.createDataFrame(rows, schema).repartition(2)
+    path = str(tmp_path / "avro_split_rt")
+    write_avro(src, path)
+    back = read_avro_split(spark, path, schema, num_splits=16)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
