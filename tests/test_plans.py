@@ -775,3 +775,19 @@ def test_tfidf_capped_threshold_is_broadcast_not_shuffled(spark, sf_dir):
     assert len(bnlj) <= 2 and all("<= t#" in l for l in bnlj), (
         f"unexpected nested-loop joins:\n" + "\n".join(bnlj)
     )
+
+
+def test_phash_image_dedup_banded_join_and_cached_hashes(spark, sf_dir):
+    """The real-image phash dedup must keep the simhash-family plan
+    contract: candidates come from a hash join keyed on band values
+    (never a nested loop or cartesian), and the kernel-produced hash
+    frame is cached so the two Python decode passes (render + hash)
+    run once, not once per self-join arm."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "mm_phash_image_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _keyed_pair_join_lines(plan, "band_val") or "band_val" in plan
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "self-join arms must consume the cached kernel hash frame"
+    )
