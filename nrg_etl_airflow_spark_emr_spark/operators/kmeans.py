@@ -31,11 +31,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators._util import spread, t
-from ..operators.similarity import FP_SCALE, _fixed
+from ..operators.similarity import (
+    FP_SCALE,
+    N_QUERIES,
+    NPROBE,
+    _SQL_VEC_CTE,
+    _dot,
+    _fixed,
+    _vectors,
+)
 from ..plans.catalog import register
 
 K_DEFAULT = 5
 ITERS_DEFAULT = 5
+IVF_TRAIN_ITERS = 2  # unrolled quantized-Lloyd rounds in sim_knn_ivf_trained
 
 
 
@@ -371,4 +380,228 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.avg("d2").alias("mean_sq_dist"),
+    )
+
+
+def _sql_d2(a: str, b: str) -> str:
+    """Exact integer squared-L2 between two BIGINT lists, via three dot
+    products (|a-b|^2 = a.a + b.b - 2 a.b). DuckDB's list_dot_product
+    returns DOUBLE, but every term is an integer bounded by ~4e14 for
+    unit-norm fixed-point vectors (Cauchy-Schwarz: |a.b| <= |a||b| =
+    FP_SCALE^2 = 1e14; partial sums of products share the bound), so the
+    double arithmetic is EXACT (< 2^53) — the same discipline the cosine
+    oracles in similarity.py already rely on."""
+    return (
+        f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        f" - 2 * list_dot_product({a}, {b}))"
+    )
+
+
+def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
+    """Mechanically unroll the quantized-Lloyd trainer + IVF search as
+    one DuckDB query: iteration i's CTEs (a{i} assign, m{i} floor-mean
+    update, cent{i} re-assembled centroid arrays) are generated by the
+    same loop count the Spark builder uses, so trainer and oracle can
+    never drift on the iteration count."""
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cid, fe AS c_q"
+        f" FROM vecs ORDER BY vec_id LIMIT {k})"
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+        SELECT v.vec_id, v.fe, c.cid
+        FROM vecs v CROSS JOIN {prev} c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_sql_d2("v.fe", "c.c_q")}, c.cid) = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+        SELECT cell, dim,
+               CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m
+        FROM (
+            SELECT cell, dim, COUNT(*) AS n,
+                   CAST(SUM(CAST(qv AS HUGEINT)) AS BIGINT) AS s
+            FROM (
+                SELECT cid AS cell,
+                       CAST(generate_subscripts(fe, 1) AS BIGINT) AS dim,
+                       unnest(fe) AS qv
+                FROM a{i}
+            ) ex
+            GROUP BY cell, dim
+        ) agg)"""
+        )
+        parts.append(
+            f"cent{i} AS (SELECT cell AS cid, list(m ORDER BY dim) AS c_q"
+            f" FROM m{i} GROUP BY cell)"
+        )
+    cent = f"cent{iters}"
+    parts.append(f"q AS (SELECT * FROM vecs WHERE vec_id < {nq})")
+    parts.append(
+        f"""probes AS (
+        SELECT q.vec_id AS query_id, c.cid
+        FROM q CROSS JOIN {cent} c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_sql_d2("q.fe", "c.c_q")}, c.cid) <= {nprobe})"""
+    )
+    parts.append(
+        f"""fassign AS (
+        SELECT v.vec_id, v.fe, v.nrm, c.cid
+        FROM vecs v CROSS JOIN {cent} c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_sql_d2("v.fe", "c.c_q")}, c.cid) = 1)"""
+    )
+    parts.append(
+        """scored AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+               list_dot_product(q.fe, a.fe) / (q.nrm * a.nrm) AS cosine
+        FROM probes p
+        JOIN q ON q.vec_id = p.query_id
+        JOIN fassign a ON a.cid = p.cid AND a.vec_id != q.vec_id)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body}
+    SELECT query_id, vec_id, cosine, rn FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "sim_knn_ivf_trained",
+    oracle=_ivf_trained_oracle(K_DEFAULT, IVF_TRAIN_ITERS, NPROBE, N_QUERIES),
+    tags=("similarity", "topk", "iterative"),
+    window_defer=True,
+    doc=f"IVF top-5 over TRAINED centroids, oracle-gated end-to-end "
+    "INCLUDING the trainer — closes SCALE.md's 'fixture-rule centroids' "
+    f"shortcut with a stronger guarantee than the planned swap: "
+    f"{IVF_TRAIN_ITERS} quantized-Lloyd rounds (init = the "
+    f"{K_DEFAULT} lowest vec_ids, exact BIGINT squared-L2 assignment "
+    "with ties to the lowest cid, centroid update = per-dimension "
+    "FLOOR-INTEGER mean via the subtract-mod identity, a cell that "
+    "loses all members vanishes) keep every intermediate in exact "
+    "fixed-point arithmetic, so the whole iterative trainer is "
+    "bit-reproducible in ANSI SQL — the oracle unrolls the identical "
+    f"rounds mechanically (_ivf_trained_oracle). Queries then probe "
+    f"their {NPROBE} nearest cells BY THE ASSIGNMENT LAW (exact d2, "
+    "not cosine — probe law == cell law is what bounds recall loss), "
+    "and exact fixed-point cosine re-ranks inside probed cells only. "
+    "Floor quantization costs <=1e-7 relative error per coordinate per "
+    "round — noise at embedding precision, and the price of an exact "
+    "cross-engine gate on an iterative algorithm. Plan: the whole "
+    "trainer is ONE lazy declarative plan (no driver loop, no collect "
+    "— unlike lloyd_fit's literal re-entry); each round is a k-row "
+    "broadcast crossJoin + min_by argmin (map-side partial agg, ~n "
+    "rows shuffled) + posexplode/regroup update; the vector table is "
+    "cached once and re-read per round from memory. 100 TB: identical "
+    "layout to sim_knn_ivf — bucket vectors by trained cid, centroids "
+    "broadcast, queries touch nprobe buckets; training cost is "
+    "iters x (one pass + one dims x k shuffle), the standard Lloyd "
+    "bill.",
+)
+def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    guard = _long_d2_guard(v, "fe")
+    d2 = F.aggregate(
+        F.zip_with("fe", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        # Carries fe/nrm through the argmin so the re-rank needs no join
+        # back to the vector table (same trick as _cell_assignment).
+        return (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "fe", "nrm", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("fe").alias("fe"),
+                F.first("nrm").alias("nrm"),
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            )
+        )
+
+    cent = (
+        v.orderBy("vec_id")
+        .limit(K_DEFAULT)
+        .select(F.col("vec_id").alias("cid"), F.col("fe").alias("c_q"))
+    )
+    for _ in range(IVF_TRAIN_ITERS):
+        ex = assign(cent).select(
+            F.col("cid").alias("cell"), F.posexplode("fe").alias("dim", "qv")
+        )
+        agg = ex.groupBy("cell", "dim").agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: per-cell coordinate sums are bounded by
+            # n_members * FP_SCALE, which outgrows BIGINT before the
+            # vectors themselves do (sim_kmeans_step's discipline).
+            F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("s"),
+        )
+        smod = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
+        means = agg.select(
+            "cell", "dim", ((F.col("s") - smod) / F.col("n")).cast("long").alias("m")
+        )
+        cent = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda st: st["m"],
+                ).alias("c_q")
+            )
+            .select(F.col("cell").alias("cid"), "c_q")
+        )
+    # The trained centroid frame (k rows) feeds BOTH the final assignment
+    # and the probe routing; cache it so the two consumers share one
+    # materialization of the trainer instead of each inlining both
+    # Lloyd rounds into their subplan (ReuseExchange would usually
+    # collapse the identical broadcasts, but the pin should not depend
+    # on an optimizer rule firing).
+    cent = cent.cache()
+    fassign = assign(cent)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qd2 = F.aggregate(
+        F.zip_with("qfe", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("pd2"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", qd2.alias("pd2"))
+        .select("query_id", "cid", F.row_number().over(pw).alias("prn"))
+        .filter(F.col("prn") <= NPROBE)
+        .select("query_id", "cid")
+    )
+    cand = (
+        probes.join(fassign, "cid")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .select("query_id", "vec_id", "cosine", F.row_number().over(rw).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("d2_ok").isNull())
+        .drop("d2_ok")
     )

@@ -130,3 +130,36 @@ def test_kmeans_step_rejects_vectors_past_the_bigint_bound(spark, tmp_path):
     df = sim_kmeans_step(spark, str(tmp_path))  # builder must NOT raise (lazy)
     with pytest.raises(PySparkException, match="BIGINT squared-L2 bound"):
         df.collect()
+
+
+def test_trained_ivf_beats_fixture_rule_recall(spark, sf_dir):
+    """sim_knn_ivf_trained closes SCALE.md's 'fixture-rule centroids'
+    shortcut, and this pin is the evidence the swap PAYS: at the same
+    nprobe, top-5 recall against the brute-force baseline must clear
+    0.9 absolute AND strictly beat sim_knn_ivf's fixture-rule cells
+    (measured: 1.0 vs 0.68 at sf0.001, 0.96 vs 0.72 at sf0.01).
+    Exactness (Spark == unrolled-SQL trainer bit-for-bit) is pinned by
+    test_catalog_oracle; this test pins retrieval QUALITY, which the
+    oracle cannot see."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in specs["sim_knn_brute"].builder(spark, sf_dir).filter("rn <= 5").collect()
+    }
+    trained = {
+        (r.query_id, r.vec_id)
+        for r in specs["sim_knn_ivf_trained"].builder(spark, sf_dir).collect()
+    }
+    fixture = {
+        (r.query_id, r.vec_id)
+        for r in specs["sim_knn_ivf"].builder(spark, sf_dir).collect()
+    }
+    recall_trained = len(brute & trained) / len(brute)
+    recall_fixture = len(brute & fixture) / len(brute)
+    assert recall_trained >= 0.9, f"trained-IVF recall collapsed: {recall_trained}"
+    assert recall_trained > recall_fixture, (
+        f"training no longer beats the fixture rule "
+        f"({recall_trained} vs {recall_fixture})"
+    )

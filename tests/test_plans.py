@@ -791,3 +791,28 @@ def test_phash_image_dedup_banded_join_and_cached_hashes(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, (
         "self-join arms must consume the cached kernel hash frame"
     )
+
+
+def test_trained_ivf_candidates_keyed_and_trainer_shared(spark, sf_dir):
+    """sim_knn_ivf_trained's scale contract: candidate generation is a
+    cid-KEYED join between probes and the final assignment (never a
+    cartesian over vectors — the only nested-loop joins allowed are the
+    k-row centroid broadcasts and the 1-row exactness guard), and both
+    the vector table and the trained centroid frame come from cache, so
+    the two consumers of the trainer (final assignment + probe routing)
+    share one materialization instead of re-running the Lloyd rounds."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "sim_knn_ivf_trained")
+    assert "CartesianProduct" not in plan
+    # probes ⋈ fassign on cid, then ⋈ the query frame on query_id: both
+    # must be hash/sort-merge equi-joins.
+    keyed = [
+        l
+        for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "BroadcastHashJoin" in l)
+        and ("cid#" in l or "query_id#" in l)
+    ]
+    assert keyed, "candidate joins lost their equi-join keys:\n" + plan[:2000]
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "vectors and trained centroids must both be cache-backed"
+    )
