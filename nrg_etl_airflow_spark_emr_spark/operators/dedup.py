@@ -929,3 +929,338 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_copies", "n_raw_variants")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter tuning (closes SCALE.md's "retune (k, bands) per corpus")
+# ---------------------------------------------------------------------------
+
+LSH_TUNE_SAMPLE_MOD = 5   # fixture sample; production: hash-mod to a fixed count
+LSH_TUNE_FN_PENALTY = 100.0  # one missed near-dup costs ~100 candidate verifies
+
+
+def _sql_lsh_tune_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    k_thresh = int(JACCARD_THRESHOLD * MINHASH_K)
+    return f"""
+    WITH {_SQL_SHINGLES_CTE},
+    {_SQL_SIG_CTE},
+    samp AS (SELECT * FROM sig WHERE doc_id % {LSH_TUNE_SAMPLE_MOD} = 0),
+    pairs AS (
+        SELECT ({matches}) AS k
+        FROM samp s1 JOIN samp s2 ON s1.doc_id < s2.doc_id
+    ),
+    hist AS (SELECT k, COUNT(*) AS n FROM pairs GROUP BY k),
+    br AS (
+        SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        t(bands, rows_per_band)
+    ),
+    terms AS (
+        SELECT bands, rows_per_band, k, n, 1.0 - ub AS p FROM (
+            SELECT *, CASE bands WHEN 1 THEN u WHEN 2 THEN u * u
+                      WHEN 4 THEN u2 * u2 WHEN 8 THEN u4 * u4
+                      ELSE u8 * u8 END AS ub
+            FROM (
+                SELECT *, u * u AS u2, (u * u) * (u * u) AS u4,
+                       ((u * u) * (u * u)) * ((u * u) * (u * u)) AS u8
+                FROM (
+                    SELECT *, 1.0 - sr AS u FROM (
+                        SELECT *, CASE rows_per_band WHEN 1 THEN s
+                                  WHEN 2 THEN s * s WHEN 4 THEN s2 * s2
+                                  WHEN 8 THEN s4 * s4 ELSE s8 * s8 END AS sr
+                        FROM (
+                            SELECT *, s * s AS s2, (s * s) * (s * s) AS s4,
+                                   ((s * s) * (s * s)) * ((s * s) * (s * s)) AS s8
+                            FROM (
+                                SELECT bands, rows_per_band, k, n,
+                                       CAST(k AS DOUBLE) / {MINHASH_K}.0 AS s
+                                FROM hist CROSS JOIN br
+                            ) t0
+                        ) t1
+                    ) t2
+                ) t3
+            ) t4
+        ) t5
+    ),
+    folded AS (
+        SELECT bands, rows_per_band,
+               CAST(SUM(n) AS BIGINT) AS sampled_pairs,
+               list_reduce(list(CAST(n AS DOUBLE) * p ORDER BY k),
+                           (acc, x) -> acc + x) AS expected_candidates,
+               list_reduce(list(CASE WHEN k >= {k_thresh}
+                                THEN CAST(n AS DOUBLE) * (1.0 - p)
+                                ELSE 0.0 END ORDER BY k),
+                           (acc, x) -> acc + x) AS fn_mass,
+               list_reduce(list(CASE WHEN k < {k_thresh}
+                                THEN CAST(n AS DOUBLE) * p
+                                ELSE 0.0 END ORDER BY k),
+                           (acc, x) -> acc + x) AS fp_mass
+        FROM terms
+        GROUP BY bands, rows_per_band
+    )
+    SELECT bands, rows_per_band, sampled_pairs, expected_candidates,
+           fn_mass, fp_mass, cost,
+           ROW_NUMBER() OVER (ORDER BY cost, bands) = 1 AS recommended
+    FROM (
+        SELECT *, fn_mass * {LSH_TUNE_FN_PENALTY} + expected_candidates AS cost
+        FROM folded
+    ) c
+    """
+
+
+@register(
+    "dedup_lsh_tune",
+    oracle=_sql_lsh_tune_oracle(),
+    tags=("dedup", "sketch", "stats"),
+    window_defer=True,
+    doc="LSH parameter tuner — closes SCALE.md's 'retune (k, bands) per "
+    "corpus similarity profile' shortcut by making the retune ITSELF a "
+    "query: estimate the corpus pair-similarity histogram from MinHash "
+    "agreement over a deterministic doc sample (doc_id % "
+    f"{LSH_TUNE_SAMPLE_MOD}; production swaps in a hash-mod chosen to "
+    "hit a fixed sample count, so the all-pairs estimator stays "
+    "bounded by construction no matter the corpus size), then score "
+    f"every (bands x rows) split of the {MINHASH_K} hashes with the "
+    "standard S-curve P(candidate|s) = 1-(1-s^r)^b: expected candidate "
+    "mass, false-negative mass above the Jaccard threshold, false-"
+    "positive mass below it, and a recommended flag minimizing "
+    f"fn*{LSH_TUNE_FN_PENALTY:.0f}+candidates. Exactness discipline: "
+    "similarities are k/16 (dyadic — exact doubles), the powers are "
+    "explicit square-multiply chains (never pow(), whose libm differs "
+    "across engines), and the per-split sums fold ordered arrays "
+    "(sort_array+aggregate vs list ORDER BY+list_reduce) so float "
+    "summation order is pinned on both sides. The sampled all-pairs "
+    "join is the one deliberately quadratic piece - quadratic in the "
+    "SAMPLE (~1k docs), not the corpus, the same contract as a "
+    "sort-based quantile sample.",
+)
+def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k_thresh = int(JACCARD_THRESHOLD * MINHASH_K)
+    sig = _signatures(spark, sf_dir).filter(
+        F.col("doc_id") % LSH_TUNE_SAMPLE_MOD == 0
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    k_match = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int")
+            for j in range(MINHASH_K)
+        ],
+    )
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        k_match.alias("k")
+    )
+    hist = pairs.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    br = spark.createDataFrame(
+        [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)], "bands int, rows_per_band int"
+    )
+    s = F.col("k").cast("double") / float(MINHASH_K)
+    cross = (
+        hist.crossJoin(F.broadcast(br))
+        .withColumn("s", s)
+        .withColumn("s2", F.col("s") * F.col("s"))
+        .withColumn("s4", F.col("s2") * F.col("s2"))
+        .withColumn("s8", F.col("s4") * F.col("s4"))
+        .withColumn(
+            "sr",
+            F.when(F.col("rows_per_band") == 1, F.col("s"))
+            .when(F.col("rows_per_band") == 2, F.col("s2"))
+            .when(F.col("rows_per_band") == 4, F.col("s4"))
+            .when(F.col("rows_per_band") == 8, F.col("s8"))
+            .otherwise(F.col("s8") * F.col("s8")),
+        )
+        .withColumn("u", F.lit(1.0) - F.col("sr"))
+        .withColumn("u2", F.col("u") * F.col("u"))
+        .withColumn("u4", F.col("u2") * F.col("u2"))
+        .withColumn("u8", F.col("u4") * F.col("u4"))
+        .withColumn(
+            "ub",
+            F.when(F.col("bands") == 1, F.col("u"))
+            .when(F.col("bands") == 2, F.col("u2"))
+            .when(F.col("bands") == 4, F.col("u4"))
+            .when(F.col("bands") == 8, F.col("u8"))
+            .otherwise(F.col("u8") * F.col("u8")),
+        )
+        .withColumn("p", F.lit(1.0) - F.col("ub"))
+    )
+    nd = F.col("n").cast("double")
+    terms = cross.select(
+        "bands",
+        "rows_per_band",
+        "k",
+        "n",
+        (nd * F.col("p")).alias("cand_t"),
+        F.when(F.col("k") >= k_thresh, nd * (F.lit(1.0) - F.col("p")))
+        .otherwise(F.lit(0.0))
+        .alias("fn_t"),
+        F.when(F.col("k") < k_thresh, nd * F.col("p"))
+        .otherwise(F.lit(0.0))
+        .alias("fp_t"),
+    )
+
+    def fold(field: str) -> F.Column:
+        return F.aggregate(
+            F.transform("arr", lambda st: st[field]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    folded = (
+        terms.groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum("n").alias("sampled_pairs"),
+            F.sort_array(
+                F.collect_list(F.struct("k", "cand_t", "fn_t", "fp_t"))
+            ).alias("arr"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "sampled_pairs",
+            fold("cand_t").alias("expected_candidates"),
+            fold("fn_t").alias("fn_mass"),
+            fold("fp_t").alias("fp_mass"),
+        )
+        .withColumn(
+            "cost",
+            F.col("fn_mass") * F.lit(LSH_TUNE_FN_PENALTY)
+            + F.col("expected_candidates"),
+        )
+    )
+    w = Window.orderBy("cost", "bands")
+    return folded.select(
+        "bands",
+        "rows_per_band",
+        "sampled_pairs",
+        "expected_candidates",
+        "fn_mass",
+        "fp_mass",
+        "cost",
+        (F.row_number().over(w) == 1).alias("recommended"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (the daily-batch production shape)
+# ---------------------------------------------------------------------------
+
+INCR_MOD = 10  # fixture increment: doc_id % 10 == 0 (a ~10% "daily batch")
+
+
+def _sql_incremental_lsh_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES_CTE},
+    {_SQL_SIG_CTE},
+    bands AS ({_sql_band_cte()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS cand_id
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id % {INCR_MOD} = 0
+          AND (b.doc_id % {INCR_MOD} != 0 OR b.doc_id < a.doc_id)
+    ),
+    scored AS (
+        SELECT new_id, cand_id, ({matches}) / {MINHASH_K}.0 AS est_jaccard
+        FROM cand
+        JOIN sig s1 ON new_id = s1.doc_id
+        JOIN sig s2 ON cand_id = s2.doc_id
+        WHERE ({matches}) / {MINHASH_K}.0 >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+        SELECT new_id, MIN(cand_id) AS dup_of,
+               arg_min(est_jaccard, cand_id) AS est_jaccard
+        FROM scored GROUP BY new_id
+    )
+    SELECT d.doc_id, b.dup_of, b.est_jaccard, b.dup_of IS NULL AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0) d
+    LEFT JOIN best b ON b.new_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=_sql_incremental_lsh_oracle(),
+    tags=("dedup", "sketch", "incremental"),
+    window_defer=True,
+    doc="INCREMENTAL MinHash-LSH dedup — the production shape the "
+    "full-recompute queries skip: a new batch (fixture: doc_id % "
+    f"{INCR_MOD} == 0) is deduped against the HISTORICAL corpus plus "
+    "earlier docs of its own batch, and each new doc gets a verdict "
+    "(keep, or dup_of = the lowest matching doc). The candidate join "
+    "is new-bands x all-bands on the shared 4x4 band layout — "
+    "history x history pairs are never generated, so per-batch cost "
+    "tracks increment_size x collision_rate instead of re-running "
+    "corpus-wide dedup (at 100 TB: the historical band index is a "
+    "bucketed table keyed on (band_id, band_key); a daily batch "
+    "shuffles only its own bands against it, exactly this plan). "
+    "History docs are never re-verdicted — an earlier keep decision "
+    "is immutable, which is what makes the operator idempotent "
+    "across batches. Signature agreement >= "
+    f"{JACCARD_THRESHOLD} decides, lowest matching doc wins ties "
+    "(arg_min on the distinct candidate set — deterministic both "
+    "engines).",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signatures(spark, sf_dir).cache()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a = bands.filter(F.col("doc_id") % INCR_MOD == 0).alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (
+                (F.col("b.doc_id") % INCR_MOD != 0)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("cand_id"))
+        .distinct()
+    )
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    agree = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
+            for j in range(MINHASH_K)
+        ],
+    )
+    scored = (
+        cand.join(s1, F.col("new_id") == F.col("s1.doc_id"))
+        .join(s2, F.col("cand_id") == F.col("s2.doc_id"))
+        .select("new_id", "cand_id", (agree / float(MINHASH_K)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+    best = scored.groupBy("new_id").agg(
+        F.min("cand_id").alias("dup_of"),
+        F.min_by("est_jaccard", "cand_id").alias("est_jaccard"),
+    )
+    incr = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCR_MOD == 0)
+        .select("doc_id")
+    )
+    return incr.join(
+        best, incr["doc_id"] == best["new_id"], "left"
+    ).select(
+        "doc_id",
+        "dup_of",
+        "est_jaccard",
+        F.col("dup_of").isNull().alias("keep"),
+    )
