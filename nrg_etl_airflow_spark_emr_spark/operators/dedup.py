@@ -936,6 +936,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LSH_TUNE_SAMPLE_MOD = 5   # fixture sample; production: hash-mod to a fixed count
+LSH_TUNE_SAMPLE_CAP = 5000  # id cap bounds the sample at ANY corpus size
 LSH_TUNE_FN_PENALTY = 100.0  # one missed near-dup costs ~100 candidate verifies
 
 
@@ -947,7 +948,9 @@ def _sql_lsh_tune_oracle() -> str:
     return f"""
     WITH {_SQL_SHINGLES_CTE},
     {_SQL_SIG_CTE},
-    samp AS (SELECT * FROM sig WHERE doc_id % {LSH_TUNE_SAMPLE_MOD} = 0),
+    samp AS (SELECT * FROM sig
+             WHERE doc_id % {LSH_TUNE_SAMPLE_MOD} = 0
+               AND doc_id < {LSH_TUNE_SAMPLE_CAP}),
     pairs AS (
         SELECT ({matches}) AS k
         FROM samp s1 JOIN samp s2 ON s1.doc_id < s2.doc_id
@@ -1019,9 +1022,10 @@ def _sql_lsh_tune_oracle() -> str:
     "corpus similarity profile' shortcut by making the retune ITSELF a "
     "query: estimate the corpus pair-similarity histogram from MinHash "
     "agreement over a deterministic doc sample (doc_id % "
-    f"{LSH_TUNE_SAMPLE_MOD}; production swaps in a hash-mod chosen to "
-    "hit a fixed sample count, so the all-pairs estimator stays "
-    "bounded by construction no matter the corpus size), then score "
+    f"{LSH_TUNE_SAMPLE_MOD} below id {LSH_TUNE_SAMPLE_CAP} — the cap "
+    "bounds the sample, and therefore the all-pairs estimator, by "
+    "CONSTRUCTION at any corpus size; production swaps in a hash-mod "
+    "chosen to hit the same fixed count on sparse ids), then score "
     f"every (bands x rows) split of the {MINHASH_K} hashes with the "
     "standard S-curve P(candidate|s) = 1-(1-s^r)^b: expected candidate "
     "mass, false-negative mass above the Jaccard threshold, false-"
@@ -1039,7 +1043,8 @@ def _sql_lsh_tune_oracle() -> str:
 def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_thresh = int(JACCARD_THRESHOLD * MINHASH_K)
     sig = _signatures(spark, sf_dir).filter(
-        F.col("doc_id") % LSH_TUNE_SAMPLE_MOD == 0
+        (F.col("doc_id") % LSH_TUNE_SAMPLE_MOD == 0)
+        & (F.col("doc_id") < LSH_TUNE_SAMPLE_CAP)
     )
     a, b = sig.alias("a"), sig.alias("b")
     k_match = reduce(
