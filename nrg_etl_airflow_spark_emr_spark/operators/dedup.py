@@ -25,6 +25,7 @@ from ..functions.hashing import (
     digest_pair,
     hash60,
     shingles_from_words,
+    sql_hash60,
     sql_combined_hash,
     sql_hash_pair,
     sql_word_shingles,
@@ -1268,4 +1269,134 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         "est_jaccard",
         F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+# --- Exact-substring (maximal shared span) dedup -----------------------------
+
+SPAN_W = 8        # seed window, tokens
+SPAN_MIN = 12     # report spans of at least this many shared tokens
+SPAN_DF_CAP = 64  # drop seed hashes occurring more often (boilerplate guard)
+
+_SPAN_SEED_SQL = sql_hash60(
+    f"array_to_string(toks[pos:pos + {SPAN_W - 1}], ' ')"
+)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    pos_ex AS (
+        SELECT doc_id, toks,
+               CAST(unnest(generate_series(1, n - {SPAN_W} + 1)) AS INTEGER)
+                   AS pos
+        FROM tok WHERE n >= {SPAN_W}
+    ),
+    seeds AS (
+        SELECT doc_id, pos, {_SPAN_SEED_SQL} AS h FROM pos_ex
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS occ
+            FROM seeds
+        ) WHERE occ <= {SPAN_DF_CAP}
+    ),
+    anchors AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS d
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    steps AS (
+        SELECT doc_a, doc_b, d, pos_a,
+               CASE WHEN pos_a - LAG(pos_a) OVER w = 1 THEN 0 ELSE 1 END
+                   AS step
+        FROM anchors
+        WINDOW w AS (PARTITION BY doc_a, doc_b, d ORDER BY pos_a)
+    ),
+    islands AS (
+        SELECT doc_a, doc_b, d, pos_a,
+               SUM(step) OVER (PARTITION BY doc_a, doc_b, d ORDER BY pos_a
+                               ROWS UNBOUNDED PRECEDING) AS island
+        FROM steps
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS INTEGER) AS start_a,
+           CAST(MIN(pos_a) - d AS INTEGER) AS start_b,
+           CAST(MAX(pos_a) - MIN(pos_a) + {SPAN_W} AS INTEGER) AS span_tokens
+    FROM islands
+    GROUP BY doc_a, doc_b, d, island
+    HAVING MAX(pos_a) - MIN(pos_a) + {SPAN_W} >= {SPAN_MIN}
+    ORDER BY doc_a, doc_b, start_a, start_b
+    """,
+    tags=("dedup", "text", "substring"),
+    window_defer=True,
+    doc=f"Exact-substring dedup — maximal shared token spans between doc "
+    f"pairs (the 'deduplicating training data' substring granularity: "
+    f"near-dup docs caught by MinHash still share verbatim passages that "
+    f"doc-level verdicts cannot localize; this emits (pair, start_a, "
+    f"start_b, length) so the duplicated span itself can be cut). "
+    f"Seed-and-merge instead of a suffix array: every {SPAN_W}-token "
+    f"window is hashed (hash60, engine-portable, so the oracle replays "
+    f"collisions too), windows occurring more than {SPAN_DF_CAP} times "
+    f"are dropped as boilerplate (the candidate-budget discipline of "
+    f"text_tfidf_topk_capped), matching anchors join on the hash, and "
+    f"anchors on the same pair diagonal (pos_a - pos_b) merge into "
+    f"maximal islands: stride-1 windows make a shared region an "
+    f"unbroken run of matching anchors, so consecutive-anchor islands "
+    f"ARE the maximal spans, reported when >= {SPAN_MIN} tokens. "
+    f"Scale shape: the window hashing is one map pass (swap md5 for "
+    f"xxhash64 + a rolling recurrence at 100 TB), the anchor join is a "
+    f"keyed equi-join bounded by the occurrence cap — never all-pairs — "
+    f"and the island merge windows over (pair, diagonal), never "
+    f"globally. Detection is exact for spans >= {SPAN_MIN} modulo "
+    f"60-bit hash collisions (~1e-18/pair-position, identically "
+    f"replayed by the oracle).",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = F.split("text", " ")
+    staged = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SPAN_W
+    )
+    seed_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - SPAN_W + 1),
+        lambda p: hash60(F.concat_ws(" ", F.slice(F.col("toks"), p, SPAN_W))),
+    )
+    seeds = staged.select(
+        "doc_id", F.posexplode(seed_hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "h")
+    occ = Window.partitionBy("h")
+    kept = seeds.withColumn("occ", F.count(F.lit(1)).over(occ)).filter(
+        F.col("occ") <= SPAN_DF_CAP
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
+    anchors = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("d"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    islands = anchors.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pos_a") - F.lag("pos_a").over(w) == 1, 0).otherwise(1)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    span = F.max("pos_a") - F.min("pos_a") + F.lit(SPAN_W)
+    return (
+        islands.groupBy("doc_a", "doc_b", "d", "island")
+        .agg(
+            F.min("pos_a").cast("int").alias("start_a"),
+            (F.min("pos_a") - F.col("d")).cast("int").alias("start_b"),
+            span.cast("int").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= SPAN_MIN)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
     )

@@ -1000,3 +1000,119 @@ def sim_knn_l2_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 10)
     )
+
+
+# --- Vector-column QC audit --------------------------------------------------
+
+
+@register(
+    "qc_embedding_audit",
+    oracle=f"""
+    WITH staged AS (
+        SELECT label,
+               embedding IS NULL AS is_null,
+               COALESCE(len(list_filter(embedding,
+                   x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+               )) > 0, FALSE) AS nonfinite,
+               COALESCE(len(list_filter(embedding,
+                   x -> NOT (CAST(x AS DOUBLE) = 0.0)
+               )) = 0, FALSE) AS zero,
+               CASE WHEN embedding IS NULL THEN 0
+                    ELSE len(embedding) END AS ndim,
+               CASE WHEN embedding IS NOT NULL
+                         AND NOT COALESCE(len(list_filter(embedding,
+                             x -> isnan(CAST(x AS DOUBLE))
+                                  OR isinf(CAST(x AS DOUBLE)))) > 0, FALSE)
+                    THEN CAST(list_sum(list_transform(
+                        [CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT)
+                         for x in embedding],
+                        y -> y * y)) AS BIGINT)
+               END AS qn
+        FROM embeddings
+    ),
+    modal AS (
+        SELECT ndim AS modal_dim FROM staged WHERE NOT is_null
+        GROUP BY ndim ORDER BY count(*) DESC, ndim LIMIT 1
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(CAST(is_null AS BIGINT)) AS BIGINT) AS n_null,
+           CAST(sum(CAST(nonfinite AS BIGINT)) AS BIGINT) AS n_nonfinite,
+           CAST(sum(CAST(zero AS BIGINT)) AS BIGINT) AS n_zero,
+           CAST(sum(CAST(NOT is_null AND ndim <> modal_dim AS BIGINT))
+               AS BIGINT) AS n_dim_mismatch,
+           CAST(max(modal_dim) AS INTEGER) AS modal_dim,
+           min(qn) AS min_qnorm2,
+           max(qn) AS max_qnorm2,
+           CAST(sum(qn) AS DOUBLE) / count(qn) AS mean_qnorm2
+    FROM staged CROSS JOIN modal
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("qc", "similarity"),
+    window_defer=True,
+    doc="Vector-column QC audit — the embedding-side counterpart of "
+    "qc_documents_audit: per label, count NULL vectors, non-finite "
+    "components (NaN/Inf), all-zero vectors (undefined cosine), and "
+    "dimension mismatches against the corpus's modal dimensionality, "
+    "plus min/max/mean squared fixed-point norms (drift in the norm "
+    "profile is the cheapest signal an embedding model version changed "
+    "upstream). Every flag is exact: boolean HOF folds, BIGINT norm "
+    "sums (components floored at 1e-7, so 64-term sums are exact in "
+    "both engines), one IEEE division for the mean. One fused aggregate "
+    "scan plus a broadcast of the single-row modal-dimension frame — at "
+    "100 TB this is the same one-pass shape as the documents audit, and "
+    "it runs BEFORE any ANN/dedup job so a bad embedding batch is "
+    "caught at ingest cost, not at pair-join cost.",
+)
+def qc_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    is_null = e.isNull()
+    nonfinite = F.coalesce(
+        F.exists(e, lambda x: F.isnan(dbl(x)) | (F.abs(dbl(x)) == F.lit(float("inf")))),
+        F.lit(False),
+    )
+    zero = F.coalesce(F.forall(e, lambda x: dbl(x) == F.lit(0.0)), F.lit(False))
+    ndim = F.when(is_null, F.lit(0)).otherwise(F.size(e))
+    fe = _fixed(e)
+    qn = F.when(~is_null & ~nonfinite, _dot(fe, fe))
+    staged = emb.select(
+        "label",
+        is_null.alias("is_null"),
+        nonfinite.alias("nonfinite"),
+        zero.alias("zero"),
+        ndim.alias("ndim"),
+        qn.alias("qn"),
+    )
+    modal = (
+        staged.filter(~F.col("is_null"))
+        .groupBy("ndim")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("ndim"))
+        .limit(1)
+        .select(F.col("ndim").alias("modal_dim"))
+    )
+    return (
+        staged.crossJoin(F.broadcast(modal))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("is_null").cast("long")).alias("n_null"),
+            F.sum(F.col("nonfinite").cast("long")).alias("n_nonfinite"),
+            F.sum(F.col("zero").cast("long")).alias("n_zero"),
+            F.sum(
+                (~F.col("is_null") & (F.col("ndim") != F.col("modal_dim")))
+                .cast("long")
+            ).alias("n_dim_mismatch"),
+            F.max("modal_dim").cast("int").alias("modal_dim"),
+            F.min("qn").alias("min_qnorm2"),
+            F.max("qn").alias("max_qnorm2"),
+            (
+                F.sum(F.col("qn").cast("decimal(38,0)")).cast("double")
+                / F.count("qn")
+            ).alias("mean_qnorm2"),
+        )
+        .orderBy("label")
+    )

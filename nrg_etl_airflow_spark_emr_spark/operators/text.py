@@ -1574,3 +1574,97 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "feature_idx")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+# --- PII detection & redaction -----------------------------------------------
+
+# Java-regex/RE2-portable subset only (same contract as _STOPWORD_RE):
+# character classes, bounded repetition, and ASCII \b — no lookaround, no
+# backreferences, so Spark (java.util.regex) and DuckDB (RE2) match the
+# identical spans.
+_PII_EMAIL_RE = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com call '
+                    || CAST((doc_id % 900) + 100 AS VARCHAR) || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from ' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 31) % 256 AS VARCHAR) AS aug
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, aug,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(aug, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PII_IP_RE}', '<IP>', 'g'),
+                   '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_IP_RE}')) AS INTEGER)
+               AS n_ips,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE_RE}')) AS INTEGER)
+               AS n_phones,
+           redacted,
+           CAST(length(aug) - length(redacted) AS INTEGER) AS n_chars_removed
+    FROM scrubbed
+    """,
+    tags=("text", "clean", "pii"),
+    window_defer=True,
+    doc="PII detection + redaction — the scrub stage every production "
+    "training-data pipeline runs before anything else (emails, dotted-quad "
+    "IPs, phone-shaped numbers -> typed placeholders, with per-doc match "
+    "counts for the QC report). The fixture text carries no PII, so each "
+    "doc is first augmented IN-PLAN with synthetic identifiers derived "
+    "deterministically from doc_id (the mm_phash_image_dedup pattern: "
+    "construct the payload the operator must find, then prove the finder "
+    "against an oracle that predicts it) — the regexes then run against "
+    "real mixed text. Redaction order is fixed (emails, then IPs, then "
+    "phones) and the patterns are the portable Java/RE2 subset, so both "
+    "engines rewrite the identical spans. Pure map-side expression work: "
+    "no shuffle, no explode, no UDF — at 100 TB this fuses into the "
+    "ingest scan and costs one pass, which is why the regex subset "
+    "matters (RE2-safe patterns also bound worst-case time linearly, no "
+    "catastrophic backtracking on adversarial documents).",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), s(d),
+        F.lit("@ex"), s(d % 10), F.lit(".com call "),
+        s((d % 900) + 100), F.lit("-"),
+        F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" from "), s(d % 256),
+        F.lit("."), s((d * 7) % 256),
+        F.lit("."), s((d * 13) % 256),
+        F.lit("."), s((d * 31) % 256),
+    )
+    staged = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("aug", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE, "<IP>"),
+        _PII_PHONE_RE, "<PHONE>")
+    return staged.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("aug", F.lit(_PII_IP_RE)).cast("int").alias("n_ips"),
+        F.regexp_count("aug", F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
+        redacted.alias("redacted"),
+        (F.length("aug") - F.length(redacted)).cast("int").alias("n_chars_removed"),
+    )

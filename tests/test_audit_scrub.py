@@ -1,0 +1,141 @@
+"""Defect-path pins for qc_embedding_audit and text_pii_scrub.
+
+The fixture tables are clean (no NULL vectors, no NaN components, no real
+PII in the word-salad text), so the driver rows prove only the happy path.
+These tests run the same registered builders over crafted parquet fixtures
+that contain every defect class the operators exist to catch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+
+def _builder(name):
+    return all_specs()[name].builder
+
+
+@pytest.fixture(scope="module")
+def dirty_embeddings_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dirty_emb")
+    rows = [
+        # label 0: every defect class plus two clean vectors.
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.5, 0.5, 0.5, 0.5], 0),
+        (2, None, 0),
+        (3, [float("nan"), 0.0, 0.0, 0.0], 0),
+        (4, [float("inf"), 0.0, 0.0, 0.0], 0),
+        (5, [0.0, 0.0, 0.0, 0.0], 0),
+        (6, [1.0, 0.0, 0.0], 0),  # wrong dimensionality
+        # label 1: clean only.
+        (7, [0.0, 1.0, 0.0, 0.0], 1),
+        (8, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    return str(root)
+
+
+def test_embedding_audit_flags_every_defect_class(spark, dirty_embeddings_dir):
+    out = {
+        r.label: r
+        for r in _builder("qc_embedding_audit")(spark, dirty_embeddings_dir).collect()
+    }
+    r0 = out[0]
+    assert r0.n_vecs == 7
+    assert r0.n_null == 1
+    assert r0.n_nonfinite == 2  # NaN row + Inf row
+    assert r0.n_zero == 1
+    assert r0.n_dim_mismatch == 1
+    assert r0.modal_dim == 4  # five finite dim-4 rows beat the one dim-3 row
+    # qnorm stats cover only the finite non-null rows: the zero vector
+    # anchors the min, the unit vectors the max (1e7 quantization -> 1e14).
+    assert r0.min_qnorm2 == 0
+    assert r0.max_qnorm2 == 10_000_000**2
+    assert math.isfinite(r0.mean_qnorm2)
+    r1 = out[1]
+    assert (r1.n_null, r1.n_nonfinite, r1.n_zero, r1.n_dim_mismatch) == (0, 0, 0, 0)
+    assert r1.min_qnorm2 == r1.max_qnorm2 == 10_000_000**2
+
+
+@pytest.fixture(scope="module")
+def pii_documents_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pii_docs")
+    rows = [
+        (0, "reach alice@example.com or bob@ex.org, call 555-1234 or 800-9999, host 10.0.0.1 up"),
+        (1, "no identifiers here at all"),
+        (2, None),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_pii_scrub_finds_and_redacts_real_identifiers(spark, pii_documents_dir):
+    out = {
+        r.doc_id: r
+        for r in _builder("text_pii_scrub")(spark, pii_documents_dir).collect()
+    }
+    # Every doc gains one synthetic email/phone/IP from the in-plan
+    # augmentation; doc 0 carries real ones on top.
+    r0 = out[0]
+    assert (r0.n_emails, r0.n_phones, r0.n_ips) == (3, 3, 2)
+    assert "alice@example.com" not in r0.redacted
+    assert "10.0.0.1" not in r0.redacted
+    assert "555-1234" not in r0.redacted
+    assert r0.redacted.count("<EMAIL>") == 3
+    assert r0.redacted.count("<PHONE>") == 3
+    assert r0.redacted.count("<IP>") == 2
+    assert r0.n_chars_removed == sum(
+        (len(orig) - len(repl)) * n
+        for orig, repl, n in [
+            ("alice@example.com", "<EMAIL>", 1),
+            ("bob@ex.org", "<EMAIL>", 1),
+            ("user0@ex0.com", "<EMAIL>", 1),
+            ("555-1234", "<PHONE>", 1),
+            ("800-9999", "<PHONE>", 1),
+            ("100-0000", "<PHONE>", 1),
+            ("10.0.0.1", "<IP>", 1),
+            ("0.0.0.0", "<IP>", 1),
+        ]
+    )
+    r1 = out[1]
+    assert (r1.n_emails, r1.n_phones, r1.n_ips) == (1, 1, 1)
+    # NULL text propagates (concat of NULL is NULL): counts stay NULL rather
+    # than inventing a zero — the QC layer upstream owns null-text policy.
+    r2 = out[2]
+    assert r2.n_emails is None and r2.redacted is None
+
+
+@pytest.fixture(scope="module")
+def span_documents_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("span_docs")
+    shared15 = " ".join(f"p{i}" for i in range(15))  # 15-token shared passage
+    shared8 = " ".join(f"q{i}" for i in range(8))    # 8 tokens: below SPAN_MIN
+    rows = [
+        (0, "a1 a2 a3 " + shared15 + " a4 a5"),   # passage starts at token 4
+        (1, "b1 " + shared15 + " b2 b3 b4"),      # passage starts at token 2
+        (2, shared8 + " c1 c2"),
+        (3, shared8 + " d1 d2"),
+        (4, "e1 e2 e3 e4 e5 e6 e7 e8 e9"),        # shares nothing
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_substring_spans_are_maximal_and_thresholded(spark, span_documents_dir):
+    rows = _builder("dedup_substring_spans")(spark, span_documents_dir).collect()
+    # The 15-token passage is ONE maximal span with exact offsets; the
+    # 8-token overlap between docs 2/3 is real but below SPAN_MIN, and
+    # nothing else in the corpus repeats.
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in rows] == [
+        (0, 1, 4, 2, 15)
+    ]
