@@ -1371,8 +1371,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(seed_hashes).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "h")
     occ = Window.partitionBy("h")
-    kept = seeds.withColumn("occ", F.count(F.lit(1)).over(occ)).filter(
-        F.col("occ") <= SPAN_DF_CAP
+    # cache() is a semantic barrier against CollapseProject re-inlining
+    # (the dedup_simhash_banded trap): without it, both self-join sides
+    # recompute the O(n·W) window hashing AND the occurrence window.
+    kept = (
+        seeds.withColumn("occ", F.count(F.lit(1)).over(occ))
+        .filter(F.col("occ") <= SPAN_DF_CAP)
+        .select("doc_id", "pos", "h")
+        .cache()
     )
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")

@@ -816,3 +816,17 @@ def test_trained_ivf_candidates_keyed_and_trainer_shared(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, (
         "vectors and trained centroids must both be cache-backed"
     )
+
+
+def test_substring_spans_plan_is_keyed_and_cached(spark, sf_dir):
+    """Exact-substring dedup exists to avoid the all-pairs compare: the
+    anchor join must be hash-keyed (no nested-loop/cartesian), and both
+    self-join sides must read the cached occurrence-capped seed frame —
+    the hashing pass is O(n·W) string work that must run exactly once."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "both anchor-join sides must consume the cached seed frame"
+    )
