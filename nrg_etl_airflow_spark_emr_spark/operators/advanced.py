@@ -521,3 +521,108 @@ _RECURSIVE_ROLLUP_SQL = """
 )
 def sub7_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ("part",), _RECURSIVE_ROLLUP_SQL)
+
+
+from ..functions.hashing import seeded_hash60 as _seeded_hash60  # noqa: E402
+from ..functions.hashing import sql_seeded_hash60 as _sql_seeded_hash60  # noqa: E402
+
+CMS_D = 4    # hash rows
+CMS_W = 256  # buckets per row
+CMS_TOPK = 20
+
+
+def _cms_sql_rows(src: str, cols: str) -> str:
+    """UNION ALL of the CMS_D bucket projections of ``src`` (DuckDB side)."""
+    return "\n        UNION ALL ".join(
+        f"SELECT {cols}, {j} AS j, "
+        f"CAST({_sql_seeded_hash60(j, 'key')} % {CMS_W} AS INTEGER) AS bucket "
+        f"FROM {src}"
+        for j in range(CMS_D)
+    )
+
+
+@register(
+    "approx_cms_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (
+        SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS key FROM lineitem
+    ),
+    sk_in AS (
+        {_cms_sql_rows("ev", "l_partkey")}
+    ),
+    sk AS (
+        SELECT j, bucket, COUNT(*) AS cnt FROM sk_in GROUP BY j, bucket
+    ),
+    true_c AS (
+        SELECT l_partkey, key, COUNT(*) AS true_cnt FROM ev
+        GROUP BY l_partkey, key
+    ),
+    cands AS (
+        SELECT * FROM true_c ORDER BY true_cnt DESC, l_partkey LIMIT {CMS_TOPK}
+    ),
+    cj AS (
+        {_cms_sql_rows("cands", "l_partkey, true_cnt")}
+    ),
+    est AS (
+        SELECT cj.l_partkey, cj.true_cnt, MIN(sk.cnt) AS est_cnt
+        FROM cj JOIN sk ON cj.j = sk.j AND cj.bucket = sk.bucket
+        GROUP BY cj.l_partkey, cj.true_cnt
+    )
+    SELECT l_partkey,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY true_cnt DESC, l_partkey
+    """,
+    tags=("agg", "sketch"),
+    window_defer=True,
+    doc=f"Count-min-sketch heavy hitters — the frequency-estimation "
+    f"sketch completing the mergeable family (KMV = distinct, CMS = "
+    f"counts): {CMS_D} seeded hash rows x {CMS_W} buckets of plain "
+    f"COUNT(*) counters, point estimate = min over rows of the key's "
+    f"bucket counter, reported against the exact top-{CMS_TOPK} so the "
+    f"one-sided error (est >= true, overcount bounded by colliding "
+    f"mass/width) is visible per key. Like KMV and unlike HLL, the "
+    f"sketch is built from the engine-portable hash60, so the ESTIMATE "
+    f"ITSELF is oracle-gated bit-for-bit. Scale story: the counter "
+    f"build is one map-side-combining aggregate into {CMS_D}x{CMS_W} "
+    f"cells regardless of key cardinality, counters merge by addition "
+    f"across shards/days (the distributed rollup), and probing is a "
+    f"broadcast join against a KB-sized frame — hot-key detection "
+    f"BEFORE paying the full groupBy shuffle that qc_key_skew_audit's "
+    f"exact diagnostic requires.",
+)
+def approx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_partkey").cast("string").alias("key")
+    )
+    buckets = F.array(
+        *[
+            (_seeded_hash60(j, F.col("key")) % CMS_W).cast("int")
+            for j in range(CMS_D)
+        ]
+    )
+    sk = (
+        ev.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    true_c = ev.groupBy("l_partkey", "key").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    cands = true_c.orderBy(F.col("true_cnt").desc(), "l_partkey").limit(CMS_TOPK)
+    cj = cands.select(
+        "l_partkey", "true_cnt", F.posexplode(buckets).alias("j", "bucket")
+    )
+    est = (
+        cj.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "l_partkey",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+    ).orderBy(F.col("true_cnt").desc(), "l_partkey")

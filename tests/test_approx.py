@@ -222,3 +222,24 @@ def test_tfidf_capped_zipf_corpus_exact_and_pruning(spark, tmp_path):
     ).fetchone()
     assert kept <= n * TFIDF_PAIR_BUDGET, "kept pair mass exceeds the budget"
     assert kept < total, "adaptive threshold pruned nothing on a Zipf corpus"
+
+
+def test_cms_estimate_is_one_sided_and_bounded(spark, sf_dir):
+    """Count-min's deterministic guarantees: the estimate never
+    undercounts (min over rows of counters that each include the key's
+    full count), and never exceeds the total stream length."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    rows = all_specs()["approx_cms_heavy_hitters"].builder(spark, sf_dir).collect()
+    assert rows, "heavy-hitter report must not be empty"
+    total = sum(r.true_cnt for r in rows)  # lower bound on stream length
+    for r in rows:
+        assert r.overcount >= 0, f"CMS undercounted key {r.l_partkey}"
+        assert r.est_cnt >= r.true_cnt
+    # Estimates are bounded by the whole stream length: use the exact
+    # count of the fixture table itself as the ceiling.
+    from nrg_etl_airflow_spark_emr_spark.operators._util import t as load
+
+    n = load(spark, sf_dir, "lineitem").count()
+    assert all(r.est_cnt <= n for r in rows)
+    assert total <= n
