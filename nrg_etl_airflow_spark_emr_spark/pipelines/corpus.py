@@ -276,3 +276,81 @@ def corpus_training_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# --- Referential-integrity audit ---------------------------------------------
+
+# Every FK edge in the fixture star schema: (edge name, child table, FK
+# column, parent table, PK column). One audit row per edge.
+_FK_EDGES = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "qc_fk_orphans",
+    oracle="\n    UNION ALL ".join(
+        f"""SELECT '{edge}' AS edge,
+               (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+               (SELECT COUNT(*) FROM {child}
+                 WHERE {fk} IS NOT NULL
+                   AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans,
+               (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL)
+                   AS n_null_fk
+        """
+        for edge, child, fk, parent, pk in _FK_EDGES
+    )
+    + "\n    ORDER BY edge",
+    tags=("qc", "join"),
+    window_defer=True,
+    doc="Referential-integrity audit — every FK edge of the star schema "
+    "in one report: child rows, orphaned FKs (non-null value with no "
+    "parent row), and NULL FKs (legal but counted separately, since "
+    "NOT IN and anti-join agree only when the probe side is null-"
+    "filtered). Each edge is a LEFT ANTI join against the parent's "
+    "key projection — bounded dimensions broadcast by hint, scaling "
+    "parents (orders at 100 TB is a fact, not a dim) left to AQE's "
+    "size-based broadcast-vs-shuffle decision. This is "
+    "the audit that decides whether downstream inner joins silently "
+    "drop rows; at 100 TB it rides the same scan the QC framework "
+    "already makes (counts are one number per edge, results KB-sized). "
+    "Defect paths (orphan + NULL FK) pinned on a crafted star in "
+    "tests/test_audit_scrub.py.",
+)
+def qc_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        # Hint broadcast only for the bounded dimensions; the other
+        # parents (orders/customer/part/supplier) scale with the data,
+        # so Catalyst/AQE picks broadcast-vs-shuffle from actual size.
+        if parent in ("nation", "region"):
+            p = F.broadcast(p)
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, F.col(fk) == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+        )
+        frames.append(
+            stats.crossJoin(orphans).select(
+                F.lit(edge).alias("edge"),
+                "n_child_rows",
+                "n_orphans",
+                "n_null_fk",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("edge")

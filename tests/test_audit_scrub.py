@@ -139,3 +139,43 @@ def test_substring_spans_are_maximal_and_thresholded(spark, span_documents_dir):
     assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in rows] == [
         (0, 1, 4, 2, 15)
     ]
+
+
+@pytest.fixture(scope="module")
+def dirty_star_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dirty_star")
+    tables = {
+        "region": ([(0,)], "r_regionkey long"),
+        # nation 1 points at a region that does not exist.
+        "nation": ([(0, 0), (1, 99)], "n_nationkey long, n_regionkey long"),
+        # customer 1 has a NULL nation (legal, counted separately).
+        "customer": ([(0, 0), (1, None)], "c_custkey long, c_nationkey long"),
+        "supplier": ([(0, 0)], "s_suppkey long, s_nationkey long"),
+        "part": ([(0,)], "p_partkey long"),
+        # order 1 points at a customer that does not exist.
+        "orders": ([(0, 0), (1, 42)], "o_orderkey long, o_custkey long"),
+        # second lineitem points at an order that does not exist.
+        "lineitem": (
+            [(0, 0, 0), (7, 0, 0)],
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+    }
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(root / f"{name}.parquet"))
+    return str(root)
+
+
+def test_fk_orphans_flags_orphans_and_null_fks(spark, dirty_star_dir):
+    out = {r.edge: r for r in _builder("qc_fk_orphans")(spark, dirty_star_dir).collect()}
+    assert len(out) == 7
+    assert out["nation.n_regionkey->region"].n_orphans == 1
+    assert out["orders.o_custkey->customer"].n_orphans == 1
+    assert out["lineitem.l_orderkey->orders"].n_orphans == 1
+    assert out["customer.c_nationkey->nation"].n_null_fk == 1
+    # A NULL FK is NOT an orphan.
+    assert out["customer.c_nationkey->nation"].n_orphans == 0
+    clean = ["lineitem.l_partkey->part", "lineitem.l_suppkey->supplier",
+             "supplier.s_nationkey->nation"]
+    assert all(out[e].n_orphans == 0 and out[e].n_null_fk == 0 for e in clean)
