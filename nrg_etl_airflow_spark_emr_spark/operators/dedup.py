@@ -1359,6 +1359,14 @@ _SPAN_SEED_SQL = sql_hash60(
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return substring_spans(docs)
+
+
+def substring_spans(docs: DataFrame) -> DataFrame:
+    """Maximal shared token spans over a (doc_id, text) frame — the
+    kernel behind ``dedup_substring_spans``; split out so property tests
+    can drive it on literal corpora (tests/test_properties.py pins it
+    against a brute-force per-diagonal reference)."""
     toks = F.split("text", " ")
     staged = docs.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= SPAN_W

@@ -1349,3 +1349,91 @@ def events_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_balance_cents"),
     )
+
+
+@register(
+    "events_bitmap_retention",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    fs AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id),
+    om AS (
+        SELECT u.user_id, f.cohort_day,
+               BIT_OR(CAST(1 AS BIGINT)
+                      << CAST(date_diff('day', f.cohort_day, u.day) AS INTEGER))
+                   AS mask
+        FROM ud u JOIN fs f USING (user_id)
+        WHERE date_diff('day', f.cohort_day, u.day) < 32
+        GROUP BY u.user_id, f.cohort_day
+    ),
+    ex AS (
+        SELECT cohort_day, CAST(unnest(generate_series(0, 31)) AS INTEGER)
+                   AS off,
+               mask
+        FROM om
+    )
+    SELECT cohort_day, off,
+           CAST(COUNT(*) AS BIGINT) AS cohort_users,
+           CAST(SUM((mask >> off) & 1) AS BIGINT) AS retained,
+           CAST(SUM((mask >> off) & 1) AS DOUBLE) / COUNT(*) AS retention
+    FROM ex GROUP BY cohort_day, off
+    ORDER BY cohort_day, off
+    """,
+    tags=("temporal", "agg", "bitmap"),
+    window_defer=True,
+    doc="Exact 32-day retention from one BIGINT bitmap per user — the "
+    "roaring-bitmap trick in its fixed-width form: each user's activity "
+    "relative to their first-seen day folds into bit_or(1 << offset), "
+    "so per-user state is 8 bytes no matter how many events they have, "
+    "masks merge by OR across shards/days (the distributed combine), "
+    "and every retention offset is answered from the same mask by "
+    "shift-and-count — no day-pair join, no 32 window passes. "
+    "events_retention_cohorts answers the same question through the "
+    "day-pair grid; this variant is what you keep materialized at "
+    "100 TB because yesterday's masks update incrementally (OR the new "
+    "day in) instead of recomputing the grid. All bit arithmetic is "
+    "engine-portable; retention is one IEEE division of exact counts.",
+)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    om = (
+        ud.join(fs, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("off"),
+        )
+        .filter(F.col("off") < 32)
+        .select("user_id", "cohort_day", F.expr("shiftleft(1L, off)").alias("b"))
+        .groupBy("user_id", "cohort_day")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+    ex = om.select(
+        "cohort_day",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("off"),
+        "mask",
+    )
+    hit = F.expr("shiftright(mask, off) & 1")
+    return (
+        ex.groupBy("cohort_day", "off")
+        .agg(
+            F.count(F.lit(1)).alias("cohort_users"),
+            F.sum(hit).alias("retained"),
+        )
+        .select(
+            "cohort_day",
+            "off",
+            "cohort_users",
+            "retained",
+            (
+                F.col("retained").cast("double") / F.col("cohort_users")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "off")
+    )

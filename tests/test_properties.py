@@ -254,3 +254,85 @@ def test_nearest_asof_matches_bruteforce_spec(spark, rows, tol_s):
         else:
             want[i] = (None, None, None)
     assert got == want
+
+
+# --- Exact-substring span dedup vs brute-force reference ---------------------
+
+from collections import Counter  # noqa: E402
+
+from nrg_etl_airflow_spark_emr_spark.operators.dedup import (  # noqa: E402
+    SPAN_DF_CAP,
+    SPAN_MIN,
+    SPAN_W,
+    substring_spans,
+)
+
+
+def _ref_spans(docs: dict[int, list[str]]):
+    """Brute force: per doc pair and diagonal, maximal runs of matching
+    W-token windows (windows occurring > SPAN_DF_CAP times excluded),
+    reported when the merged span reaches SPAN_MIN tokens."""
+    wins, cnt = {}, Counter()
+    for did, toks in docs.items():
+        ws = [
+            tuple(toks[p : p + SPAN_W]) for p in range(len(toks) - SPAN_W + 1)
+        ]
+        wins[did] = ws
+        cnt.update(ws)
+    out = []
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            bydiag: dict[int, list[int]] = {}
+            for pa, w1 in enumerate(wins[a]):
+                if cnt[w1] > SPAN_DF_CAP:
+                    continue
+                for pb, w2 in enumerate(wins[b]):
+                    if w1 == w2:
+                        bydiag.setdefault(pa - pb, []).append(pa)
+            for d, pas in bydiag.items():
+                pas.sort()
+                start = prev = pas[0]
+                for p in pas[1:] + [None]:
+                    if p is not None and p == prev + 1:
+                        prev = p
+                        continue
+                    span = prev - start + SPAN_W
+                    if span >= SPAN_MIN:
+                        out.append((a, b, start + 1, start + 1 - d, span))
+                    if p is not None:
+                        start = prev = p
+    return sorted(out)
+
+
+_span_tok = st.sampled_from(["x", "y", "z"])
+_span_passage = st.lists(_span_tok, min_size=0, max_size=24)
+_span_filler = st.lists(_span_tok, min_size=8, max_size=16)
+
+
+@given(
+    passage=_span_passage,
+    pre_a=_span_filler,
+    post_a=_span_filler,
+    pre_b=_span_filler,
+    post_b=_span_filler,
+    extra=st.lists(st.lists(_span_tok, min_size=8, max_size=30), max_size=2),
+)
+@settings(max_examples=12, deadline=None)
+def test_substring_spans_match_bruteforce(
+    spark, passage, pre_a, post_a, pre_b, post_b, extra
+):
+    docs = {
+        0: pre_a + passage + post_a,
+        1: pre_b + passage + post_b,
+    }
+    for j, toks in enumerate(extra):
+        docs[2 + j] = toks
+    sdf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in substring_spans(sdf).collect()
+    )
+    assert got == _ref_spans(docs)
