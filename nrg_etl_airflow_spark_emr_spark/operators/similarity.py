@@ -1116,3 +1116,187 @@ def qc_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- MMR diversification rerank ----------------------------------------------
+
+MMR_K = 5            # picks per query
+MMR_C = 20           # relevance candidates entering the rerank
+MMR_L = "0.7"        # lambda literal — SAME TEXT in Spark lit() and SQL
+MMR_1ML = "0.3"      # (1 - lambda) as its own literal, never derived
+
+
+def _mmr_round_sql(t: int) -> str:
+    """CTE block for greedy round t (t >= 2): max-sim to the selected
+    set, MMR score, argmax pick, accumulated selection."""
+    return f"""
+    ms{t} AS (
+        SELECT p.query_id, p.vid_a AS vec_id, MAX(p.sim) AS ms
+        FROM psim p JOIN sel{t - 1} s
+          ON s.query_id = p.query_id AND s.vec_id = p.vid_b
+        GROUP BY p.query_id, p.vid_a
+    ),
+    r{t} AS (
+        SELECT c.query_id, c.vec_id,
+               {MMR_L} * c.rel - {MMR_1ML} * m.ms AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {MMR_L} * c.rel - {MMR_1ML} * m.ms DESC, c.vec_id
+               ) AS rn
+        FROM cand c
+        JOIN ms{t} m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)
+    ),
+    p{t} AS (
+        SELECT query_id, {t} AS pick, vec_id, score FROM r{t} WHERE rn = 1
+    ),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM p{t})"""
+
+
+_MMR_ORACLE = (
+    f"""
+    WITH {_SQL_VEC_CTE},
+    q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS rel,
+               v.fe AS fe, v.nrm AS nrm
+        FROM q JOIN vecs v ON v.vec_id != q.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id, rel, fe, nrm FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {MMR_C}
+    ),
+    psim AS (
+        SELECT a.query_id, a.vec_id AS vid_a, b.vec_id AS vid_b,
+               list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    r1 AS (
+        SELECT query_id, vec_id, {MMR_L} * rel AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+    ),
+    sel1 AS (SELECT query_id, 1 AS pick, vec_id, score FROM r1 WHERE rn = 1),
+"""
+    + ",".join(_mmr_round_sql(t) for t in range(2, MMR_K + 1))
+    + f"""
+    SELECT query_id, CAST(pick AS INTEGER) AS pick, vec_id, score
+    FROM sel{MMR_K} ORDER BY query_id, pick
+    """
+)
+
+
+@register(
+    "sim_knn_mmr",
+    oracle=_MMR_ORACLE,
+    tags=("similarity", "topk", "rerank"),
+    window_defer=True,
+    doc=f"Maximal-marginal-relevance rerank — the retrieval stage AFTER "
+    f"top-k: greedily pick {MMR_K} of the top-{MMR_C} relevance "
+    f"candidates, each round scoring score = {MMR_L}·rel − {MMR_1ML}·"
+    f"max-sim-to-already-picked, so near-duplicate hits are demoted in "
+    f"favor of coverage (the deduplicated-context selection a RAG "
+    f"pipeline runs between ANN and the prompt). The greedy recurrence "
+    f"is unrolled: {MMR_K} rounds of (max-sim join → score → window "
+    f"argmax) appear literally in BOTH the Spark plan and the SQL "
+    f"oracle (the quantized-Lloyd discipline), relevance and pair "
+    f"similarities are the house fixed-point cosines, and lambda and "
+    f"(1−lambda) are the SAME literal text on both sides, so every "
+    f"float op is IEEE-identical and the selection is bit-reproducible. "
+    f"Scale: candidates per query are a top-{MMR_C} frame (KB-sized per "
+    f"query) cached once; the pairwise-sim frame is {MMR_C}² per query, "
+    f"built once and reused by every round; each greedy round touches "
+    f"only (candidates × selected) rows — the rerank costs O(q·{MMR_C}²) "
+    f"total regardless of corpus size, all after the ANN stage pruned "
+    f"the corpus.",
+)
+def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam, one_m = F.lit(float(MMR_L)), F.lit(float(MMR_1ML))
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rel = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rel.alias("rel"), "fe", "nrm")
+    )
+    wrel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= MMR_C)
+        .select("query_id", "vec_id", "rel", "fe", "nrm")
+        .cache()
+    )
+    a = cand.select(
+        "query_id",
+        F.col("vec_id").alias("vid_a"),
+        F.col("fe").alias("fe_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("vec_id").alias("vid_b"),
+        F.col("fe").alias("fe_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot(F.col("fe_a"), F.col("fe_b")).cast("double") / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .select("query_id", "vid_a", "vid_b", sim.alias("sim"))
+        .cache()
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("pick"),
+            "vec_id",
+            (lam * F.col("rel")).alias("score"),
+        )
+        .cache()
+    )
+    for t in range(2, MMR_K + 1):
+        ms = (
+            psim.join(
+                sel.select("query_id", F.col("vec_id").alias("vid_b")),
+                ["query_id", "vid_b"],
+            )
+            .groupBy("query_id", F.col("vid_a").alias("vec_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        rem = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        score = lam * F.col("rel") - one_m * F.col("ms")
+        wsc = Window.partitionBy("query_id").orderBy(score.desc(), "vec_id")
+        pick = (
+            rem.join(ms, ["query_id", "vec_id"])
+            .withColumn("rn", F.row_number().over(wsc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).cast("int").alias("pick"),
+                "vec_id",
+                score.alias("score"),
+            )
+        )
+        sel = sel.unionByName(pick).cache()
+    return sel.orderBy("query_id", "pick")

@@ -1,9 +1,10 @@
-"""Defect-path pins for qc_embedding_audit and text_pii_scrub.
+"""Crafted-fixture pins for the round-8 late registrations.
 
-The fixture tables are clean (no NULL vectors, no NaN components, no real
-PII in the word-salad text), so the driver rows prove only the happy path.
-These tests run the same registered builders over crafted parquet fixtures
-that contain every defect class the operators exist to catch.
+The shared fixture tables are clean (no NULL vectors, no real PII, no FK
+orphans) and unopinionated (no planted duplicate-vs-diverse geometry), so
+the driver rows prove only the happy path. These tests run the same
+registered builders over crafted parquet fixtures that contain every
+defect class — or decision-forcing geometry — the operators exist for.
 """
 
 from __future__ import annotations
@@ -179,3 +180,32 @@ def test_fk_orphans_flags_orphans_and_null_fks(spark, dirty_star_dir):
     clean = ["lineitem.l_partkey->part", "lineitem.l_suppkey->supplier",
              "supplier.s_nationkey->nation"]
     assert all(out[e].n_orphans == 0 and out[e].n_null_fk == 0 for e in clean)
+
+
+@pytest.fixture(scope="module")
+def mmr_embeddings_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("mmr_emb")
+    rows = [
+        # vec 0 is the only query (vec_id < 5 is the query rule).
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        # Three candidates with EQUAL relevance 0.6 to the query:
+        # 10 and 11 are exact duplicates; 12 is diverse (sim to 10 = 0.36).
+        (10, [0.6, 0.8, 0.0, 0.0], 0),
+        (11, [0.6, 0.8, 0.0, 0.0], 0),
+        (12, [0.6, 0.0, 0.8, 0.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    return str(root)
+
+
+def test_mmr_demotes_duplicates_for_diversity(spark, mmr_embeddings_dir):
+    rows = _builder("sim_knn_mmr")(spark, mmr_embeddings_dir).collect()
+    picks = [(r.pick, r.vec_id) for r in rows if r.query_id == 0]
+    # Relevance alone ranks 10, 11, 12 (tiebreak by vec_id). MMR keeps
+    # 10 first, then picks the DIVERSE 12 over the duplicate 11
+    # (0.7*0.6 - 0.3*0.36 = 0.312 beats 0.7*0.6 - 0.3*1.0 = 0.12),
+    # and the duplicate drops to last. Only 3 candidates exist, so the
+    # greedy fill stops there — partial fill is part of the contract.
+    assert picks == [(1, 10), (2, 12), (3, 11)]
