@@ -1220,7 +1220,11 @@ _MMR_ORACLE = (
 )
 def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam, one_m = F.lit(float(MMR_L)), F.lit(float(MMR_1ML))
-    v = _vectors(spark, sf_dir)
+    # cache() the fixed-point vector frame: it feeds the broadcast query
+    # side AND the scan side of the candidate join, so without the
+    # barrier the interpreted HOF transform runs once per consumer
+    # (same CollapseProject discipline as _simhashes/_signatures).
+    v = _vectors(spark, sf_dir).cache()
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("fe").alias("qfe"),
@@ -1235,12 +1239,10 @@ def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", rel.alias("rel"), "fe", "nrm")
     )
     wrel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
-    cand = (
-        scored.withColumn("rn", F.row_number().over(wrel))
-        .filter(F.col("rn") <= MMR_C)
-        .select("query_id", "vec_id", "rel", "fe", "nrm")
-        .cache()
+    ranked = scored.withColumn("rn", F.row_number().over(wrel)).filter(
+        F.col("rn") <= MMR_C
     )
+    cand = ranked.select("query_id", "vec_id", "rel", "fe", "nrm").cache()
     a = cand.select(
         "query_id",
         F.col("vec_id").alias("vid_a"),
