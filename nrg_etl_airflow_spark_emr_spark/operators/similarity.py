@@ -1204,27 +1204,23 @@ _MMR_ORACLE = (
     f"candidates, each round scoring score = {MMR_L}·rel − {MMR_1ML}·"
     f"max-sim-to-already-picked, so near-duplicate hits are demoted in "
     f"favor of coverage (the deduplicated-context selection a RAG "
-    f"pipeline runs between ANN and the prompt). The greedy recurrence "
-    f"is unrolled: {MMR_K} rounds of (max-sim join → score → window "
-    f"argmax) appear literally in BOTH the Spark plan and the SQL "
-    f"oracle (the quantized-Lloyd discipline), relevance and pair "
-    f"similarities are the house fixed-point cosines, and lambda and "
-    f"(1−lambda) are the SAME literal text on both sides, so every "
-    f"float op is IEEE-identical and the selection is bit-reproducible. "
-    f"Scale: candidates per query are a top-{MMR_C} frame (KB-sized per "
-    f"query) cached once; the pairwise-sim frame is {MMR_C}² per query, "
-    f"built once and reused by every round; each greedy round touches "
-    f"only (candidates × selected) rows — the rerank costs O(q·{MMR_C}²) "
-    f"total regardless of corpus size, all after the ANN stage pruned "
-    f"the corpus.",
+    f"pipeline runs between ANN and the prompt). A sequential greedy "
+    f"recurrence is §2.10's exact shape: the relational stage computes "
+    f"the top-{MMR_C} relevance candidates and their {MMR_C}² pairwise "
+    f"sims (house fixed-point cosines), then ONE applyInPandas group "
+    f"per query runs the {MMR_K} greedy rounds in-process — the ewma "
+    f"pattern, chosen over a plan-unrolled formulation after an "
+    f"interleaved A/B showed the {MMR_K}-round relational unroll costs "
+    f"~12s of pure stage-scheduling overhead at ANY scale (vs ~2.2s "
+    f"here; BASELINE.md round 8). The SQL oracle still unrolls the "
+    f"identical rounds: the kernel adds only lam·rel − (1−lam)·max(sim) "
+    f"in float64 with an ascending-vec_id tiebreak, the same IEEE ops "
+    f"in the same order, so the selection is bit-reproducible. Scale: "
+    f"the rerank costs O(q·{MMR_C}²) after ANN pruning regardless of "
+    f"corpus size; only the candidate stage grows with the corpus.",
 )
 def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lam, one_m = F.lit(float(MMR_L)), F.lit(float(MMR_1ML))
-    # cache() the fixed-point vector frame: it feeds the broadcast query
-    # side AND the scan side of the candidate join, so without the
-    # barrier the interpreted HOF transform runs once per consumer
-    # (same CollapseProject discipline as _simhashes/_signatures).
-    v = _vectors(spark, sf_dir).cache()
+    v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("fe").alias("qfe"),
@@ -1239,10 +1235,14 @@ def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", rel.alias("rel"), "fe", "nrm")
     )
     wrel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
-    ranked = scored.withColumn("rn", F.row_number().over(wrel)).filter(
-        F.col("rn") <= MMR_C
+    # cache(): cand feeds both sides of the pairwise-sim self-join
+    # (CollapseProject barrier, same as the sketch frames).
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= MMR_C)
+        .select("query_id", "vec_id", "rel", "fe", "nrm")
+        .cache()
     )
-    cand = ranked.select("query_id", "vec_id", "rel", "fe", "nrm").cache()
     a = cand.select(
         "query_id",
         F.col("vec_id").alias("vid_a"),
@@ -1258,47 +1258,66 @@ def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _dot(F.col("fe_a"), F.col("fe_b")).cast("double") / (
         F.col("nrm_a") * F.col("nrm_b")
     )
-    psim = (
+    pairs = (
         a.join(b, "query_id")
         .filter(F.col("vid_a") != F.col("vid_b"))
-        .select("query_id", "vid_a", "vid_b", sim.alias("sim"))
-        .cache()
+        .groupBy("query_id", F.col("vid_a").alias("vec_id"))
+        .agg(F.collect_list(F.struct(F.col("vid_b"), sim.alias("sim"))).alias("sims"))
     )
-    sel = (
-        cand.withColumn("rn", F.row_number().over(wrel))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("int").alias("pick"),
-            "vec_id",
-            (lam * F.col("rel")).alias("score"),
-        )
-        .cache()
+    feats = cand.select("query_id", "vec_id", "rel").join(
+        pairs, ["query_id", "vec_id"], "left"
     )
-    for t in range(2, MMR_K + 1):
-        ms = (
-            psim.join(
-                sel.select("query_id", F.col("vec_id").alias("vid_b")),
-                ["query_id", "vid_b"],
-            )
-            .groupBy("query_id", F.col("vid_a").alias("vec_id"))
-            .agg(F.max("sim").alias("ms"))
+    return (
+        feats.groupBy("query_id")
+        .applyInPandas(
+            _mmr_greedy_kernel,
+            schema="query_id long, pick int, vec_id long, score double",
         )
-        rem = cand.join(
-            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
-        )
-        score = lam * F.col("rel") - one_m * F.col("ms")
-        wsc = Window.partitionBy("query_id").orderBy(score.desc(), "vec_id")
-        pick = (
-            rem.join(ms, ["query_id", "vec_id"])
-            .withColumn("rn", F.row_number().over(wsc))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(t).cast("int").alias("pick"),
-                "vec_id",
-                score.alias("score"),
-            )
-        )
-        sel = sel.unionByName(pick).cache()
-    return sel.orderBy("query_id", "pick")
+        .orderBy("query_id", "pick")
+    )
+
+
+def _mmr_greedy_kernel(pdf):
+    """Greedy MMR over one query's candidate group (pandas). Float
+    parity contract: rel/sim arrive precomputed from the relational
+    fixed-point cosines; the kernel adds only lam*rel - (1-lam)*max(sim)
+    in float64 — the identical IEEE ops the SQL oracle's unrolled
+    rounds perform — and breaks score ties by ascending vec_id, so the
+    selection is bit-reproducible against the oracle (the ewma
+    precedent: grouped-map kernel, relational replay)."""
+    import pandas as pd
+
+    lam, one_m = float(MMR_L), float(MMR_1ML)
+    qid = int(pdf["query_id"].iloc[0])
+    rel = {int(v): float(r) for v, r in zip(pdf["vec_id"], pdf["rel"])}
+    sims: dict[tuple[int, int], float] = {}
+    for v, lst in zip(pdf["vec_id"], pdf["sims"]):
+        if lst is None:
+            continue
+        for e in lst:
+            sims[(int(v), int(e["vid_b"]))] = float(e["sim"])
+    remaining = sorted(rel)
+    out = []
+    for pick in range(1, MMR_K + 1):
+        if not remaining:
+            break
+        if pick == 1:
+            scores = {v: lam * rel[v] for v in remaining}
+        else:
+            chosen = [v for _, v, _ in out]
+            scores = {
+                v: lam * rel[v]
+                - one_m * max(sims[(v, c)] for c in chosen)
+                for v in remaining
+            }
+        best = min(remaining, key=lambda v: (-scores[v], v))
+        out.append((pick, best, scores[best]))
+        remaining.remove(best)
+    return pd.DataFrame(
+        {
+            "query_id": [qid] * len(out),
+            "pick": [p for p, _, _ in out],
+            "vec_id": [v for _, v, _ in out],
+            "score": [s for _, _, s in out],
+        }
+    )
