@@ -1668,3 +1668,75 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         (F.length("aug") - F.length(redacted)).cast("int").alias("n_chars_removed"),
     )
+
+
+# --- RAG chunking ------------------------------------------------------------
+
+CHUNK_TOK = 32     # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "text_chunk_for_rag",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks, n,
+               CAST(unnest(generate_series(1, n, {CHUNK_STRIDE})) AS INTEGER)
+                   AS start_tok
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           start_tok,
+           CAST(least(start_tok + {CHUNK_TOK - 1}, n) - start_tok + 1
+               AS INTEGER) AS n_tokens,
+           array_to_string(
+               toks[start_tok:least(start_tok + {CHUNK_TOK - 1}, n)], ' ')
+               AS chunk_text
+    FROM st
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "rag"),
+    window_defer=True,
+    doc=f"Overlapping-window chunking — the retrieval-unit split every "
+    f"RAG ingestion runs between cleaning and embedding: {CHUNK_TOK}-"
+    f"token chunks at stride {CHUNK_STRIDE} (so consecutive chunks "
+    f"share {CHUNK_TOK - CHUNK_STRIDE} tokens and no sentence straddles "
+    f"a hard cut unseen), each with (doc_id, chunk_idx, start_tok, "
+    f"n_tokens) so retrieval hits map back to exact source spans — the "
+    f"coordinates sim_knn_mmr's picks and dedup_substring_spans' "
+    f"offsets join against. Pure map-side generator work (sequence + "
+    f"slice + posexplode): no shuffle, fuses into the ingest scan; the "
+    f"~{CHUNK_TOK}/{CHUNK_STRIDE}x row expansion is the declared price "
+    f"of the retrieval grain, absorbed map-side exactly like "
+    f"text_word_freq_topk's explode.",
+)
+def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = F.split("text", " ")
+    staged = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    chunks = staged.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+        ).alias("start_tok"),
+    )
+    n_tokens = F.least(
+        F.col("start_tok") + (CHUNK_TOK - 1), F.col("n")
+    ) - F.col("start_tok") + 1
+    return chunks.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("start_tok"), CHUNK_TOK)
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -155,11 +155,17 @@ def dirty_star_dir(spark, tmp_path_factory):
         "part": ([(0,)], "p_partkey long"),
         # order 1 points at a customer that does not exist.
         "orders": ([(0, 0), (1, 42)], "o_orderkey long, o_custkey long"),
-        # second lineitem points at an order that does not exist.
+        # second lineitem points at an order that does not exist; rows 3+4
+        # collide on the (l_orderkey, l_linenumber) composite key.
         "lineitem": (
-            [(0, 0, 0), (7, 0, 0)],
-            "l_orderkey long, l_partkey long, l_suppkey long",
+            [(0, 1, 0, 0), (7, 1, 0, 0), (0, 2, 0, 0), (0, 2, 0, 0)],
+            "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long",
         ),
+        # events/documents/embeddings give the PK audit full coverage;
+        # documents plants a duplicated doc_id.
+        "events": ([(0,), (1,)], "event_id long"),
+        "documents": ([(0,), (0,), (1,)], "doc_id long"),
+        "embeddings": ([(0,), (1,)], "vec_id long"),
     }
     for name, (rows, schema) in tables.items():
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -209,3 +215,50 @@ def test_mmr_demotes_duplicates_for_diversity(spark, mmr_embeddings_dir):
     # and the duplicate drops to last. Only 3 candidates exist, so the
     # greedy fill stops there — partial fill is part of the contract.
     assert picks == [(1, 10), (2, 12), (3, 11)]
+
+
+def test_rag_chunks_overlap_and_cover(spark, tmp_path_factory):
+    from nrg_etl_airflow_spark_emr_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOK,
+    )
+
+    root = tmp_path_factory.mktemp("rag_docs")
+    toks = [f"w{i}" for i in range(50)]  # 50 tokens -> starts 1, 25, 49
+    rows = [(0, " ".join(toks)), (1, "only three tokens")]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "documents.parquet"))
+    out = _builder("text_chunk_for_rag")(spark, str(root)).collect()
+    d0 = [r for r in out if r.doc_id == 0]
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in d0] == [
+        (0, 1, 32),
+        (1, 25, 26),
+        (2, 49, 2),
+    ]
+    # Consecutive chunks overlap by CHUNK_TOK - CHUNK_STRIDE tokens and
+    # their union covers every token exactly.
+    assert d0[0].chunk_text.split(" ")[CHUNK_STRIDE:] == d0[1].chunk_text.split(
+        " "
+    )[: CHUNK_TOK - CHUNK_STRIDE]
+    covered = set()
+    for r in d0:
+        covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+    assert covered == set(range(1, 51))
+    # A doc shorter than one chunk yields exactly one short chunk.
+    d1 = [r for r in out if r.doc_id == 1]
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in d1] == [(0, 1, 3)]
+    assert d1[0].chunk_text == "only three tokens"
+
+
+def test_pk_duplicates_counts_excess_rows(spark, dirty_star_dir):
+    out = {r.tbl: r for r in _builder("qc_pk_duplicates")(spark, dirty_star_dir).collect()}
+    assert len(out) == 10
+    # documents: doc_id 0 twice -> 1 excess row; lineitem: one composite
+    # collision -> 1 excess row; everything else clean.
+    assert (out["documents"].n_rows, out["documents"].n_distinct_keys,
+            out["documents"].n_excess_rows) == (3, 2, 1)
+    assert (out["lineitem"].n_rows, out["lineitem"].n_distinct_keys,
+            out["lineitem"].n_excess_rows) == (4, 3, 1)
+    clean = [t for t in out if t not in ("documents", "lineitem")]
+    assert all(out[t].n_excess_rows == 0 for t in clean)
