@@ -423,3 +423,98 @@ def qc_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("tbl")
+
+
+# --- Column profile audit ----------------------------------------------------
+
+# (column, portable min/max rendering). Doubles render as exact integer
+# cents and dates as ISO strings because CAST(DOUBLE AS VARCHAR) is the
+# one formatting the two engines do NOT agree on.
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "CAST(CAST(floor({c} * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "{c}"),
+)
+
+
+@register(
+    "qc_orders_profile",
+    oracle="""
+    WITH m AS (SELECT
+    """
+    + ",\n    ".join(
+        f"""COUNT({c}) AS nn_{c}, COUNT(*) - COUNT({c}) AS nl_{c},
+        COUNT(DISTINCT {c}) AS nd_{c},
+        {render.format(c=f"MIN({c})")} AS mn_{c},
+        {render.format(c=f"MAX({c})")} AS mx_{c}"""
+        for c, render in _PROFILE_COLS
+    )
+    + """
+    FROM orders)
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL ".join(
+        f"""SELECT '{c}' AS col, CAST(nn_{c} + nl_{c} AS BIGINT) AS n_rows,
+               CAST(nl_{c} AS BIGINT) AS n_null,
+               CAST(nd_{c} AS BIGINT) AS n_distinct,
+               mn_{c} AS min_val, mx_{c} AS max_val FROM m"""
+        for c, _ in _PROFILE_COLS
+    )
+    + """
+    ) ORDER BY col
+    """,
+    tags=("qc", "agg"),
+    window_defer=True,
+    doc="Per-column profile of the orders table — the third leg of the "
+    "integrity tripod (qc_fk_orphans = FK, qc_pk_duplicates = PK, this "
+    "= column content): for every column, exact row/null/distinct "
+    "counts plus min/max rendered through engine-portable forms "
+    "(integers and strings verbatim, doubles as exact integer cents, "
+    "dates as ISO strings — double-to-string CAST is the one rendering "
+    "Spark and DuckDB disagree on, so it never appears; aggregation "
+    "happens on the native value and only the RESULT is rendered, so "
+    "min/max are never lexicographic). ONE fused "
+    "aggregate scan computes all 30 metrics (multiple exact distincts "
+    "→ one Expand, the grouping-sets machinery), then a row-local "
+    "unpivot emits the (column, metric) frame — the qc_documents_audit "
+    "shape applied to schema profiling, the first thing a warehouse "
+    "runs against a new feed before trusting its joins or its stats.",
+)
+def qc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    # Aggregate on the NATIVE value, render the aggregate — min/max on
+    # the stringified value would be lexicographic (max custkey "999").
+    renders = {
+        "o_orderkey": lambda a: a.cast("string"),
+        "o_custkey": lambda a: a.cast("string"),
+        "o_orderstatus": lambda a: a,
+        "o_totalprice": lambda a: F.floor(a * 100).cast("bigint").cast("string"),
+        "o_orderdate": lambda a: a.cast("date").cast("string"),
+        "o_orderpriority": lambda a: a,
+    }
+    aggs = []
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nl_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            renders[c](F.min(F.col(c))).alias(f"mn_{c}"),
+            renders[c](F.max(F.col(c))).alias(f"mx_{c}"),
+        ]
+    m = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c} + nl_{c}, nl_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c, _ in _PROFILE_COLS
+    )
+    return (
+        m.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+                "(col, n_rows, n_null, n_distinct, min_val, max_val)"
+            )
+        )
+        .orderBy("col")
+    )
