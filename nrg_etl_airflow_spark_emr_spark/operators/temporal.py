@@ -1351,6 +1351,30 @@ def events_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_activity_masks(ev: DataFrame) -> DataFrame:
+    """(user_id, cohort_day, mask): each user's 32-day activity bitmap
+    anchored at their first-seen day — the batch twin of
+    streaming/jobs.py user_activity_bitmaps (stream≡batch equality
+    pinned in tests/test_streaming.py)."""
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(fs, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("off"),
+        )
+        .filter(F.col("off") < 32)
+        .select("user_id", "cohort_day", F.expr("shiftleft(1L, off)").alias("b"))
+        .groupBy("user_id", "cohort_day")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+
+
+
 @register(
     "events_bitmap_retention",
     oracle="""
@@ -1397,23 +1421,7 @@ def events_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-portable; retention is one IEEE division of exact counts.",
 )
 def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
-    fs = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    om = (
-        ud.join(fs, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff("day", "cohort_day").alias("off"),
-        )
-        .filter(F.col("off") < 32)
-        .select("user_id", "cohort_day", F.expr("shiftleft(1L, off)").alias("b"))
-        .groupBy("user_id", "cohort_day")
-        .agg(F.bit_or("b").alias("mask"))
-    )
+    om = user_activity_masks(t(spark, sf_dir, "events"))
     ex = om.select(
         "cohort_day",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("off"),

@@ -511,3 +511,67 @@ def click_purchase_left_join(events: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("click_id", "user_id", "purchase_id")
+
+
+USER_BITMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cohort_epoch_day", T.LongType()),
+        T.StructField("mask", T.LongType()),
+    ]
+)
+_USER_BITMAP_STATE = T.StructType(
+    [T.StructField("cohort", T.LongType()), T.StructField("mask", T.LongType())]
+)
+_BITMAP_DAYS = 32  # matches operators/temporal.py events_bitmap_retention
+
+
+def _user_bitmap_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user 32-day activity bitmap
+    anchored at the user's first-seen day, maintained incrementally with
+    LATE-DATA REBASING: when an earlier day arrives, the anchor moves
+    back and the existing mask left-shifts by the difference (bits
+    pushed past offset 31 drop, exactly as the batch twin's
+    datediff < 32 filter drops them), so the final mask equals the
+    batch computation regardless of arrival order."""
+    cohort, mask = state.get if state.exists else (None, 0)
+    cap = (1 << _BITMAP_DAYS) - 1
+    for pdf in pdf_iter:
+        days = (
+            pdf["ts"].astype("datetime64[s]").astype("int64") // 86400
+        ).unique()
+        for d in days:
+            d = int(d)
+            if cohort is None or d < cohort:
+                shift = 0 if cohort is None else cohort - d
+                mask = (mask << shift) & cap
+                cohort = d
+            off = d - cohort
+            if off < _BITMAP_DAYS:
+                mask |= 1 << off
+    state.update((cohort, mask))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "cohort_epoch_day": [cohort], "mask": [mask]}
+    )
+
+
+def user_activity_bitmaps(events: DataFrame) -> DataFrame:
+    """Streaming form of events_bitmap_retention's per-user mask build:
+    8 bytes of state per user, updated by OR (plus a left-shift rebase
+    when late data precedes the known first-seen day). The batch twin
+    derives the same masks with bit_or over datediff offsets
+    (operators/temporal.py user_activity_masks); the streaming test pins
+    final-state equality. At 100 TB this is the incrementally-maintained
+    retention store: yesterday's masks are state, today's events OR in.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_bitmap_fn,
+        outputStructType=USER_BITMAP_SCHEMA,
+        stateStructType=_USER_BITMAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

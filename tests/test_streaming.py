@@ -529,3 +529,73 @@ def test_dedup_within_watermark_reemits_after_state_expiry(spark, tmp_path):
     assert got == {1, 2, 4}, (
         f"expected re-emit after expiry (4) and same-window drop (3): {got}"
     )
+
+
+def test_stateful_user_bitmaps_match_batch(spark, sf_dir, events_stream):
+    """Incremental bitmap retention state (applyInPandasWithState with
+    late-data rebasing): final per-user (cohort, mask) equals the batch
+    bit_or computation that events_bitmap_retention builds on."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.temporal import (
+        user_activity_masks,
+    )
+
+    stream_out = jobs.run_to_memory(
+        jobs.user_activity_bitmaps(events_stream),
+        "t_user_bitmaps",
+        output_mode="update",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = user_activity_masks(ev).select(
+        "user_id",
+        F.unix_date("cohort_day").cast("long").alias("cohort_epoch_day"),
+        "mask",
+    )
+    assert _rows(stream_out) == _rows(batch)
+
+
+def test_bitmap_rebase_handles_late_early_days(spark):
+    """Kernel-level pin for the rebase path the single-batch fixture
+    replay cannot exercise: a day EARLIER than the known cohort arrives
+    later — the anchor moves back, existing bits shift up, and bits
+    pushed past offset 31 drop (matching the batch datediff < 32 cut)."""
+    import pandas as pd
+
+    from nrg_etl_airflow_spark_emr_spark.streaming.jobs import _user_bitmap_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+
+        def update(self, v):
+            self.get, self.exists = v, True
+
+    state = FakeState()
+    day = lambda d: pd.Timestamp("1970-01-01") + pd.Timedelta(days=d)  # noqa: E731
+
+    def feed(days):
+        return list(
+            _user_bitmap_fn(
+                (7,), iter([pd.DataFrame({"ts": [day(d) for d in days]})]), state
+            )
+        )[0]
+
+    out = feed([10, 11])
+    assert (out["cohort_epoch_day"][0], out["mask"][0]) == (10, 0b11)
+    # Late arrival of day 8: anchor rebases to 8, old bits shift by 2.
+    out = feed([8])
+    assert (out["cohort_epoch_day"][0], out["mask"][0]) == (8, 0b1101)
+    # Day 8 + 31 = 39 is the last representable offset; day 41 is beyond
+    # the window and must not set a bit.
+    out = feed([39, 41])
+    assert out["mask"][0] == 0b1101 | (1 << 31)
+    # A very early day pushes everything else out of the window except
+    # itself and any offsets still under 32.
+    out = feed([0])
+    assert (out["cohort_epoch_day"][0], out["mask"][0]) == (
+        0,
+        1 | (1 << 8) | (1 << 10) | (1 << 11),
+    )
