@@ -336,3 +336,52 @@ def test_substring_spans_match_bruteforce(
         for r in substring_spans(sdf).collect()
     )
     assert got == _ref_spans(docs)
+
+
+# --- Streaming bitmap state vs direct computation ----------------------------
+
+
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=25),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_bitmap_kernel_is_arrival_order_invariant(days, seed):
+    """The streaming kernel's final (cohort, mask) must equal the batch
+    definition — bit d-cohort for every active day within 32 of the
+    FIRST-SEEN day — for any arrival order and batching, because the
+    rebase shifts bits and drops the ones past the window exactly as
+    the batch datediff < 32 cut does."""
+    import random
+
+    import pandas as pd
+
+    from nrg_etl_airflow_spark_emr_spark.streaming.jobs import _user_bitmap_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.get, self.exists = v, True
+
+    rng = random.Random(seed)
+    arrival = days[:]
+    rng.shuffle(arrival)
+    state = FakeState()
+    # Random batching: one kernel call per chunk, like micro-batches.
+    i = 0
+    while i < len(arrival):
+        j = i + rng.randint(1, 4)
+        chunk = arrival[i:j]
+        i = j
+        pdf = pd.DataFrame(
+            {"ts": [pd.Timestamp("1970-01-01") + pd.Timedelta(days=d) for d in chunk]}
+        )
+        list(_user_bitmap_fn((1,), iter([pdf]), state))
+    cohort, mask = state.get
+    want_cohort = min(days)
+    want_mask = 0
+    for d in set(days):
+        if d - want_cohort < 32:
+            want_mask |= 1 << (d - want_cohort)
+    assert (cohort, mask) == (want_cohort, want_mask)
