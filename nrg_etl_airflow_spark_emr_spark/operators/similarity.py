@@ -1012,16 +1012,17 @@ def sim_knn_l2_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                embedding IS NULL AS is_null,
                COALESCE(len(list_filter(embedding,
-                   x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+                   x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                        OR isinf(CAST(x AS DOUBLE))
                )) > 0, FALSE) AS nonfinite,
                COALESCE(len(list_filter(embedding,
-                   x -> NOT (CAST(x AS DOUBLE) = 0.0)
-               )) = 0, FALSE) AS zero,
+                   x -> CAST(x AS DOUBLE) = 0.0
+               )) = len(embedding), FALSE) AS zero,
                CASE WHEN embedding IS NULL THEN 0
                     ELSE len(embedding) END AS ndim,
                CASE WHEN embedding IS NOT NULL
                          AND NOT COALESCE(len(list_filter(embedding,
-                             x -> isnan(CAST(x AS DOUBLE))
+                             x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
                                   OR isinf(CAST(x AS DOUBLE)))) > 0, FALSE)
                     THEN CAST(list_sum(list_transform(
                         [CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT)
@@ -1053,7 +1054,9 @@ def sim_knn_l2_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     window_defer=True,
     doc="Vector-column QC audit — the embedding-side counterpart of "
     "qc_documents_audit: per label, count NULL vectors, non-finite "
-    "components (NaN/Inf), all-zero vectors (undefined cosine), and "
+    "components (NULL/NaN/Inf — a NULL element poisons fixed-point "
+    "arithmetic exactly like NaN, so it lands in the same flag), "
+    "all-zero vectors (undefined cosine), and "
     "dimension mismatches against the corpus's modal dimensionality, "
     "plus min/max/mean squared fixed-point norms (drift in the norm "
     "profile is the cheapest signal an embedding model version changed "
@@ -1071,10 +1074,22 @@ def qc_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = lambda x: x.cast("double")  # noqa: E731
     is_null = e.isNull()
     nonfinite = F.coalesce(
-        F.exists(e, lambda x: F.isnan(dbl(x)) | (F.abs(dbl(x)) == F.lit(float("inf")))),
+        F.exists(
+            e,
+            lambda x: x.isNull()
+            | F.isnan(dbl(x))
+            | (F.abs(dbl(x)) == F.lit(float("inf"))),
+        ),
         F.lit(False),
     )
-    zero = F.coalesce(F.forall(e, lambda x: dbl(x) == F.lit(0.0)), F.lit(False))
+    # "every element equals 0.0" via a filtered count, not forall: a NULL
+    # element makes forall yield NULL (-> false) in Spark but is DROPPED
+    # by DuckDB's list_filter — counting x = 0.0 hits against len() is
+    # the one formulation both engines evaluate identically.
+    zero = F.coalesce(
+        F.size(F.filter(e, lambda x: dbl(x) == F.lit(0.0))) == F.size(e),
+        F.lit(False),
+    )
     ndim = F.when(is_null, F.lit(0)).otherwise(F.size(e))
     fe = _fixed(e)
     qn = F.when(~is_null & ~nonfinite, _dot(fe, fe))

@@ -1604,22 +1604,24 @@ _PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
     ),
     scrubbed AS (
         SELECT doc_id, aug,
+               regexp_replace(aug, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS e_red,
                regexp_replace(
-                   regexp_replace(
-                       regexp_replace(aug, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{_PII_IP_RE}', '<IP>', 'g'),
-                   '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+                   regexp_replace(aug, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_IP_RE}', '<IP>', 'g') AS ei_red
         FROM aug
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(aug, '{_PII_EMAIL_RE}')) AS INTEGER)
                AS n_emails,
-           CAST(len(regexp_extract_all(aug, '{_PII_IP_RE}')) AS INTEGER)
+           CAST(len(regexp_extract_all(e_red, '{_PII_IP_RE}')) AS INTEGER)
                AS n_ips,
-           CAST(len(regexp_extract_all(aug, '{_PII_PHONE_RE}')) AS INTEGER)
+           CAST(len(regexp_extract_all(ei_red, '{_PII_PHONE_RE}')) AS INTEGER)
                AS n_phones,
-           redacted,
-           CAST(length(aug) - length(redacted) AS INTEGER) AS n_chars_removed
+           regexp_replace(ei_red, '{_PII_PHONE_RE}', '<PHONE>', 'g')
+               AS redacted,
+           CAST(length(aug)
+              - length(regexp_replace(ei_red, '{_PII_PHONE_RE}', '<PHONE>',
+                                      'g')) AS INTEGER) AS n_chars_removed
     FROM scrubbed
     """,
     tags=("text", "clean", "pii"),
@@ -1633,7 +1635,10 @@ _PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
     "construct the payload the operator must find, then prove the finder "
     "against an oracle that predicts it) — the regexes then run against "
     "real mixed text. Redaction order is fixed (emails, then IPs, then "
-    "phones) and the patterns are the portable Java/RE2 subset, so both "
+    "phones), counts run on the progressively redacted text so they "
+    "describe the placeholders actually written (a dotted quad inside "
+    "an email local part is the email's, not a phantom IP), and the "
+    "patterns are the portable Java/RE2 subset, so both "
     "engines rewrite the identical spans. Pure map-side expression work: "
     "no shuffle, no explode, no UDF — at 100 TB this fuses into the "
     "ingest scan and costs one pass, which is why the regex subset "
@@ -1654,17 +1659,21 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("."), s((d * 13) % 256),
         F.lit("."), s((d * 31) % 256),
     )
-    staged = docs.select("doc_id", aug.alias("aug"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("aug", _PII_EMAIL_RE, "<EMAIL>"),
-            _PII_IP_RE, "<IP>"),
-        _PII_PHONE_RE, "<PHONE>")
+    # Counts run on the PROGRESSIVELY redacted text (IPs counted after
+    # emails are gone, phones after both), so each count describes the
+    # placeholders actually written — a dotted quad inside an email's
+    # local part is reported as part of the email, not double-counted
+    # as an IP that was never separately redacted.
+    e_red = F.regexp_replace("aug", _PII_EMAIL_RE, "<EMAIL>")
+    staged = docs.select("doc_id", aug.alias("aug")).withColumn(
+        "e_red", e_red
+    ).withColumn("ei_red", F.regexp_replace("e_red", _PII_IP_RE, "<IP>"))
+    redacted = F.regexp_replace("ei_red", _PII_PHONE_RE, "<PHONE>")
     return staged.select(
         "doc_id",
         F.regexp_count("aug", F.lit(_PII_EMAIL_RE)).cast("int").alias("n_emails"),
-        F.regexp_count("aug", F.lit(_PII_IP_RE)).cast("int").alias("n_ips"),
-        F.regexp_count("aug", F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count("e_red", F.lit(_PII_IP_RE)).cast("int").alias("n_ips"),
+        F.regexp_count("ei_red", F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
         redacted.alias("redacted"),
         (F.length("aug") - F.length(redacted)).cast("int").alias("n_chars_removed"),
     )
@@ -1686,8 +1695,9 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
     ),
     st AS (
         SELECT doc_id, toks, n,
-               CAST(unnest(generate_series(1, n, {CHUNK_STRIDE})) AS INTEGER)
-                   AS start_tok
+               CAST(unnest(generate_series(1,
+                   greatest(1, n - {CHUNK_TOK - CHUNK_STRIDE}),
+                   {CHUNK_STRIDE})) AS INTEGER) AS start_tok
         FROM tok
     )
     SELECT doc_id,
@@ -1710,7 +1720,11 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
     f"a hard cut unseen), each with (doc_id, chunk_idx, start_tok, "
     f"n_tokens) so retrieval hits map back to exact source spans — the "
     f"coordinates sim_knn_mmr's picks and dedup_substring_spans' "
-    f"offsets join against. Pure map-side generator work (sequence + "
+    f"offsets join against. Starts stop at n − (tok − stride), so a "
+    f"chunk is emitted only while it contributes NEW tokens — the "
+    f"trailing start that would produce a strict sub-span of the "
+    f"previous chunk (pure near-dup noise to embed and retrieve) is "
+    f"never generated. Pure map-side generator work (sequence + "
     f"slice + posexplode): no shuffle, fuses into the ingest scan; the "
     f"~{CHUNK_TOK}/{CHUNK_STRIDE}x row expansion is the declared price "
     f"of the retrieval grain, absorbed map-side exactly like "
@@ -1725,7 +1739,11 @@ def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "toks",
         F.explode(
-            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.col("n") - (CHUNK_TOK - CHUNK_STRIDE)),
+                F.lit(CHUNK_STRIDE),
+            )
         ).alias("start_tok"),
     )
     n_tokens = F.least(

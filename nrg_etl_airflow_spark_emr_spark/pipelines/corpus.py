@@ -313,10 +313,14 @@ _FK_EDGES = (
     "in one report: child rows, orphaned FKs (non-null value with no "
     "parent row), and NULL FKs (legal but counted separately, since "
     "NOT IN and anti-join agree only when the probe side is null-"
-    "filtered). Each edge is a LEFT ANTI join against the parent's "
-    "key projection — bounded dimensions broadcast by hint, scaling "
-    "parents (orders at 100 TB is a fact, not a dim) left to AQE's "
-    "size-based broadcast-vs-shuffle decision. This is "
+    "filtered). Each edge is a LEFT ANTI join of the null-filtered FK "
+    "column against the parent's key projection (anti-join semantics "
+    "are immune to duplicated parent keys) plus one cheap single-column "
+    "stats aggregate; empty tables report 0, not NULL. A single-pass "
+    "LEFT-join rewrite was A/B'd and measured slower (BASELINE.md "
+    "round 8). Bounded dimensions broadcast by hint, scaling parents "
+    "(orders at 100 TB is a fact, not a dim) left to AQE's size-based "
+    "broadcast-vs-shuffle decision. This is "
     "the audit that decides whether downstream inner joins silently "
     "drop rows; at 100 TB it rides the same scan the QC framework "
     "already makes (counts are one number per edge, results KB-sized). "
@@ -333,14 +337,24 @@ def qc_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so Catalyst/AQE picks broadcast-vs-shuffle from actual size.
         if parent in ("nation", "region"):
             p = F.broadcast(p)
+        # LEFT ANTI keeps per-child-row semantics even when the parent
+        # key is duplicated (no de-dup pass needed), and an interleaved
+        # A/B (BASELINE.md round 8) measured it faster than the
+        # single-pass LEFT-join rewrite — the extra stats aggregate is a
+        # cheap one-column columnar scan.
         orphans = (
             c.filter(F.col(fk).isNotNull())
             .join(p, F.col(fk) == F.col("__pk"), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
+        # coalesce keeps an EMPTY child table at 0, matching the
+        # oracle's scalar COUNT subqueries — an audit must not report
+        # NULL on exactly the zero-row feed it exists to catch.
         stats = c.agg(
             F.count(F.lit(1)).alias("n_child_rows"),
-            F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+            F.coalesce(
+                F.sum(F.col(fk).isNull().cast("long")), F.lit(0).cast("long")
+            ).alias("n_null_fk"),
         )
         frames.append(
             stats.crossJoin(orphans).select(
@@ -412,10 +426,11 @@ def qc_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = t(spark, sf_dir, table)
         per_key = c.groupBy(*pk).agg(F.count(F.lit(1)).alias("c"))
         agg = per_key.agg(
-            F.sum("c").alias("n_rows"),
+            F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_rows"),
             F.count(F.lit(1)).alias("n_distinct_keys"),
             F.coalesce(
-                F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1)),
+                F.lit(0).cast("long"),
             ).alias("n_excess_rows"),
         )
         frames.append(agg.select(F.lit(table).alias("tbl"), "*"))

@@ -32,6 +32,7 @@ def dirty_embeddings_dir(spark, tmp_path_factory):
         (4, [float("inf"), 0.0, 0.0, 0.0], 0),
         (5, [0.0, 0.0, 0.0, 0.0], 0),
         (6, [1.0, 0.0, 0.0], 0),  # wrong dimensionality
+        (9, [None, 0.0, 0.0, 0.0], 0),  # NULL element: poisons like NaN
         # label 1: clean only.
         (7, [0.0, 1.0, 0.0, 0.0], 1),
         (8, [0.0, 0.0, 1.0, 0.0], 1),
@@ -48,9 +49,9 @@ def test_embedding_audit_flags_every_defect_class(spark, dirty_embeddings_dir):
         for r in _builder("qc_embedding_audit")(spark, dirty_embeddings_dir).collect()
     }
     r0 = out[0]
-    assert r0.n_vecs == 7
+    assert r0.n_vecs == 8
     assert r0.n_null == 1
-    assert r0.n_nonfinite == 2  # NaN row + Inf row
+    assert r0.n_nonfinite == 3  # NaN row + Inf row + NULL-element row
     assert r0.n_zero == 1
     assert r0.n_dim_mismatch == 1
     assert r0.modal_dim == 4  # five finite dim-4 rows beat the one dim-3 row
@@ -71,6 +72,7 @@ def pii_documents_dir(spark, tmp_path_factory):
         (0, "reach alice@example.com or bob@ex.org, call 555-1234 or 800-9999, host 10.0.0.1 up"),
         (1, "no identifiers here at all"),
         (2, None),
+        (3, "ping 1.2.3.4@ex.com now"),  # dotted quad INSIDE an email
     ]
     spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
         "overwrite"
@@ -112,6 +114,12 @@ def test_pii_scrub_finds_and_redacts_real_identifiers(spark, pii_documents_dir):
     # than inventing a zero — the QC layer upstream owns null-text policy.
     r2 = out[2]
     assert r2.n_emails is None and r2.redacted is None
+    # Progressive counting: the dotted quad inside the email local part
+    # is consumed by the email redaction — it is NOT double-reported as
+    # an IP (only the synthetic IP from the augmentation counts).
+    r3 = out[3]
+    assert (r3.n_emails, r3.n_ips, r3.n_phones) == (2, 1, 1)
+    assert "1.2.3.4" not in r3.redacted
 
 
 @pytest.fixture(scope="module")
@@ -224,7 +232,8 @@ def test_rag_chunks_overlap_and_cover(spark, tmp_path_factory):
     )
 
     root = tmp_path_factory.mktemp("rag_docs")
-    toks = [f"w{i}" for i in range(50)]  # 50 tokens -> starts 1, 25, 49
+    toks = [f"w{i}" for i in range(50)]  # 50 tokens -> starts 1, 25 (49 would
+    # be a strict sub-span of chunk 1 and must not be generated)
     rows = [(0, " ".join(toks)), (1, "only three tokens")]
     spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
         "overwrite"
@@ -234,7 +243,6 @@ def test_rag_chunks_overlap_and_cover(spark, tmp_path_factory):
     assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in d0] == [
         (0, 1, 32),
         (1, 25, 26),
-        (2, 49, 2),
     ]
     # Consecutive chunks overlap by CHUNK_TOK - CHUNK_STRIDE tokens and
     # their union covers every token exactly.
