@@ -1046,7 +1046,7 @@ def sim_knn_l2_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(qn) AS min_qnorm2,
            max(qn) AS max_qnorm2,
            CAST(sum(qn) AS DOUBLE) / count(qn) AS mean_qnorm2
-    FROM staged CROSS JOIN modal
+    FROM staged LEFT JOIN modal ON TRUE
     GROUP BY label
     ORDER BY label
     """,
@@ -1109,8 +1109,14 @@ def qc_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("ndim").alias("modal_dim"))
     )
+    # LEFT join on TRUE, not a cross join: when EVERY embedding is NULL
+    # the modal frame is empty and a cross join would empty the whole
+    # audit — on exactly the fully-broken feed it exists to catch
+    # (round-9 advice). With no non-null vector, modal_dim is NULL and
+    # the per-label NULL counts still surface (mismatch flags reduce to
+    # FALSE via the is_null conjunct, never to NULL).
     return (
-        staged.crossJoin(F.broadcast(modal))
+        staged.join(F.broadcast(modal), F.lit(True), "left")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -1194,9 +1200,15 @@ _MMR_ORACLE = (
           ON a.query_id = b.query_id AND a.vec_id != b.vec_id
     ),
     r1 AS (
+        -- Rank by the SAME {MMR_L} * rel expression the kernel scores
+        -- with (not bare rel): IEEE multiply by a constant is only
+        -- weakly monotone, so two rels one ulp apart can collapse to
+        -- equal scores — both sides must then tie-break on vec_id over
+        -- the identical score values (round-9 advice).
         SELECT query_id, vec_id, {MMR_L} * rel AS score,
                ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+                   PARTITION BY query_id
+                   ORDER BY {MMR_L} * rel DESC, vec_id) AS rn
         FROM cand
     ),
     sel1 AS (SELECT query_id, 1 AS pick, vec_id, score FROM r1 WHERE rn = 1),

@@ -300,7 +300,8 @@ _FK_EDGES = (
                (SELECT COUNT(*) FROM {child}) AS n_child_rows,
                (SELECT COUNT(*) FROM {child}
                  WHERE {fk} IS NOT NULL
-                   AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans,
+                   AND {fk} NOT IN (SELECT {pk} FROM {parent}
+                                     WHERE {pk} IS NOT NULL)) AS n_orphans,
                (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL)
                    AS n_null_fk
         """

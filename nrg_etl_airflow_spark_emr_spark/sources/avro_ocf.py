@@ -557,15 +557,31 @@ def write_avro(df: DataFrame, path: str) -> int:
     for stale in os.listdir(path):
         if stale.endswith(".avro"):
             os.unlink(os.path.join(path, stale))
-    def _ship(f):
+    def _wire_expr(f):
         if isinstance(f.dataType, T.DateType):
-            return F.datediff(F.col(f.name), F.lit("1970-01-01")).alias(f.name)
+            return F.datediff(F.col(f.name), F.lit("1970-01-01"))
         if isinstance(f.dataType, T.TimestampType):
-            return F.unix_micros(F.col(f.name)).alias(f.name)
+            return F.unix_micros(F.col(f.name))
         return F.col(f.name)
 
-    ship = [_ship(f) for f in schema.fields]
-    names = [f.name for f in schema.fields]
+    # Int-like columns ship as coalesce(wire, 0) PLUS an explicit boolean
+    # null-mask column: Arrow→pandas converts a nullable int column to
+    # NaN-filled float64, which silently rounds magnitudes >= 2^53
+    # (round-9 advice) — a non-null int64 column plus a bool mask crosses
+    # the boundary exactly at full 64-bit range. The fill value is
+    # arbitrary; the mask removes it from the encoding.
+    ship, names, mask_names = [], [], {}
+    for f in schema.fields:
+        wire = _wire_expr(f)
+        if isinstance(f.dataType, _INT_LIKE) and f.nullable:
+            mcol = f"__isnull__{f.name}"
+            ship.append(F.coalesce(wire, F.lit(0)).alias(f.name))
+            ship.append(wire.isNull().alias(mcol))
+            mask_names[f.name] = mcol
+            names.extend((f.name, mcol))
+        else:
+            ship.append(wire.alias(f.name))
+            names.append(f.name)
 
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
@@ -585,11 +601,17 @@ def write_avro(df: DataFrame, path: str) -> int:
         cols, nulls = [], []
         for f in schema.fields:
             s = pdf[f.name]
-            mask = s.isna().to_numpy(bool)
+            # Nullable int-likes carry a shipped mask column (see _ship
+            # note); their value column is non-null int64 end to end, so
+            # the float64-NaN representation — and its 2^53 precision
+            # cliff — never occurs. Everything else infers the mask from
+            # pandas NA as before.
+            if f.name in mask_names:
+                mask = pdf[mask_names[f.name]].to_numpy(bool)
+            else:
+                mask = s.isna().to_numpy(bool)
             if isinstance(f.dataType, _INT_LIKE):
-                # Nullable ints arrive as float64 (NaN) or Int64; fill
-                # nulls with 0 — masked out of the encoding anyway.
-                cols.append(s.fillna(0).to_numpy(np.int64))
+                cols.append(s.to_numpy(np.int64))
             elif isinstance(f.dataType, T.DoubleType):
                 cols.append(s.fillna(0.0).to_numpy(np.float64))
             elif isinstance(f.dataType, T.BooleanType):

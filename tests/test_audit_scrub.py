@@ -270,3 +270,85 @@ def test_pk_duplicates_counts_excess_rows(spark, dirty_star_dir):
             out["lineitem"].n_excess_rows) == (4, 3, 1)
     clean = [t for t in out if t not in ("documents", "lineitem")]
     assert all(out[t].n_excess_rows == 0 for t in clean)
+
+
+def test_fk_orphans_oracle_survives_null_parent_pk(spark, tmp_path_factory):
+    """Oracle-parity pin for the NOT-IN NULL hazard (round-9 advice).
+
+    A NULL PARENT PK plus a real orphan on the same edge: three-valued
+    ``fk NOT IN (SELECT pk ...)`` collapses n_orphans to 0 unless the
+    subquery null-filters the PK side, while the Spark LEFT ANTI join
+    (NULL never equi-matches) still counts the orphan. Runs the
+    registered builder AND its DuckDB oracle over the same crafted star
+    and requires them to agree on exactly this dirty shape.
+    """
+    import duckdb
+
+    root = tmp_path_factory.mktemp("nullpk_star")
+    tables = {
+        "region": ([(0,)], "r_regionkey long"),
+        "nation": ([(0, 0)], "n_nationkey long, n_regionkey long"),
+        # Parent PK contains a NULL; order 1 is a REAL orphan on this edge.
+        "customer": ([(0, 0), (None, 0)], "c_custkey long, c_nationkey long"),
+        "supplier": ([(0, 0)], "s_suppkey long, s_nationkey long"),
+        "part": ([(0,)], "p_partkey long"),
+        "orders": ([(0, 0), (1, 42)], "o_orderkey long, o_custkey long"),
+        "lineitem": ([(0, 0, 0)], "l_orderkey long, l_partkey long, l_suppkey long"),
+        "events": ([(0,)], "event_id long"),
+        "documents": ([(0,)], "doc_id long"),
+        "embeddings": ([(0,)], "vec_id long"),
+    }
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(root / f"{name}.parquet"))
+
+    spec = all_specs()["qc_fk_orphans"]
+    got = {r.edge: r.n_orphans for r in spec.builder(spark, str(root)).collect()}
+    assert got["orders.o_custkey->customer"] == 1  # anti-join sees through the NULL PK
+
+    con = duckdb.connect()
+    try:
+        for name in tables:
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{root}/{name}.parquet/*.parquet')"
+            )
+        oracle = {r[0]: r[2] for r in con.sql(spec.oracle).fetchall()}
+    finally:
+        con.close()
+    assert oracle == got
+
+
+def test_embedding_audit_reports_on_fully_null_feed(spark, tmp_path_factory):
+    """Round-9 advice pin: when EVERY embedding is NULL the modal-dim
+    frame is empty; the audit must still emit per-label rows (the old
+    cross join emptied the whole report on exactly this feed). Runs the
+    oracle too so both engines agree on the NULL-modal shape."""
+    import duckdb
+
+    root = tmp_path_factory.mktemp("allnull_emb")
+    rows = [(0, None, 0), (1, None, 0), (2, None, 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+
+    spec = all_specs()["qc_embedding_audit"]
+    out = {r.label: r for r in spec.builder(spark, str(root)).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].n_vecs, out[0].n_null, out[0].n_dim_mismatch) == (2, 2, 0)
+    assert (out[1].n_vecs, out[1].n_null) == (1, 1)
+    assert out[0].modal_dim is None and out[0].min_qnorm2 is None
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{root}/embeddings.parquet/*.parquet')"
+        )
+        orows = con.sql(spec.oracle).fetchall()
+    finally:
+        con.close()
+    assert sorted(orows) == sorted(
+        tuple(r) for r in spec.builder(spark, str(root)).collect()
+    )

@@ -175,3 +175,22 @@ def test_read_avro_split_equals_whole_file_read(spark, tmp_path):
     back = read_avro_split(spark, path, schema, num_splits=16)
     assert back.schema == schema
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_spark_roundtrip_exact_beyond_float53(spark, tmp_path):
+    """Round-9 advice pin: a NULLABLE long column whose non-null values
+    exceed 2^53 must round-trip bit-exactly. Arrow hands nullable ints
+    to pandas as NaN-filled float64, which rounds above 2^53 — the sink
+    ships coalesce(x,0) plus an explicit bool null-mask instead, so the
+    value column crosses the boundary as exact int64."""
+    big = 2**53 + 1          # first integer float64 cannot represent
+    huge = 2**62 + 12345     # deep into the lossy range
+    rows = [(1, big), (2, None), (3, huge), (4, -big)]
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    src = spark.createDataFrame(rows, schema).repartition(2)
+    path = str(tmp_path / "avro_big")
+    write_avro(src, path)
+    back = read_avro(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
