@@ -539,3 +539,272 @@ def qc_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# --- Approx column profile (HLL registers, no Expand) --------------------------
+
+# The exact profile above pays multi-COUNT(DISTINCT)'s Expand: a 6x scan
+# fan-out whose shuffle carries every distinct value. This twin replaces
+# the distincts with a RELATIONAL HyperLogLog — deterministic hash60 into
+# _HLL_M registers, max rho per register, integer-exact 2^(51-rho) sums —
+# so the estimate itself is oracle-gated to the bit (the KMV precedent,
+# approx_kmv_distinct): the only float steps are one literal/S division
+# (verified IEEE-identical across engines) and a PRECOMPUTED linear-
+# counting literal table (native ln diverges between engines in the last
+# ulp on 302/4096 probed inputs, so ln never executes in either engine —
+# both look the value up from the same Python-rendered literal).
+#
+# Scale story (the reason this twin exists): registers aggregate
+# map-side to at most _HLL_M rows per (table, column) per partition, so
+# the shuffle is O(columns x 1024) REGARDLESS of data size, and register
+# frames from different shards MERGE by max(rho) — the 100 TB profile is
+# this exact plan; the exact variant (qc_orders_profile) stays as the
+# small-data oracle baseline.
+
+_HLL_M = 1024                      # registers per column: rsd ~3.2%
+_HLL_W_BITS = 51                   # hash60 minus 10 bucket bits + 1
+# alpha_m * m^2 * 2^51 as ONE literal: both engines parse the identical
+# decimal string, so raw = _LIT / S is a single shared-literal division.
+_HLL_LIT = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**51)
+_HLL_LC_CUTOFF = 2.5 * _HLL_M      # below this, linear counting wins
+
+
+def _hll_lc_table() -> list[tuple[int, float]]:
+    """(m0, m*ln(m/m0)) for every possible zero-register count — ln runs
+    HERE once, and both engines consume the rendered literals."""
+    import math
+
+    return [(m0, _HLL_M * math.log(_HLL_M / m0)) for m0 in range(1, _HLL_M + 1)]
+
+
+# (table, column, kind) — kind picks the engine-portable string rendering
+# used BOTH for min/max output and as the hash input: ints verbatim,
+# doubles as exact integer cents (CAST DOUBLE->VARCHAR is the one
+# rendering the engines disagree on), timestamps as ISO dates.
+_APPROX_PROFILE = (
+    ("orders", "o_orderkey", "int"),
+    ("orders", "o_custkey", "int"),
+    ("orders", "o_orderstatus", "str"),
+    ("orders", "o_totalprice", "money"),
+    ("orders", "o_orderdate", "date"),
+    ("orders", "o_orderpriority", "str"),
+    ("customer", "c_custkey", "int"),
+    ("customer", "c_nationkey", "int"),
+    ("customer", "c_acctbal", "money"),
+    ("customer", "c_mktsegment", "str"),
+    ("part", "p_partkey", "int"),
+    ("part", "p_brand", "str"),
+    ("part", "p_size", "int"),
+    ("part", "p_retailprice", "money"),
+    ("supplier", "s_suppkey", "int"),
+    ("supplier", "s_nationkey", "int"),
+    ("supplier", "s_acctbal", "money"),
+    ("lineitem", "l_orderkey", "int"),
+    ("lineitem", "l_quantity", "money"),
+    ("lineitem", "l_shipdate", "date"),
+    ("lineitem", "l_returnflag", "str"),
+)
+
+_PROFILE_TABLES = tuple(dict.fromkeys(tbl for tbl, _, _ in _APPROX_PROFILE))
+
+
+def _render_sql(kind: str, expr: str) -> str:
+    if kind == "int":
+        return f"CAST({expr} AS VARCHAR)"
+    if kind == "money":
+        return f"CAST(CAST(floor({expr} * 100) AS BIGINT) AS VARCHAR)"
+    if kind == "date":
+        return f"CAST(CAST({expr} AS DATE) AS VARCHAR)"
+    return expr
+
+
+def _render_spark(kind: str, col):
+    if kind == "int":
+        return col.cast("string")
+    if kind == "money":
+        return F.floor(col * 100).cast("bigint").cast("string")
+    if kind == "date":
+        return col.cast("date").cast("string")
+    return col
+
+
+def _approx_profile_oracle() -> str:
+    from ..functions.hashing import sql_hash60
+
+    vals = "\n        UNION ALL ".join(
+        f"""SELECT '{tbl}' AS tbl, '{c}' AS col,
+                {_render_sql(kind, c)} AS sval
+            FROM {tbl} WHERE {c} IS NOT NULL"""
+        for tbl, c, kind in _APPROX_PROFILE
+    )
+    stats = "\n        UNION ALL ".join(
+        f"""SELECT '{tbl}' AS tbl, '{c}' AS col,
+                COUNT(*) AS n_rows,
+                COUNT(*) - COUNT({c}) AS n_null,
+                {_render_sql(kind, f"MIN({c})")} AS min_val,
+                {_render_sql(kind, f"MAX({c})")} AS max_val
+            FROM {tbl}"""
+        for tbl, c, kind in _APPROX_PROFILE
+    )
+    # CAST through VARCHAR: a bare decimal literal in VALUES parses as
+    # DECIMAL in DuckDB and re-rounds on the way to DOUBLE; the string
+    # parse is the correctly-rounded shortest-repr round-trip.
+    lc_rows = ", ".join(
+        f"({m0}, CAST('{est!r}' AS DOUBLE))" for m0, est in _hll_lc_table()
+    )
+    h = sql_hash60("'prof:' || col || ':' || sval")
+    return f"""
+    WITH vals AS (
+        {vals}
+    ),
+    regs AS (
+        SELECT tbl, col, h % {_HLL_M} AS bucket,
+               MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W_BITS}
+                        ELSE {_HLL_W_BITS} - length(bin(h // {_HLL_M}))
+                   END) AS mrho
+        FROM (SELECT tbl, col, {h} AS h FROM vals)
+        GROUP BY tbl, col, bucket
+    ),
+    sk AS (
+        SELECT tbl, col,
+               SUM(CAST(1 AS BIGINT) << ({_HLL_W_BITS} - mrho))
+                   + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_W_BITS})
+                   AS s,
+               {_HLL_M} - COUNT(*) AS m0
+        FROM regs GROUP BY tbl, col
+    ),
+    lc(m0, lc_est) AS (VALUES {lc_rows}),
+    est AS (
+        SELECT sk.tbl, sk.col,
+               CASE WHEN sk.m0 > 0
+                         AND {_HLL_LIT} / CAST(sk.s AS DOUBLE) <= {_HLL_LC_CUTOFF!r}
+                    THEN lc.lc_est
+                    ELSE {_HLL_LIT} / CAST(sk.s AS DOUBLE) END AS nd_approx
+        FROM sk LEFT JOIN lc ON lc.m0 = sk.m0
+    ),
+    stats AS (
+        {stats}
+    )
+    SELECT st.tbl, st.col,
+           CAST(st.n_rows AS BIGINT) AS n_rows,
+           CAST(st.n_null AS BIGINT) AS n_null,
+           COALESCE(e.nd_approx, 0.0) AS nd_approx,
+           st.min_val, st.max_val
+    FROM stats st LEFT JOIN est e ON e.tbl = st.tbl AND e.col = st.col
+    ORDER BY st.tbl, st.col
+    """
+
+
+@register(
+    "qc_table_profile_approx",
+    oracle=_approx_profile_oracle(),
+    tags=("qc", "agg", "sketch"),
+    window_defer=True,
+    doc="Column profile across the star's five scaling tables with HLL "
+    "distinct estimates — the 100 TB twin of qc_orders_profile: exact "
+    "row/null counts and portable min/max from one fused aggregate per "
+    "table (count/min/max need no Expand), plus a relational "
+    f"HyperLogLog per column ({_HLL_M} registers over hash60, max-rho "
+    "per register, integer-exact 2^(51-rho) sums so the ESTIMATE is "
+    "oracle-gated bit-for-bit; linear-counting correction below "
+    f"{_HLL_LC_CUTOFF:.0f} comes from a precomputed literal table "
+    "because native ln diverges across engines in the last ulp). The "
+    "register aggregation collapses map-side to <= 1024 rows per "
+    "column per partition — the shuffle is O(columns x 1024) at any "
+    "data size, and register frames merge by max(rho), which is the "
+    "distributed-combine story multi-COUNT(DISTINCT)'s Expand plan "
+    "cannot offer. The exact variant stays registered as the oracle "
+    "baseline; accuracy vs exact pinned in tests/test_qc.py.",
+)
+def qc_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for tbl, c, kind in _APPROX_PROFILE:
+        by_table.setdefault(tbl, []).append((c, kind))
+
+    val_frames, stat_frames = [], []
+    for tbl, cols in by_table.items():
+        d = t(spark, sf_dir, tbl)
+        # Render first (named projection), THEN stack on the rendered
+        # names: stack() takes SQL text, and rendered-expression strings
+        # would couple this builder to Column.toString round-trips.
+        rendered = d.select(
+            *[_render_spark(kind, F.col(c)).alias(f"sv_{c}") for c, kind in cols]
+        )
+        branches = ", ".join(f"'{c}', sv_{c}" for c, _ in cols)
+        val_frames.append(
+            rendered.select(
+                F.lit(tbl).alias("tbl"),
+                F.expr(f"stack({len(cols)}, {branches}) AS (col, sval)"),
+            ).filter(F.col("sval").isNotNull())
+        )
+        aggs = []
+        for c, kind in cols:
+            aggs += [
+                F.count(F.lit(1)).alias(f"nr_{c}"),
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nl_{c}"),
+                _render_spark(kind, F.min(F.col(c))).alias(f"mn_{c}"),
+                _render_spark(kind, F.max(F.col(c))).alias(f"mx_{c}"),
+            ]
+        stacked = ", ".join(
+            f"'{c}', nr_{c}, nl_{c}, mn_{c}, mx_{c}" for c, _ in cols
+        )
+        stat_frames.append(
+            d.agg(*aggs).select(
+                F.lit(tbl).alias("tbl"),
+                F.expr(
+                    f"stack({len(cols)}, {stacked}) AS "
+                    "(col, n_rows, n_null, min_val, max_val)"
+                ),
+            )
+        )
+
+    vals = val_frames[0]
+    for fme in val_frames[1:]:
+        vals = vals.unionByName(fme)
+    stats = stat_frames[0]
+    for fme in stat_frames[1:]:
+        stats = stats.unionByName(fme)
+
+    from ..functions.hashing import hash60
+
+    h = hash60(F.concat(F.lit("prof:"), F.col("col"), F.lit(":"), F.col("sval")))
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS)).otherwise(
+        F.lit(_HLL_W_BITS) - F.length(F.bin(w))
+    )
+    regs = (
+        vals.select("tbl", "col", h.alias("h"))
+        .select("tbl", "col", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("tbl", "col", "bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    sk = regs.groupBy("tbl", "col").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS} - mrho)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_W_BITS).cast("long")
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("m0"),
+    )
+    lc = spark.createDataFrame(_hll_lc_table(), "m0 int, lc_est double")
+    raw = F.expr(f"{_HLL_LIT} / CAST(s AS DOUBLE)")
+    est = sk.join(F.broadcast(lc), "m0", "left").select(
+        "tbl",
+        "col",
+        F.when((F.col("m0") > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)), F.col("lc_est"))
+        .otherwise(raw)
+        .alias("nd_approx"),
+    )
+    return (
+        stats.join(est, ["tbl", "col"], "left")
+        .select(
+            "tbl",
+            "col",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.coalesce(F.col("nd_approx"), F.lit(0.0)).alias("nd_approx"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("tbl", "col")
+    )

@@ -830,3 +830,13 @@ def test_substring_spans_plan_is_keyed_and_cached(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, (
         "both anchor-join sides must consume the cached seed frame"
     )
+
+
+def test_profile_approx_has_no_expand(spark, sf_dir):
+    """qc_table_profile_approx exists to dodge multi-COUNT(DISTINCT)'s
+    Expand fan-out; its plan must contain no Expand node, and the
+    register aggregation must partially aggregate map-side (HashAggregate
+    before the exchange on the register keys)."""
+    plan = _plan(spark, sf_dir, "qc_table_profile_approx")
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan

@@ -153,3 +153,26 @@ def test_audit_frame_flags_failures(spark, sf_dir):
     nulls = rows["documents_doc_id_nulls"]
     assert nulls.passed is False and nulls.actual > 0
     assert rows["documents_text_nulls"].passed is True
+
+
+def test_profile_approx_tracks_exact_distincts(spark, sf_dir, duck):
+    """The HLL estimates stay within the m=1024 design envelope
+    (rsd 3.25%; assert 4 sigma = 13%) of the exact per-column distinct
+    counts, and low-cardinality columns land on the linear-counting
+    branch nearly exactly. This is the accuracy gate the oracle cannot
+    provide (the oracle replays the same estimator; THIS compares
+    against ground truth)."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import _APPROX_PROFILE
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    out = {
+        (r.tbl, r.col): r
+        for r in all_specs()["qc_table_profile_approx"].builder(spark, sf_dir).collect()
+    }
+    assert set(out) == {(tbl, c) for tbl, c, _ in _APPROX_PROFILE}
+    for tbl, c, _ in _APPROX_PROFILE:
+        exact = duck.sql(f"SELECT COUNT(DISTINCT {c}) FROM {tbl}").fetchone()[0]
+        got = out[(tbl, c)].nd_approx
+        assert abs(got - exact) <= max(0.13 * exact, 1.0), (tbl, c, got, exact)
+        if exact <= 50:  # linear-counting regime: near-exact
+            assert abs(got - exact) <= max(0.04 * exact, 0.5), (tbl, c, got, exact)
