@@ -1349,8 +1349,13 @@ _SPAN_SEED_SQL = sql_hash60(
     f"maximal islands: stride-1 windows make a shared region an "
     f"unbroken run of matching anchors, so consecutive-anchor islands "
     f"ARE the maximal spans, reported when >= {SPAN_MIN} tokens. "
-    f"Scale shape: the window hashing is one map pass (swap md5 for "
-    f"xxhash64 + a rolling recurrence at 100 TB), the anchor join is a "
+    f"Scale shape: the window hashing is one map pass; the xxhash64+"
+    f"integer-fold swap was MEASURED and REJECTED at sf1 (BASELINE.md "
+    f"'Span seed-hash formulation': interpreted HOF lambdas make the "
+    f"folds cost more than the codegen-visible md5 — an O(1) rolling "
+    f"recurrence would need a prefix scan Spark's HOFs lack, i.e. a "
+    f"mapInPandas kernel, trading the no-Python-hot-path rule for a "
+    f"constant that is not currently the bill), the anchor join is a "
     f"keyed equi-join bounded by the occurrence cap — never all-pairs — "
     f"and the island merge windows over (pair, diagonal), never "
     f"globally. Detection is exact for spans >= {SPAN_MIN} modulo "
@@ -1371,6 +1376,17 @@ def substring_spans(docs: DataFrame) -> DataFrame:
     staged = docs.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= SPAN_W
     )
+    # Seed hashing stays md5-per-window DELIBERATELY (round-9 A/B,
+    # BASELINE.md "Span seed-hash formulation"): the long-promised
+    # "xxhash64 tokens + integer polynomial fold" swap was built and
+    # measured at sf1 and did NOT win — 1.11s (two-lane fold) / 2.53s
+    # (struct-accumulator fold) vs 1.03s (this md5) on the isolated
+    # map pass, because HOF lambdas execute as interpreted expression
+    # trees: sixteen interpreted mod-muls per window cost more than one
+    # codegen-visible md5 call, and the fold's per-window F.slice adds
+    # an array copy md5's concat_ws doesn't. Keeping md5 also keeps the
+    # stronger oracle story — the oracle replays hash60 bit-for-bit,
+    # collisions included.
     seed_hashes = F.transform(
         F.sequence(F.lit(1), F.size("toks") - SPAN_W + 1),
         lambda p: hash60(F.concat_ws(" ", F.slice(F.col("toks"), p, SPAN_W))),

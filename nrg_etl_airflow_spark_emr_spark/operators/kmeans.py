@@ -397,12 +397,11 @@ def _sql_d2(a: str, b: str) -> str:
     )
 
 
-def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
-    """Mechanically unroll the quantized-Lloyd trainer + IVF search as
-    one DuckDB query: iteration i's CTEs (a{i} assign, m{i} floor-mean
-    update, cent{i} re-assembled centroid arrays) are generated by the
-    same loop count the Spark builder uses, so trainer and oracle can
-    never drift on the iteration count."""
+def _ivf_trained_parts(k: int, iters: int, nprobe: int, nq: int) -> list[str]:
+    """CTE parts of the trained-IVF search, up to ``scored(query_id,
+    vec_id, cosine, fe, nrm)`` — shared by _ivf_trained_oracle (top-5
+    select) and sim_knn_ivf_mmr's oracle (top-C candidates into the MMR
+    rounds), so the trainer unroll exists exactly once."""
     parts = [
         f"cent0 AS (SELECT vec_id AS cid, fe AS c_q"
         f" FROM vecs ORDER BY vec_id LIMIT {k})"
@@ -458,12 +457,19 @@ def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
     parts.append(
         """scored AS (
         SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
-               list_dot_product(q.fe, a.fe) / (q.nrm * a.nrm) AS cosine
+               list_dot_product(q.fe, a.fe) / (q.nrm * a.nrm) AS cosine,
+               a.fe AS fe, a.nrm AS nrm
         FROM probes p
         JOIN q ON q.vec_id = p.query_id
         JOIN fassign a ON a.cid = p.cid AND a.vec_id != q.vec_id)"""
     )
-    body = ",\n    ".join(parts)
+    return parts
+
+
+def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
+    """Trained-IVF top-5: the shared trainer/search CTEs plus the final
+    re-rank select."""
+    body = ",\n    ".join(_ivf_trained_parts(k, iters, nprobe, nq))
     return f"""
     WITH {_SQL_VEC_CTE},
     {body}
@@ -510,6 +516,16 @@ def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
     "bill.",
 )
 def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_trained_shortlist(spark, sf_dir, topn=5).select(
+        "query_id", "vec_id", "cosine", "rn"
+    )
+
+
+def ivf_trained_shortlist(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
+    """Per-query top-``topn`` of the trained-IVF search, carrying each
+    hit's (fe, nrm) so downstream rerank stages (sim_knn_ivf_mmr) can
+    compute candidate-set pairwise cosines without joining back to the
+    vector table. Columns: query_id, vec_id, cosine, rn, fe, nrm."""
     v = _vectors(spark, sf_dir).cache()
     guard = _long_d2_guard(v, "fe")
     d2 = F.aggregate(
@@ -598,10 +614,73 @@ def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        cand.select("query_id", "vec_id", cosine.alias("cosine"))
-        .select("query_id", "vec_id", "cosine", F.row_number().over(rw).alias("rn"))
-        .filter(F.col("rn") <= 5)
+        cand.select("query_id", "vec_id", cosine.alias("cosine"), "fe", "nrm")
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            F.row_number().over(rw).alias("rn"),
+            "fe",
+            "nrm",
+        )
+        .filter(F.col("rn") <= topn)
         .crossJoin(F.broadcast(guard))
         .filter(F.col("d2_ok").isNull())
         .drop("d2_ok")
     )
+
+
+# --- Composed ANN -> rerank (the production RAG retrieval path) ---------------
+
+
+def _ivf_mmr_oracle() -> str:
+    from ..operators.similarity import MMR_C, mmr_oracle_tail
+
+    body = ",\n    ".join(
+        _ivf_trained_parts(K_DEFAULT, IVF_TRAIN_ITERS, NPROBE, N_QUERIES)
+    )
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body},
+    cand AS (
+        SELECT query_id, vec_id, cosine AS rel, fe, nrm FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {MMR_C}
+    ),
+    {mmr_oracle_tail()}
+    """
+
+
+@register(
+    "sim_knn_ivf_mmr",
+    oracle=_ivf_mmr_oracle(),
+    tags=("similarity", "topk", "rerank", "iterative"),
+    window_defer=True,
+    doc="Trained-IVF shortlist feeding the MMR diversification rerank — "
+    "the end-to-end RAG retrieval path, composing the two round-8 "
+    "flagships: candidates come from ivf_trained_shortlist (quantized-"
+    "Lloyd centroids, nprobe cell routing, exact fixed-point cosines "
+    "within probed cells) instead of sim_knn_mmr's brute-force full-"
+    "corpus relevance scan, then similarity.mmr_rerank greedily picks "
+    "K of the top-C with the lam*rel - (1-lam)*max-sim recurrence in "
+    "one grouped-map kernel per query. The oracle nests the two "
+    "existing oracles the way corpus_training_card does: the trainer/"
+    "search CTEs from _ivf_trained_parts, a top-C cand CTE, and "
+    "similarity.mmr_oracle_tail's unrolled greedy rounds — both halves' "
+    "semantics exist exactly once in the codebase. Fewer than C "
+    "candidates per query (IVF probes a subset of cells) partial-fill "
+    "identically on both sides. Scale: the candidate stage now touches "
+    "nprobe cells instead of the corpus — the composition is what makes "
+    "MMR production-shaped at 100 TB; the rerank stays O(q*C^2) "
+    "post-ANN.",
+)
+def sim_knn_ivf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import MMR_C, mmr_rerank
+
+    cand = ivf_trained_shortlist(spark, sf_dir, topn=MMR_C).select(
+        "query_id", "vec_id", F.col("cosine").alias("rel"), "fe", "nrm"
+    )
+    return mmr_rerank(cand)

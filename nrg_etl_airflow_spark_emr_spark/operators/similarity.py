@@ -1176,24 +1176,15 @@ def _mmr_round_sql(t: int) -> str:
     sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM p{t})"""
 
 
-_MMR_ORACLE = (
-    f"""
-    WITH {_SQL_VEC_CTE},
-    q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
-    scored AS (
-        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
-               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS rel,
-               v.fe AS fe, v.nrm AS nrm
-        FROM q JOIN vecs v ON v.vec_id != q.vec_id
-    ),
-    cand AS (
-        SELECT query_id, vec_id, rel, fe, nrm FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
-            FROM scored
-        ) WHERE rn <= {MMR_C}
-    ),
-    psim AS (
+def mmr_oracle_tail() -> str:
+    """SQL of the greedy rerank, from the pairwise sims to the final
+    select. Assumes a CTE ``cand(query_id, vec_id, rel, fe, nrm)`` is
+    already in scope — sim_knn_mmr supplies the brute-force top-C,
+    sim_knn_ivf_mmr (operators/kmeans.py) the trained-IVF shortlist;
+    the rounds themselves are the one shared definition, so the two
+    oracles can never drift on the greedy semantics."""
+    return (
+        f"""psim AS (
         SELECT a.query_id, a.vec_id AS vid_a, b.vec_id AS vid_b,
                list_dot_product(a.fe, b.fe) / (a.nrm * b.nrm) AS sim
         FROM cand a JOIN cand b
@@ -1213,11 +1204,33 @@ _MMR_ORACLE = (
     ),
     sel1 AS (SELECT query_id, 1 AS pick, vec_id, score FROM r1 WHERE rn = 1),
 """
-    + ",".join(_mmr_round_sql(t) for t in range(2, MMR_K + 1))
-    + f"""
+        + ",".join(_mmr_round_sql(t) for t in range(2, MMR_K + 1))
+        + f"""
     SELECT query_id, CAST(pick AS INTEGER) AS pick, vec_id, score
     FROM sel{MMR_K} ORDER BY query_id, pick
     """
+    )
+
+
+_MMR_ORACLE = (
+    f"""
+    WITH {_SQL_VEC_CTE},
+    q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS rel,
+               v.fe AS fe, v.nrm AS nrm
+        FROM q JOIN vecs v ON v.vec_id != q.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id, rel, fe, nrm FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {MMR_C}
+    ),
+"""
+    + mmr_oracle_tail()
 )
 
 
@@ -1262,14 +1275,25 @@ def sim_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", rel.alias("rel"), "fe", "nrm")
     )
     wrel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
-    # cache(): cand feeds both sides of the pairwise-sim self-join
-    # (CollapseProject barrier, same as the sketch frames).
     cand = (
         scored.withColumn("rn", F.row_number().over(wrel))
         .filter(F.col("rn") <= MMR_C)
         .select("query_id", "vec_id", "rel", "fe", "nrm")
-        .cache()
     )
+    return mmr_rerank(cand)
+
+
+def mmr_rerank(cand: DataFrame) -> DataFrame:
+    """Greedy MMR over an arbitrary candidate frame
+    ``(query_id, vec_id, rel, fe, nrm)`` — the stage shared by
+    sim_knn_mmr (brute-force candidates) and sim_knn_ivf_mmr
+    (trained-IVF shortlist, operators/kmeans.py). Computes the
+    candidate-set pairwise cosines relationally, then runs the K greedy
+    rounds as ONE grouped-map kernel per query (the formulation the
+    round-8 A/B kept: 5.4x over the plan-unrolled variant)."""
+    # cache(): cand feeds both sides of the pairwise-sim self-join
+    # (CollapseProject barrier, same as the sketch frames).
+    cand = cand.cache()
     a = cand.select(
         "query_id",
         F.col("vec_id").alias("vid_a"),

@@ -840,3 +840,20 @@ def test_profile_approx_has_no_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "qc_table_profile_approx")
     assert "Expand" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ivf_mmr_candidates_are_cell_routed(spark, sf_dir):
+    """sim_knn_ivf_mmr exists to replace sim_knn_mmr's brute-force
+    relevance stage: the query-vs-corpus candidate join must be an
+    equi-join keyed on the trained cell id (probes x fassign), never a
+    full-corpus nested loop. The remaining nested loops are k-row
+    centroid broadcasts and the 1-row d2 guard — all bounded."""
+    plan = _plan(spark, sf_dir, "sim_knn_ivf_mmr")
+    assert "CartesianProduct" not in plan
+    cell_keyed = [
+        line
+        for line in plan.splitlines()
+        if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and "[cid" in line
+    ]
+    assert cell_keyed, "candidate stage must route through trained cells"
