@@ -1190,6 +1190,7 @@ def _sql_incremental_lsh_oracle() -> str:
 
 @register(
     "dedup_incremental_lsh",
+    bench=True,
     oracle=_sql_incremental_lsh_oracle(),
     tags=("dedup", "sketch", "incremental"),
     window_defer=True,
@@ -1285,6 +1286,7 @@ _SPAN_SEED_SQL = sql_hash60(
 
 @register(
     "dedup_substring_spans",
+    bench=True,
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks,

@@ -485,6 +485,7 @@ def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
 
 @register(
     "sim_knn_ivf_trained",
+    bench=True,
     oracle=_ivf_trained_oracle(K_DEFAULT, IVF_TRAIN_ITERS, NPROBE, N_QUERIES),
     tags=("similarity", "topk", "iterative"),
     window_defer=True,
@@ -656,6 +657,7 @@ def _ivf_mmr_oracle() -> str:
 
 @register(
     "sim_knn_ivf_mmr",
+    bench=True,
     oracle=_ivf_mmr_oracle(),
     tags=("similarity", "topk", "rerank", "iterative"),
     window_defer=True,

@@ -1236,6 +1236,7 @@ _MMR_ORACLE = (
 
 @register(
     "sim_knn_mmr",
+    bench=True,
     oracle=_MMR_ORACLE,
     tags=("similarity", "topk", "rerank"),
     window_defer=True,

@@ -1589,6 +1589,7 @@ _PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
 
 @register(
     "text_pii_scrub",
+    bench=True,
     oracle=f"""
     WITH aug AS (
         SELECT doc_id,
@@ -1687,6 +1688,7 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
 
 @register(
     "text_chunk_for_rag",
+    bench=True,
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks,

@@ -295,6 +295,7 @@ _FK_EDGES = (
 
 @register(
     "qc_fk_orphans",
+    bench=True,
     oracle="\n    UNION ALL ".join(
         f"""SELECT '{edge}' AS edge,
                (SELECT COUNT(*) FROM {child}) AS n_child_rows,
@@ -697,6 +698,7 @@ def _approx_profile_oracle() -> str:
 
 @register(
     "qc_table_profile_approx",
+    bench=True,
     oracle=_approx_profile_oracle(),
     tags=("qc", "agg", "sketch"),
     window_defer=True,
