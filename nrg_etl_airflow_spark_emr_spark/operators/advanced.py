@@ -626,3 +626,137 @@ def approx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
     ).orderBy(F.col("true_cnt").desc(), "l_partkey")
+
+
+# --- KMV set algebra: pre-join overlap estimation ------------------------------
+
+KMVJ_K = 256  # union-sketch size (same k as approx_kmv_distinct)
+
+
+@register(
+    "approx_kmv_join_size",
+    oracle=f"""
+    WITH ha AS (
+        SELECT DISTINCT {_sql_hash60("'kmvj:' || CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    hb AS (
+        SELECT DISTINCT {_sql_hash60("'kmvj:' || CAST(c_custkey AS VARCHAR)")} AS h
+        FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    u AS (
+        SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        ORDER BY h LIMIT {KMVJ_K}
+    ),
+    flags AS (
+        SELECT u.h,
+               CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM u LEFT JOIN ha a ON a.h = u.h LEFT JOIN hb b ON b.h = u.h
+    ),
+    sk AS (
+        SELECT COUNT(*) AS m, MAX(h) AS kth,
+               SUM(in_a * in_b) AS n_both
+        FROM flags
+    ),
+    ex AS (
+        SELECT (SELECT COUNT(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+                   AS n_union,
+               (SELECT COUNT(*) FROM ha WHERE h IN (SELECT h FROM hb))
+                   AS n_intersect
+    )
+    SELECT CAST(sk.m AS BIGINT) AS m,
+           CAST(sk.n_both AS BIGINT) AS n_both,
+           CASE WHEN sk.m < {KMVJ_K} THEN CAST(sk.m AS DOUBLE)
+                ELSE CAST({KMVJ_K - 1} AS DOUBLE) * {_KMV_SPACE!r}
+                     / CAST(sk.kth AS DOUBLE) END AS union_est,
+           CAST(sk.n_both AS DOUBLE) / CAST(sk.m AS DOUBLE) AS jaccard_est,
+           (CAST(sk.n_both AS DOUBLE) / CAST(sk.m AS DOUBLE))
+               * (CASE WHEN sk.m < {KMVJ_K} THEN CAST(sk.m AS DOUBLE)
+                       ELSE CAST({KMVJ_K - 1} AS DOUBLE) * {_KMV_SPACE!r}
+                            / CAST(sk.kth AS DOUBLE) END) AS intersect_est,
+           CAST(ex.n_union AS BIGINT) AS n_union,
+           CAST(ex.n_intersect AS BIGINT) AS n_intersect
+    FROM sk CROSS JOIN ex
+    """,
+    tags=("agg", "sketch", "join"),
+    window_defer=True,
+    doc=f"KMV set algebra — pre-join cardinality estimation, completing "
+    "the mergeable-sketch family (KMV distinct, CMS frequency, bitmap "
+    "retention, and now OVERLAP): estimate |A ∪ B|, Jaccard(A, B), and "
+    "|A ∩ B| between two key sets (orders.o_custkey vs "
+    f"customer.c_custkey) from one {KMVJ_K}-minima union sketch — the "
+    "audit that decides broadcast vs shuffle vs bloom BEFORE paying the "
+    "join. Union estimate = (k-1)*2^60/h_k over the union's k smallest "
+    "distinct hashes (exact-m fallback below k); Jaccard = the fraction "
+    "of those minima present in BOTH sides (membership by equi-join "
+    "against each side's distinct-hash set); intersection = the "
+    "product. Everything derives from the deterministic hash60, so the "
+    "ESTIMATES are oracle-gated bit-for-bit (one division and one "
+    "multiply in IEEE double, shared literals); exact union/intersect "
+    "counts ride along for the visible error, dropped at scale. "
+    "100 TB: each side's k-minima computes per shard and merges by "
+    "re-taking the k smallest (the approx_kmv_distinct combine); the "
+    "membership probes are k-row broadcasts. Accuracy and the "
+    "exact-below-k regime pinned in tests/test_approx.py.",
+)
+def approx_kmv_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import hash60
+
+    def side(tbl: str, col: str) -> DataFrame:
+        return (
+            t(spark, sf_dir, tbl)
+            .filter(F.col(col).isNotNull())
+            .select(
+                hash60(
+                    F.concat(F.lit("kmvj:"), F.col(col).cast("string"))
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    ha = side("orders", "o_custkey").cache()
+    hb = side("customer", "c_custkey").cache()
+    # k smallest of the union: TakeOrderedAndProject (k tiny, no global sort).
+    u = ha.unionByName(hb).distinct().orderBy("h").limit(KMVJ_K)
+    flags = (
+        u.join(ha.withColumnRenamed("h", "h_a"), F.col("h") == F.col("h_a"), "left")
+        .join(hb.withColumnRenamed("h", "h_b"), F.col("h") == F.col("h_b"), "left")
+        .select(
+            "h",
+            F.col("h_a").isNotNull().cast("long").alias("in_a"),
+            F.col("h_b").isNotNull().cast("long").alias("in_b"),
+        )
+    )
+    sk = flags.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    n_union = ha.unionByName(hb).distinct().agg(
+        F.count(F.lit(1)).alias("n_union")
+    )
+    n_intersect = ha.join(hb, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_intersect")
+    )
+    union_est = F.when(
+        F.col("m") < KMVJ_K, F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float(KMVJ_K - 1)) * F.lit(_KMV_SPACE) / F.col("kth").cast("double")
+    )
+    jacc = F.col("n_both").cast("double") / F.col("m").cast("double")
+    return (
+        sk.crossJoin(n_union)
+        .crossJoin(n_intersect)
+        .select(
+            F.col("m").cast("long").alias("m"),
+            F.col("n_both").cast("long").alias("n_both"),
+            union_est.alias("union_est"),
+            jacc.alias("jaccard_est"),
+            (jacc * union_est).alias("intersect_est"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.col("n_intersect").cast("long").alias("n_intersect"),
+        )
+    )

@@ -767,36 +767,7 @@ def qc_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fme in stat_frames[1:]:
         stats = stats.unionByName(fme)
 
-    from ..functions.hashing import hash60
-
-    h = hash60(F.concat(F.lit("prof:"), F.col("col"), F.lit(":"), F.col("sval")))
-    w = F.expr(f"h div {_HLL_M}")
-    rho = F.when(w == 0, F.lit(_HLL_W_BITS)).otherwise(
-        F.lit(_HLL_W_BITS) - F.length(F.bin(w))
-    )
-    regs = (
-        vals.select("tbl", "col", h.alias("h"))
-        .select("tbl", "col", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("tbl", "col", "bucket")
-        .agg(F.max("rho").alias("mrho"))
-    )
-    sk = regs.groupBy("tbl", "col").agg(
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS} - mrho)"))
-            + (F.lit(_HLL_M) - F.count(F.lit(1)))
-            * F.lit(1 << _HLL_W_BITS).cast("long")
-        ).alias("s"),
-        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("m0"),
-    )
-    lc = spark.createDataFrame(_hll_lc_table(), "m0 int, lc_est double")
-    raw = F.expr(f"{_HLL_LIT} / CAST(s AS DOUBLE)")
-    est = sk.join(F.broadcast(lc), "m0", "left").select(
-        "tbl",
-        "col",
-        F.when((F.col("m0") > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)), F.col("lc_est"))
-        .otherwise(raw)
-        .alias("nd_approx"),
-    )
+    est = hll_estimates(hll_registers(vals))
     return (
         stats.join(est, ["tbl", "col"], "left")
         .select(
@@ -810,3 +781,186 @@ def qc_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "col")
     )
+
+
+def hll_registers(vals: DataFrame) -> DataFrame:
+    """``(tbl, col, sval)`` → register frame ``(tbl, col, bucket, mrho)``.
+
+    THE mergeable sketch state: registers from any sharding of the input
+    combine by max(mrho) per (tbl, col, bucket) to exactly the
+    whole-input registers — the distributed-combine law pinned in
+    tests/test_qc.py::test_hll_registers_merge_law, and the reason the
+    profile's shuffle stays O(columns x 1024) at any data size."""
+    from ..functions.hashing import hash60
+
+    h = hash60(F.concat(F.lit("prof:"), F.col("col"), F.lit(":"), F.col("sval")))
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_W_BITS)).otherwise(
+        F.lit(_HLL_W_BITS) - F.length(F.bin(w))
+    )
+    return (
+        vals.select("tbl", "col", h.alias("h"))
+        .select("tbl", "col", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("tbl", "col", "bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+
+
+def hll_estimates(regs: DataFrame) -> DataFrame:
+    """Register frame → ``(tbl, col, nd_approx)``. Integer-exact
+    2^(51-mrho) sums, one shared-literal division, literal-table linear
+    counting — every step bit-reproducible in ANSI SQL (see the
+    registration docstring)."""
+    spark = regs.sparkSession
+    sk = regs.groupBy("tbl", "col").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS} - mrho)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_W_BITS).cast("long")
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("m0"),
+    )
+    lc = spark.createDataFrame(_hll_lc_table(), "m0 int, lc_est double")
+    raw = F.expr(f"{_HLL_LIT} / CAST(s AS DOUBLE)")
+    return sk.join(F.broadcast(lc), "m0", "left").select(
+        "tbl",
+        "col",
+        F.when((F.col("m0") > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)), F.col("lc_est"))
+        .otherwise(raw)
+        .alias("nd_approx"),
+    )
+
+
+# --- Epoch drift audit ---------------------------------------------------------
+
+DRIFT_PIVOT = "1998-04-25"   # fixture midpoint; any fixed epoch boundary
+# (column, category-rendering) pairs drift-audited over orders. Renders
+# are engine-portable (strings verbatim; doubles bucketed by exact
+# floor-division so the category label never stringifies a raw double).
+_DRIFT_COLS = (
+    ("o_orderpriority", "{c}"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "CAST(CAST(floor({c} / 50000) AS BIGINT) AS VARCHAR)"),
+)
+
+
+@register(
+    "qc_epoch_drift",
+    oracle="""
+    WITH cells AS (
+    """
+    + "\n        UNION ALL ".join(
+        f"""SELECT '{c}' AS col, {render.format(c=c)} AS category,
+               CAST(o_orderdate AS DATE) < DATE '{DRIFT_PIVOT}' AS early,
+               COUNT(*) AS obs
+            FROM orders GROUP BY 1, 2, 3"""
+        for c, render in _DRIFT_COLS
+    )
+    + """
+    ),
+    tot AS (
+        SELECT col, category,
+               CAST(SUM(CASE WHEN early THEN obs ELSE 0 END) AS BIGINT) AS obs_early,
+               CAST(SUM(CASE WHEN NOT early THEN obs ELSE 0 END) AS BIGINT) AS obs_late
+        FROM cells GROUP BY col, category
+    ),
+    m AS (
+        SELECT col, category, obs_early, obs_late,
+               SUM(obs_early) OVER (PARTITION BY col) AS n_early,
+               SUM(obs_late) OVER (PARTITION BY col) AS n_late,
+               obs_early + obs_late AS cat_tot,
+               SUM(obs_early + obs_late) OVER (PARTITION BY col) AS n
+        FROM tot
+    )
+    SELECT col, category, obs_early, obs_late,
+           CAST(n_early AS BIGINT) AS n_early,
+           CAST(n_late AS BIGINT) AS n_late,
+           CAST(CAST(obs_early AS HUGEINT) * n
+                  - CAST(n_early AS HUGEINT) * cat_tot AS DOUBLE)
+             * CAST(CAST(obs_early AS HUGEINT) * n
+                      - CAST(n_early AS HUGEINT) * cat_tot AS DOUBLE)
+             / (CAST(n_early AS DOUBLE)
+                * CAST(n_late AS DOUBLE) * CAST(cat_tot AS DOUBLE))
+               AS chi2_contrib
+    FROM m
+    ORDER BY col, category
+    """,
+    tags=("qc", "stats", "agg"),
+    window_defer=True,
+    doc=f"Epoch drift audit — did the feed's value distributions change "
+    f"between two time periods? For each audited column, per-category "
+    f"observed counts before/after the {DRIFT_PIVOT} pivot plus the "
+    "category's chi-square contribution to the 2xK homogeneity test — "
+    "the 'did the upstream change' check a warehouse runs between "
+    "snapshot loads, and the drift gate a training pipeline runs "
+    "between data epochs before trusting mixture weights. Per-CATEGORY "
+    "rows keep the gate exact (a12_chisquare_cells' discipline): the "
+    "2xK cell difference obs_early*n - n_early*cat_tot is formed in "
+    "decimal(38,0)/HUGEINT (the late cell's difference is exactly "
+    "-diff, so one fixed expression diff^2/(cat_tot*n_early*n_late) "
+    "sums both cells of the category in closed form — for a planted "
+    "total shift the per-category contributions sum to n, the 2xK "
+    "perfect-separation bound), and no float is ever summed across "
+    "categories. ONE "
+    "fused aggregate scan per audited column (the stack unpivot is "
+    "row-local); every window after it runs on the category frame, "
+    "bounded by the vocabulary, never the data. Drift sensitivity "
+    "pinned on a planted-shift fixture in tests/test_qc.py.",
+)
+def qc_epoch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    renders = {
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": F.floor(F.col("o_totalprice") / 50000)
+        .cast("bigint")
+        .cast("string"),
+    }
+    rendered = o.select(
+        (F.col("o_orderdate").cast("date") < F.lit(DRIFT_PIVOT).cast("date")).alias(
+            "early"
+        ),
+        *[renders[c].alias(f"cat_{c}") for c, _ in _DRIFT_COLS],
+    )
+    branches = ", ".join(f"'{c}', cat_{c}" for c, _ in _DRIFT_COLS)
+    cells = (
+        rendered.select(
+            "early",
+            F.expr(f"stack({len(_DRIFT_COLS)}, {branches}) AS (col, category)"),
+        )
+        .groupBy("col", "category")
+        .agg(
+            F.sum(F.col("early").cast("long")).alias("obs_early"),
+            F.sum((~F.col("early")).cast("long")).alias("obs_late"),
+        )
+    )
+    w = Window.partitionBy("col")
+    m = cells.select(
+        "col",
+        "category",
+        "obs_early",
+        "obs_late",
+        F.sum("obs_early").over(w).alias("n_early"),
+        F.sum("obs_late").over(w).alias("n_late"),
+        (F.col("obs_early") + F.col("obs_late")).alias("cat_tot"),
+        F.sum(F.col("obs_early") + F.col("obs_late")).over(w).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    diff = (
+        F.col("obs_early").cast(dec) * F.col("n").cast(dec)
+        - F.col("n_early").cast(dec) * F.col("cat_tot").cast(dec)
+    ).cast("double")
+    ned, nld, ctd = [
+        F.col(c).cast("double") for c in ("n_early", "n_late", "cat_tot")
+    ]
+    return m.select(
+        "col",
+        "category",
+        "obs_early",
+        "obs_late",
+        F.col("n_early").cast("long").alias("n_early"),
+        F.col("n_late").cast("long").alias("n_late"),
+        (diff * diff / (ned * nld * ctd)).alias("chi2_contrib"),
+    ).orderBy("col", "category")

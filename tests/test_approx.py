@@ -243,3 +243,38 @@ def test_cms_estimate_is_one_sided_and_bounded(spark, sf_dir):
     n = load(spark, sf_dir, "lineitem").count()
     assert all(r.est_cnt <= n for r in rows)
     assert total <= n
+
+
+def test_kmv_join_size_accuracy_and_exact_regime(spark, sf_dir):
+    """approx_kmv_join_size: the union/intersection estimates track the
+    exact counts within the KMV design envelope (rsd ~ 1/sqrt(k-1) ~ 6.3%
+    at k=256; assert 4 sigma = 25%, and Jaccard within 0.15 absolute),
+    and a crafted below-k input returns EXACT values (m < k regime)."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    r = all_specs()["approx_kmv_join_size"].builder(spark, sf_dir).collect()[0]
+    assert r.n_union > 0 and r.n_intersect > 0
+    assert abs(r.union_est - r.n_union) <= max(0.25 * r.n_union, 2.0)
+    assert abs(r.intersect_est - r.n_intersect) <= max(0.25 * r.n_intersect, 2.0)
+    true_j = r.n_intersect / r.n_union
+    assert abs(r.jaccard_est - true_j) <= 0.15
+
+    # Below-k regime: build tiny tables (60 orders-custkeys, 50
+    # customers, 40 shared) — the sketch holds the whole union, so the
+    # estimates must be EXACT.
+    import os
+    root = "/tmp/kmvj_small"
+    os.makedirs(root, exist_ok=True)
+    spark.createDataFrame(
+        [(i, i) for i in range(60)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(f"{root}/orders.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(20, 70)], "c_custkey long"
+    ).write.mode("overwrite").parquet(f"{root}/customer.parquet")
+    s = all_specs()["approx_kmv_join_size"].builder(spark, root).collect()[0]
+    assert (s.n_union, s.n_intersect) == (70, 40)
+    assert s.union_est == 70.0
+    assert s.intersect_est == 40.0
+    assert s.jaccard_est == 40.0 / 70.0

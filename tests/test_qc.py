@@ -176,3 +176,85 @@ def test_profile_approx_tracks_exact_distincts(spark, sf_dir, duck):
         assert abs(got - exact) <= max(0.13 * exact, 1.0), (tbl, c, got, exact)
         if exact <= 50:  # linear-counting regime: near-exact
             assert abs(got - exact) <= max(0.04 * exact, 0.5), (tbl, c, got, exact)
+
+
+def test_hll_registers_merge_law(spark, sf_dir):
+    """The 100 TB claim behind qc_table_profile_approx: registers
+    computed on ARBITRARY shards of the input merge by max(mrho) per
+    (tbl, col, bucket) to exactly the whole-input registers, so the
+    estimate from merged shard registers is BIT-IDENTICAL to the
+    single-pass estimate. Shard by an unrelated hash so the split
+    crosses every column's value space."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import (
+        hll_estimates,
+        hll_registers,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators._util import t
+
+    o = t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.lit("orders").alias("tbl"),
+        F.lit("o_custkey").alias("col"),
+        F.col("o_custkey").cast("string").alias("sval"),
+    ).filter(F.col("sval").isNotNull())
+
+    whole = {
+        (r.tbl, r.col, r.bucket): r.mrho for r in hll_registers(vals).collect()
+    }
+    shard_a = vals.filter(F.xxhash64("sval") % 2 == 0)
+    shard_b = vals.filter(F.xxhash64("sval") % 2 != 0)
+    merged_df = (
+        hll_registers(shard_a)
+        .unionByName(hll_registers(shard_b))
+        .groupBy("tbl", "col", "bucket")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    merged = {(r.tbl, r.col, r.bucket): r.mrho for r in merged_df.collect()}
+    assert merged == whole
+
+    est_whole = hll_estimates(hll_registers(vals)).collect()[0].nd_approx
+    est_merged = hll_estimates(merged_df).collect()[0].nd_approx
+    assert est_merged == est_whole  # bit-identical, not approximately
+
+
+def test_epoch_drift_flags_planted_shift(spark, tmp_path_factory):
+    """qc_epoch_drift sensitivity pin: a planted distribution shift in
+    ONE column produces large chi-square contributions there, while an
+    unshifted column's contributions are exactly zero (identical
+    per-epoch proportions -> diff == 0)."""
+    import datetime
+
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    root = tmp_path_factory.mktemp("drift_orders")
+    early = datetime.datetime(1996, 1, 1)
+    late = datetime.datetime(2000, 1, 1)
+    rows = []
+    # o_orderstatus: 50/50 'O'/'F' in BOTH epochs (no drift, exact zero).
+    # o_orderpriority: early all '1-URGENT', late all '5-LOW' (max drift).
+    for i in range(200):
+        status = "O" if i % 2 == 0 else "F"
+        rows.append((i, status, "1-URGENT", 1000.0, early))
+        rows.append((i + 200, status, "5-LOW", 1000.0, late))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(root / "orders.parquet"))
+
+    out = all_specs()["qc_epoch_drift"].builder(spark, str(root)).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r.col, []).append(r)
+    # Unshifted columns: every category contributes exactly 0.
+    assert all(r.chi2_contrib == 0.0 for r in by_col["o_orderstatus"])
+    assert all(r.chi2_contrib == 0.0 for r in by_col["o_totalprice"])
+    # Shifted column: total chi2 across the 2x2 equals n = 400 (perfect
+    # separation); each category's closed-form contribution covers BOTH
+    # of its epoch cells, so each of the two categories reports 200.
+    prio = {r.category: r for r in by_col["o_orderpriority"]}
+    assert prio["1-URGENT"].obs_early == 200 and prio["1-URGENT"].obs_late == 0
+    assert prio["5-LOW"].obs_early == 0 and prio["5-LOW"].obs_late == 200
+    assert all(abs(r.chi2_contrib - 200.0) < 1e-9 for r in prio.values())
