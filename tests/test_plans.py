@@ -857,3 +857,12 @@ def test_ivf_mmr_candidates_are_cell_routed(spark, sf_dir):
         and "[cid" in line
     ]
     assert cell_keyed, "candidate stage must route through trained cells"
+
+
+def test_udtf_is_arrow_path_not_row_path(spark, sf_dir):
+    """f17's Python UDTF must plan as ArrowEvalPythonUDTF (Arrow-batched,
+    the sanctioned slow path) — never the row-serialized
+    BatchEvalPythonUDTF, which the global no-row-UDF pin forbids."""
+    plan = _plan(spark, sf_dir, "f17_udtf_word_offsets")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan

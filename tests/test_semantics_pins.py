@@ -389,3 +389,29 @@ def test_retention_cohorts_hand_case(tmp_path, spark):
         (w0, 2, 1),  # ...and at offset 2 (the silent week 1 absent)
         (w1, 0, 1),  # user 2's cohort week
     ], got
+
+
+def test_udtf_word_offsets_hand_case(tmp_path, spark):
+    """f17's UDTF semantics pinned by hand: running char offsets under
+    single-space splitting (empty tokens from leading/double spaces keep
+    their zero-length slot, matching string_split), NULL text emits no
+    rows, and the 8-word cap is applied inside eval."""
+    docs = spark.createDataFrame(
+        [
+            (1, "ab c", "en", "s", 4),
+            (2, None, "en", "s", 0),
+            (3, " x", "en", "s", 2),  # leading space -> empty word at pos 1
+            (4, "a b c d e f g h i j", "en", "s", 19),  # capped at 8
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _mini_sf(tmp_path, spark, documents=docs)
+    out = all_specs()["f17_udtf_word_offsets"].builder(spark, sf)
+    rows = {(r.doc_id, r.pos): (r.word, r.char_start, r.char_end) for r in out.collect()}
+    assert rows[(1, 1)] == ("ab", 0, 2)
+    assert rows[(1, 2)] == ("c", 3, 4)
+    assert not any(d == 2 for d, _ in rows)
+    assert rows[(3, 1)] == ("", 0, 0)
+    assert rows[(3, 2)] == ("x", 1, 2)
+    assert max(p for d, p in rows if d == 4) == 8
+    assert rows[(4, 8)] == ("h", 14, 15)
