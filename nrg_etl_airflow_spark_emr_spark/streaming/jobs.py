@@ -16,6 +16,7 @@ recovery contract.
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager
 import os
 import shutil
 import tempfile
@@ -575,3 +576,45 @@ def user_activity_bitmaps(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- State-store backend (RocksDB) ------------------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Scope the RocksDB state-store provider to a ``with`` block.
+
+    The default HDFSBackedStateStoreProvider keeps every partition's
+    entire state map ON-HEAP — fine for the fixture, fatal at 100 TB
+    where per-executor state (sessionization over billions of users,
+    month-long retention bitmaps) exceeds the JVM heap long before CPU
+    is the constraint. RocksDB keeps the working set on executor-local
+    disk with a block-cache in native memory, snapshotting SSTs +
+    changelog to the checkpoint — so state capacity scales with local
+    SSD, not heap, and the provider swap is pure configuration: NO
+    operator changes, identical results (pinned by
+    tests/test_streaming.py::test_rocksdb_state_store_equals_default
+    for both the built-in session-window aggregation state and the
+    applyInPandasWithState custom-kernel state path). The provider is
+    read per-query at start, so scoping the session conf around
+    ``start()`` is the correct granularity; the previous value is
+    restored on exit either way.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -599,3 +599,52 @@ def test_bitmap_rebase_handles_late_early_days(spark):
         0,
         1 | (1 << 8) | (1 << 10) | (1 << 11),
     )
+
+
+def test_rocksdb_state_store_equals_default(spark, sf_dir, events_stream, tmp_path):
+    """The RocksDB state-store backend (executor-local-disk state — the
+    100 TB path where per-executor state exceeds heap) is a pure config
+    swap: session-window aggregation state produces byte-identical
+    results, and the checkpoint proves RocksDB actually ran (SST
+    snapshot files)."""
+    from nrg_etl_airflow_spark_emr_spark.streaming.jobs import rocksdb_state
+
+    ck = tmp_path / "ck_rocks_sessions"
+    with rocksdb_state(spark):
+        q = (
+            jobs.session_windows(events_stream)
+            .writeStream.format("memory")
+            .queryName("t_rocks_sessions")
+            .outputMode("complete")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    stream_out = spark.table("t_rocks_sessions")
+    batch = SPECS["st_session_windows"].builder(spark, sf_dir)
+    assert _rows(stream_out) == _rows(batch)
+    assert list(ck.rglob("*.sst")), "checkpoint must contain RocksDB SSTs"
+
+
+def test_rocksdb_state_store_custom_kernel(spark, sf_dir, events_stream, tmp_path):
+    """Same pin for the applyInPandasWithState path: the custom
+    running-totals kernel's GroupState goes through RocksDB unchanged."""
+    from nrg_etl_airflow_spark_emr_spark.streaming.jobs import rocksdb_state
+
+    ck = tmp_path / "ck_rocks_totals"
+    with rocksdb_state(spark):
+        q = (
+            jobs.running_user_totals(events_stream)
+            .writeStream.format("memory")
+            .queryName("t_rocks_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    stream_out = spark.table("t_rocks_totals")
+    batch = SPECS["st_user_totals"].builder(spark, sf_dir)
+    assert _rows(stream_out) == _rows(batch)
+    assert list(ck.rglob("*.sst")), "checkpoint must contain RocksDB SSTs"
