@@ -38,6 +38,7 @@ from ..operators.similarity import (
     _SQL_VEC_CTE,
     _dot,
     _fixed,
+    _sql_d2,
     _vectors,
 )
 from ..plans.catalog import register
@@ -243,6 +244,86 @@ def lloyd_fit_grouped(
     return assign(cent_df()).cache(), cent
 
 
+def lloyd_fit_grouped_quantized(
+    subs: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Grouped Lloyd's on FIXED-POINT integer subvectors with the
+    floor-integer centroid update — the bit-replayable twin of
+    lloyd_fit_grouped, for oracle-gated PQ codebooks (sim_knn_pq).
+
+    ``subs`` is ``(gid: int, vec_id, sv: array<bigint>)``. Arithmetic
+    law per group (identical to sim_knn_ivf_trained's trainer, which
+    proved it cross-engine-exact):
+
+    - init: the k lowest vec_ids per gid, cid = 0..k-1 in vec_id order;
+    - assign: exact BIGINT squared-L2, ties to the lowest cid;
+    - update: per-(gid, cell, dim) FLOOR-integer mean via the
+      subtract-mod identity on a decimal(38,0)-accumulated exact sum
+      (floor, not truncate, so negative coordinates round the same way
+      in both engines);
+    - a cell that loses all members vanishes.
+
+    Unlike lloyd_fit_grouped there is NO driver loop state: the whole
+    trainer is one lazy declarative plan (iters is small and fixed).
+    Returns (codes: gid/vec_id/cid under the FINAL centroids,
+    cent: gid/cid/c_q — cached, k*M rows)."""
+    d2 = F.aggregate(
+        F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cent), "gid")
+            .select("gid", "vec_id", "sv", "cid", d2.alias("d2"))
+            .groupBy("gid", "vec_id")
+            .agg(
+                F.first("sv").alias("sv"),
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            )
+        )
+
+    iw = Window.partitionBy("gid").orderBy("vec_id")
+    cent = (
+        subs.select("gid", "vec_id", "sv", F.row_number().over(iw).alias("irn"))
+        .filter(F.col("irn") <= k)
+        .select(
+            "gid",
+            (F.col("irn") - 1).cast("long").alias("cid"),
+            F.col("sv").alias("c_q"),
+        )
+    )
+    for _ in range(iters):
+        ex = assign(cent).select(
+            "gid", F.col("cid").alias("cell"), F.posexplode("sv").alias("dim", "qv")
+        )
+        agg = ex.groupBy("gid", "cell", "dim").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("s"),
+        )
+        smod = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
+        means = agg.select(
+            "gid",
+            "cell",
+            "dim",
+            ((F.col("s") - smod) / F.col("n")).cast("long").alias("m"),
+        )
+        cent = (
+            means.groupBy("gid", "cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda st: st["m"],
+                ).alias("c_q")
+            )
+            .select("gid", F.col("cell").alias("cid"), "c_q")
+        )
+    cent = cent.cache()
+    codes = assign(cent).select("gid", "vec_id", "cid")
+    return codes, cent
+
+
 def kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -383,18 +464,8 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_d2(a: str, b: str) -> str:
-    """Exact integer squared-L2 between two BIGINT lists, via three dot
-    products (|a-b|^2 = a.a + b.b - 2 a.b). DuckDB's list_dot_product
-    returns DOUBLE, but every term is an integer bounded by ~4e14 for
-    unit-norm fixed-point vectors (Cauchy-Schwarz: |a.b| <= |a||b| =
-    FP_SCALE^2 = 1e14; partial sums of products share the bound), so the
-    double arithmetic is EXACT (< 2^53) — the same discipline the cosine
-    oracles in similarity.py already rely on."""
-    return (
-        f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
-        f" - 2 * list_dot_product({a}, {b}))"
-    )
+# _sql_d2 moved to similarity.py (imported above) so the PQ oracle there
+# can share it without a circular module-level import.
 
 
 def _ivf_trained_parts(k: int, iters: int, nprobe: int, nq: int) -> list[str]:

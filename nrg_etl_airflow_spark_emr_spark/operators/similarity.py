@@ -47,6 +47,21 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _sql_d2(a: str, b: str) -> str:
+    """Exact integer squared-L2 between two BIGINT lists, via three dot
+    products (|a-b|^2 = a.a + b.b - 2 a.b). DuckDB's list_dot_product
+    returns DOUBLE, but every term is an integer bounded by ~4e14 for
+    unit-norm fixed-point vectors (Cauchy-Schwarz: |a.b| <= |a||b| =
+    FP_SCALE^2 = 1e14; partial sums of products share the bound), so the
+    double arithmetic is EXACT (< 2^53) — the same discipline the cosine
+    oracles below already rely on. Shared with kmeans.py's trained-IVF
+    oracle and the PQ oracle here."""
+    return (
+        f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        f" - 2 * list_dot_product({a}, {b}))"
+    )
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings → (vec_id, label, fe: array<bigint>, nrm: double).
 
@@ -700,54 +715,220 @@ def _pq_codes_and_recon(frame: DataFrame, col: str):
     return codes, recon
 
 
+PQ_SUB_W = 8  # fixture dim 64 = PQ_M * PQ_SUB_W; asserted in the builder
+
+
+def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> str:
+    """ANSI replay of the WHOLE fixed-point PQ path — codebook training
+    (floor-integer grouped Lloyd, same update law _ivf_trained_parts
+    pinned), 4-bit code assignment, per-query ADC lookup tables, the
+    shortlist, and the exact re-rank. gid is just another grouping key,
+    so the unroll is per-iteration only, never per-subspace."""
+    parts = [
+        f"gids AS (SELECT unnest(range({m})) AS gid)",
+        f"""subs AS (
+        SELECT g.gid, v.vec_id,
+               list_slice(v.fe, g.gid * {w} + 1, g.gid * {w} + {w}) AS sv
+        FROM vecs v CROSS JOIN gids g)""",
+        f"""cent0 AS (
+        SELECT gid,
+               CAST(ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vec_id) - 1
+                    AS BIGINT) AS cid,
+               sv AS c_q
+        FROM subs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vec_id) <= {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+        SELECT s.gid, s.vec_id, s.sv, c.cid
+        FROM subs s JOIN cent{i - 1} c ON c.gid = s.gid
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY s.gid, s.vec_id
+            ORDER BY {_sql_d2("s.sv", "c.c_q")}, c.cid) = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+        SELECT gid, cell, dim,
+               CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m
+        FROM (
+            SELECT gid, cell, dim, COUNT(*) AS n,
+                   CAST(SUM(CAST(qv AS HUGEINT)) AS BIGINT) AS s
+            FROM (
+                SELECT gid, cid AS cell,
+                       CAST(generate_subscripts(sv, 1) AS BIGINT) AS dim,
+                       unnest(sv) AS qv
+                FROM a{i}
+            ) ex
+            GROUP BY gid, cell, dim
+        ) agg)"""
+        )
+        parts.append(
+            f"cent{i} AS (SELECT gid, cell AS cid, list(m ORDER BY dim) AS c_q"
+            f" FROM m{i} GROUP BY gid, cell)"
+        )
+    cent = f"cent{iters}"
+    parts.append(
+        f"""codes AS (
+        SELECT s.gid, s.vec_id, c.cid
+        FROM subs s JOIN {cent} c ON c.gid = s.gid
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY s.gid, s.vec_id
+            ORDER BY {_sql_d2("s.sv", "c.c_q")}, c.cid) = 1)"""
+    )
+    parts.append(f"q AS (SELECT vec_id, fe, nrm FROM vecs WHERE vec_id < {nq})")
+    parts.append(
+        f"""lut AS (
+        SELECT s.query_id, s.gid, c.cid,
+               list_dot_product(s.qsv, c.c_q) AS part
+        FROM (
+            SELECT q.vec_id AS query_id, g.gid,
+                   list_slice(q.fe, g.gid * {w} + 1, g.gid * {w} + {w}) AS qsv
+            FROM q CROSS JOIN gids g
+        ) s JOIN {cent} c ON c.gid = s.gid)"""
+    )
+    parts.append(
+        """adcn AS (
+        SELECT l.query_id, co.vec_id, SUM(l.part) AS adc_num
+        FROM codes co
+        JOIN lut l ON l.gid = co.gid AND l.cid = co.cid
+        WHERE co.vec_id != l.query_id
+        GROUP BY l.query_id, co.vec_id)"""
+    )
+    parts.append(
+        f"""short AS (
+        SELECT a.query_id, a.vec_id
+        FROM adcn a
+        JOIN q ON q.vec_id = a.query_id
+        JOIN vecs v ON v.vec_id = a.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.query_id
+            ORDER BY a.adc_num / (q.nrm * v.nrm) DESC, a.vec_id) <= {shortlist})"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body}
+    SELECT query_id, vec_id, cosine, rn FROM (
+        SELECT s.query_id, s.vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) DESC,
+                            s.vec_id) AS INTEGER) AS rn
+        FROM short s
+        JOIN q ON q.vec_id = s.query_id
+        JOIN vecs v ON v.vec_id = s.vec_id)
+    WHERE rn <= 10
+    """
+
+
 @register(
     "sim_knn_pq",
-    oracle=None,  # k-means codebooks are iterative; recall-gated in tests
+    oracle=_pq_oracle(PQ_M, PQ_SUB_W, PQ_K, PQ_ITERS, PQ_SHORTLIST, N_QUERIES),
     tags=("similarity", "topk", "compression", "iterative"),
-    doc=f"Product-quantized top-10 with exact re-rank (IVFADC's PQ half): "
-    f"unit-normalized embeddings split into {PQ_M} subspaces, each with "
-    f"its own {PQ_K}-entry k-means codebook (Lloyd's via lloyd_fit_grouped, "
-    f"{PQ_ITERS} rounds, deterministic init); every vector compresses to "
-    f"{PQ_M} 4-bit codes, queries score asymmetrically against the "
-    "codebook reconstruction (exact query × quantized database — ADC), "
-    f"and the top-{PQ_SHORTLIST} shortlist per query is re-ranked with "
-    "the exact vectors. At 100 TB the ADC scan touches 4 bytes/vector + "
-    "a broadcast codebook instead of 512 bytes raw (~128× less I/O and "
-    "cache), and exact vectors are fetched only for shortlist rows — the "
-    "standard PQ-shortlist / exact-rerank layout. Recall vs the exact "
-    "baseline is gated in tests/test_approx.py.",
+    window_defer=True,
+    doc=f"Product-quantized top-10 with exact re-rank (IVFADC's PQ half), "
+    "oracle-gated END-TO-END including the codebook trainer — closes one "
+    "of the two rows-only PQ rows by moving the trainer onto the "
+    "fixed-point discipline sim_knn_ivf_trained proved bit-replayable: "
+    f"vectors quantize to BIGINT (floor x*FP_SCALE), split into {PQ_M} "
+    f"subspaces of {PQ_SUB_W} dims, and each subspace trains its own "
+    f"{PQ_K}-entry codebook by {PQ_ITERS} floor-integer Lloyd rounds "
+    "(lloyd_fit_grouped_quantized: exact BIGINT squared-L2 assignment, "
+    "ties to the lowest cid, subtract-mod floor mean — every "
+    "intermediate exact, so the oracle unrolls the identical rounds "
+    "with gid as one more grouping key). Search is the real IVFADC "
+    "structure: per-query ADC LOOKUP TABLES (dot of each query "
+    f"subvector with each codebook entry — {PQ_M}x{PQ_K} integers per "
+    "query, broadcast), codes join the LUT and sum their parts (exact "
+    "integers < 2^53 in any order), the approximate cosine divides by "
+    "the STORED true norms (cosine-via-IP with norms, so no "
+    "normalization divide ever precedes the floor quantizer — that "
+    "divide is what kept the old float trainer un-replayable), and the "
+    f"top-{PQ_SHORTLIST} shortlist re-ranks with exact fixed-point "
+    "cosine. At 100 TB the ADC scan touches 4 bits x "
+    f"{PQ_M} codes + one bigint norm per vector instead of the raw "
+    "vector (~100x less I/O), LUTs are query-local broadcast state, and "
+    "exact vectors are fetched only for shortlist rows. Recall vs brute "
+    "stays gated in tests/test_approx.py.",
 )
 def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _unit_vectors(spark, sf_dir)
-    codes, recon = _pq_codes_and_recon(base, "emb")
-    recv = codes.select("vec_id", recon.alias("recon")).cache()
+    from .kmeans import lloyd_fit_grouped_quantized
 
-    q = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    v = _vectors(spark, sf_dir).cache()
+    dim = len(v.select("fe").first()[0])
+    assert dim == PQ_M * PQ_SUB_W, f"fixture dim {dim} != {PQ_M}x{PQ_SUB_W}"
+    subs = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gid"),
+                        F.slice("fe", m * PQ_SUB_W + 1, PQ_SUB_W).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.gid").alias("gid"), "vec_id", F.col("s.sv").alias("sv"))
+    codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
+
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
     )
-    adc = F.aggregate(
-        F.zip_with("qemb", "recon", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    qsubs = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gid"),
+                        F.slice("qfe", m * PQ_SUB_W + 1, PQ_SUB_W).alias("qsv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.gid").alias("gid"), F.col("s.qsv").alias("qsv"))
+    # ADC lookup tables: nq * M * K integer dots — broadcast-sized state.
+    lut = qsubs.join(F.broadcast(cent), "gid").select(
+        "query_id", "gid", "cid", _dot(F.col("qsv"), F.col("c_q")).alias("part")
     )
+    adcn = (
+        codes.join(F.broadcast(lut), ["gid", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_num"))
+    )
+    norms = v.select("vec_id", "nrm")
+    qn = q.select("query_id", "qnrm")
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlist = (
-        F.broadcast(q)
-        .join(recv, F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qemb", "vec_id", adc.alias("adc"))
+        adcn.join(norms, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("adc_num").cast("double") / (F.col("qnrm") * F.col("nrm"))).alias(
+                "adc"
+            ),
+        )
         .withColumn("arn", F.row_number().over(w))
         .filter(F.col("arn") <= PQ_SHORTLIST)
-        .select("query_id", "qemb", "vec_id")
+        .select("query_id", "vec_id")
     )
-    # Exact re-rank fetches true vectors ONLY for shortlist rows; both sides
-    # are unit vectors so cosine is the plain dot.
-    exact = F.aggregate(
-        F.zip_with("qemb", "emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # Exact re-rank fetches true vectors ONLY for shortlist rows.
+    exact = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
+        F.col("qnrm") * F.col("nrm")
     )
-    rer = shortlist.join(base, "vec_id").select(
-        "query_id", "vec_id", exact.alias("cosine")
+    rer = (
+        shortlist.join(v.select("vec_id", "fe", "nrm"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", exact.alias("cosine"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -62,8 +62,10 @@ def test_no_oracle_row_is_terminal_for_rows_only_spec(tmp_path, monkeypatch):
 
 
 def test_explicit_false_keeps_rows_only_spec_pending(tmp_path, monkeypatch):
-    _with_records(tmp_path, monkeypatch, {"sim_knn_pq": ROWS_ONLY_FAIL})
-    assert "sim_knn_pq" not in cat._driver_green_names()
+    # sim_knn_ivfpq is a (still) rows-only spec; sim_knn_pq graduated to
+    # oracle-gated in round 9.
+    _with_records(tmp_path, monkeypatch, {"sim_knn_ivfpq": ROWS_ONLY_FAIL})
+    assert "sim_knn_ivfpq" not in cat._driver_green_names()
 
 
 def test_pending_rows_only_sorts_behind_pending_oracle_gated(tmp_path, monkeypatch):
