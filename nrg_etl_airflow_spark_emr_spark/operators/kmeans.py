@@ -174,76 +174,6 @@ def lloyd_fit(
     return _assign(vectors, centroids).cache(), cent_rows, history
 
 
-def lloyd_fit_grouped(
-    sub: DataFrame, k: int, iters: int
-) -> tuple[DataFrame, dict[int, list[list[float]]]]:
-    """Lloyd's run INDEPENDENTLY per group in SHARED Spark jobs: ``sub``
-    is ``(gid: int, vec_id, emb: array<double>)`` and every iteration is
-    ONE assign + ONE update over all groups at once, instead of one
-    driver loop per group. For product quantization (M subspaces × k
-    codes) this turns M·iters sequential jobs into iters — the
-    difference between 24 and 3 cluster round-trips for the codebook
-    training. Per-group arithmetic, init (k lowest vec_ids), tie rule
-    (lowest cid), and empty-cell handling (keep previous centroid) are
-    identical to lloyd_fit, so the trained codebooks are bit-identical
-    to training each group separately.
-
-    Returns (assignment frame gid/vec_id/cell/d2, {gid: centroid arrays
-    indexed by cid}).
-    """
-
-    spark = sub.sparkSession
-    iw = Window.partitionBy("gid").orderBy("vec_id")
-    init = (
-        sub.select("gid", "vec_id", "emb", F.row_number().over(iw).alias("irn"))
-        .filter(F.col("irn") <= k)
-        .collect()
-    )
-    cent: dict[int, list[list[float]]] = {}
-    for r in sorted(init, key=lambda r: (r.gid, r.vec_id)):
-        cent.setdefault(r.gid, []).append(list(r.emb))
-
-    d2 = F.aggregate(
-        F.zip_with("emb", "c_emb", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    best = F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best")
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        return (
-            sub.join(F.broadcast(centroids), "gid")
-            .select("gid", "vec_id", "emb", "cid", d2.alias("d2"))
-            .groupBy("gid", "vec_id")
-            .agg(F.first("emb").alias("emb"), best)
-            .select(
-                "gid", "vec_id", "emb",
-                F.col("best.cid").alias("cell"), F.col("best.d2").alias("d2"),
-            )
-        )
-
-    def cent_df() -> DataFrame:
-        rows = [(g, i, c) for g, cl in cent.items() for i, c in enumerate(cl)]
-        return spark.createDataFrame(rows, "gid INT, cid INT, c_emb ARRAY<DOUBLE>")
-
-    for _ in range(iters):
-        assigned = assign(cent_df())
-        exploded = assigned.select("gid", "cell", F.posexplode("emb").alias("dim", "val"))
-        means = exploded.groupBy("gid", "cell", "dim").agg(F.avg("val").alias("m"))
-        new_cent = (
-            means.groupBy("gid", "cell")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("c_emb")
-            )
-            .collect()
-        )
-        for r in new_cent:
-            cent[r.gid][r.cell] = list(r.c_emb)
-    return assign(cent_df()).cache(), cent
-
-
 def lloyd_fit_grouped_quantized(
     subs: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:

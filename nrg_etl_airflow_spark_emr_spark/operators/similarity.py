@@ -650,86 +650,18 @@ PQ_ITERS = 3      # Lloyd's rounds per codebook
 PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
 
 
-def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, emb): unit-normalized double embeddings, cached. Shared by
-    the PQ family — normalizing before quantizing makes cosine a plain dot
-    and spends the code bits on direction, not magnitude."""
-    raw = spread(t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with("emb", "emb", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return raw.select("vec_id", F.transform("emb", lambda x: x / nrm).alias("emb")).cache()
-
-
-def _pq_codes_and_recon(frame: DataFrame, col: str):
-    """Train the PQ_M × PQ_K codebooks over ``frame[col]`` and return
-    (codes: vec_id + c0..c{M-1} columns, recon: Column rebuilding the
-    quantized vector from broadcast codebook literals).
-
-    All M subspaces train in SHARED jobs (lloyd_fit_grouped): the vector
-    explodes into (gid, subvector) rows once, each Lloyd's iteration is
-    one assign + one update over every subspace, and the per-vector code
-    row comes back from a single conditional-aggregation pivot — PQ_ITERS
-    cluster round-trips total instead of PQ_M × PQ_ITERS sequential jobs
-    (and one shuffle for the pivot instead of an M-way join chain)."""
-    from .kmeans import lloyd_fit_grouped
-
-    dim = len(frame.select(col).first()[0])
-    sub_w = dim // PQ_M
-    subs = frame.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("gid"),
-                        F.slice(col, m * sub_w + 1, sub_w).alias("emb"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col("s.gid").alias("gid"), "vec_id", F.col("s.emb").alias("emb"))
-    assigned, cent = lloyd_fit_grouped(subs, PQ_K, PQ_ITERS)
-    codes = assigned.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("gid") == m, F.col("cell"))).alias(f"c{m}")
-            for m in range(PQ_M)
-        ]
-    )
-    recon = F.concat(
-        *[
-            F.element_at(
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in cent[m]]),
-                F.col(f"c{m}") + 1,
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    return codes, recon
-
-
 PQ_SUB_W = 8  # fixture dim 64 = PQ_M * PQ_SUB_W; asserted in the builder
 
 
-def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> str:
-    """ANSI replay of the WHOLE fixed-point PQ path — codebook training
-    (floor-integer grouped Lloyd, same update law _ivf_trained_parts
-    pinned), 4-bit code assignment, per-query ADC lookup tables, the
-    shortlist, and the exact re-rank. gid is just another grouping key,
-    so the unroll is per-iteration only, never per-subspace."""
+def _pq_trainer_parts(k: int, iters: int) -> list[str]:
+    """CTE parts replaying lloyd_fit_grouped_quantized over an existing
+    ``subs(gid, vec_id, sv)`` CTE: deterministic init, ``iters`` rounds
+    of (exact-BIGINT assign, floor-integer update), and the final
+    ``codes(gid, vec_id, cid)`` under ``cent{iters}``. Shared by the
+    whole-vector PQ oracle (sim_knn_pq) and the residual-PQ oracle
+    (sim_knn_ivfpq) — gid is just another grouping key, so the unroll
+    is per-iteration only, never per-subspace."""
     parts = [
-        f"gids AS (SELECT unnest(range({m})) AS gid)",
-        f"""subs AS (
-        SELECT g.gid, v.vec_id,
-               list_slice(v.fe, g.gid * {w} + 1, g.gid * {w} + {w}) AS sv
-        FROM vecs v CROSS JOIN gids g)""",
         f"""cent0 AS (
         SELECT gid,
                CAST(ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vec_id) - 1
@@ -776,6 +708,22 @@ def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> s
             PARTITION BY s.gid, s.vec_id
             ORDER BY {_sql_d2("s.sv", "c.c_q")}, c.cid) = 1)"""
     )
+    return parts
+
+
+def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> str:
+    """ANSI replay of the WHOLE fixed-point PQ path — codebook training
+    (_pq_trainer_parts), 4-bit code assignment, per-query ADC lookup
+    tables, the shortlist, and the exact re-rank."""
+    cent = f"cent{iters}"
+    parts = [
+        f"gids AS (SELECT unnest(range({m})) AS gid)",
+        f"""subs AS (
+        SELECT g.gid, v.vec_id,
+               list_slice(v.fe, g.gid * {w} + 1, g.gid * {w} + {w}) AS sv
+        FROM vecs v CROSS JOIN gids g)""",
+    ]
+    parts.extend(_pq_trainer_parts(k, iters))
     parts.append(f"q AS (SELECT vec_id, fe, nrm FROM vecs WHERE vec_id < {nq})")
     parts.append(
         f"""lut AS (
@@ -937,99 +885,245 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(
+    m: int, w: int, k: int, iters: int, shortlist: int, nq: int, nprobe: int
+) -> str:
+    """ANSI replay of the fixed-point IVFADC path: nearest-cell coarse
+    assignment (_SQL_ASSIGN_CTE — the law sim_knn_ivf pinned), exact
+    BIGINT residuals, residual-PQ codebook training (_pq_trainer_parts —
+    the law sim_knn_pq pinned), per-query ADC = coarse integer dot +
+    residual LUT parts restricted to the probed cells, then the exact
+    re-rank. Every pre-division intermediate is an exact integer; the
+    two IEEE divides (probe cosine, ADC score) are written identically
+    on both engines."""
+    cent = f"cent{iters}"
+    parts = [
+        f"gids AS (SELECT unnest(range({m})) AS gid)",
+        # Residual subvectors straight off the slices: no residual list is
+        # ever materialized — fe[off+i] - cfe[off+i] per dim, exact BIGINT.
+        f"""subs AS (
+        SELECT g.gid, a.vec_id,
+               list_transform(range(1, {w + 1}),
+                              i -> v.fe[g.gid * {w} + i] - c.fe[g.gid * {w} + i]) AS sv
+        FROM assigned a
+        JOIN vecs v ON v.vec_id = a.vec_id
+        JOIN cent c ON c.cid = a.cid
+        CROSS JOIN gids g)""",
+    ]
+    parts.extend(_pq_trainer_parts(k, iters))
+    parts.append(f"q AS (SELECT vec_id, fe, nrm FROM vecs WHERE vec_id < {nq})")
+    parts.append(
+        f"""probes AS (
+        SELECT q.vec_id AS query_id, c.cid, list_dot_product(q.fe, c.fe) AS cdot
+        FROM q CROSS JOIN cent c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_dot_product(q.fe, c.fe) / (q.nrm * c.nrm) DESC, c.cid
+        ) <= {nprobe})"""
+    )
+    parts.append(
+        f"""lut AS (
+        SELECT s.query_id, s.gid, c.cid,
+               list_dot_product(s.qsv, c.c_q) AS part
+        FROM (
+            SELECT q.vec_id AS query_id, g.gid,
+                   list_slice(q.fe, g.gid * {w} + 1, g.gid * {w} + {w}) AS qsv
+            FROM q CROSS JOIN gids g
+        ) s JOIN {cent} c ON c.gid = s.gid)"""
+    )
+    parts.append(
+        """cand AS (
+        SELECT p.query_id, p.cdot, a.vec_id
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE a.vec_id != p.query_id)"""
+    )
+    parts.append(
+        """adcn AS (
+        SELECT ca.query_id, ca.vec_id, ca.cdot + SUM(l.part) AS adc_num
+        FROM cand ca
+        JOIN codes co ON co.vec_id = ca.vec_id
+        JOIN lut l ON l.query_id = ca.query_id
+                  AND l.gid = co.gid AND l.cid = co.cid
+        GROUP BY ca.query_id, ca.vec_id, ca.cdot)"""
+    )
+    parts.append(
+        f"""short AS (
+        SELECT a.query_id, a.vec_id
+        FROM adcn a
+        JOIN q ON q.vec_id = a.query_id
+        JOIN vecs v ON v.vec_id = a.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.query_id
+            ORDER BY a.adc_num / (q.nrm * v.nrm) DESC, a.vec_id) <= {shortlist})"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {_SQL_ASSIGN_CTE},
+    {body}
+    SELECT query_id, vec_id, cosine, rn FROM (
+        SELECT s.query_id, s.vec_id,
+               list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY list_dot_product(q.fe, v.fe) / (q.nrm * v.nrm) DESC,
+                            s.vec_id) AS INTEGER) AS rn
+        FROM short s
+        JOIN q ON q.vec_id = s.query_id
+        JOIN vecs v ON v.vec_id = s.vec_id)
+    WHERE rn <= 10
+    """
+
+
 @register(
     "sim_knn_ivfpq",
-    oracle=None,  # k-means codebooks are iterative; recall-gated in tests
+    oracle=_ivfpq_oracle(
+        PQ_M, PQ_SUB_W, PQ_K, PQ_ITERS, PQ_SHORTLIST, N_QUERIES, NPROBE
+    ),
     tags=("similarity", "topk", "compression", "iterative"),
+    window_defer=True,
     doc=f"IVFADC — the full inverted-file + product-quantization layout "
     "(the composition of sim_knn_ivf's coarse routing and sim_knn_pq's "
-    "compressed scoring): vectors assign to their nearest coarse "
-    "centroid cell, the RESIDUAL (vector − centroid) is product-"
-    f"quantized ({PQ_M}×{PQ_K}-entry codebooks via lloyd_fit_grouped), and a "
-    f"query probes only its {NPROBE} closest cells, scoring candidates "
-    "by ADC against centroid + reconstructed residual before an exact "
-    f"re-rank of the top-{PQ_SHORTLIST}. Residual quantization is what "
+    "compressed scoring), oracle-gated END-TO-END: vectors assign to "
+    "their nearest coarse cell (_cell_assignment — the cosine/max_by "
+    "law sim_knn_ivf pinned), the RESIDUAL (fe − cell centroid, a pure "
+    f"BIGINT subtraction, exact) is product-quantized into {PQ_M}×"
+    f"{PQ_K}-entry codebooks by the floor-integer grouped Lloyd "
+    "(lloyd_fit_grouped_quantized — the law sim_knn_pq pinned), and a "
+    f"query probes only its {NPROBE} closest cells. ADC decomposes "
+    "EXACTLY: dot(q, centroid + residual_recon) = the coarse integer "
+    "dot (already in hand from probing) + the sum of residual LUT "
+    "parts — every term an exact integer < 2^53, so the decomposition "
+    "is replayable, and the one IEEE divide (by stored true norms) "
+    "happens at the ranking surface. Residual quantization is what "
     "makes PQ bits count at scale: residual magnitudes are a fraction "
     "of vector magnitudes, so the same 4 bits/subspace carry far less "
-    "error than whole-vector PQ. 100 TB layout: bucket by cell id, "
-    "codes = 4 bytes/vector in the probed buckets only, codebooks + "
-    "centroids broadcast, exact vectors fetched for shortlist rows — "
-    "candidate I/O is nprobe/ncells of the corpus at ~128× compression.",
+    f"error than whole-vector PQ. The top-{PQ_SHORTLIST} shortlist "
+    "re-ranks with exact fixed-point cosine. 100 TB layout: bucket by "
+    "cell id, codes = 4 bytes/vector in the probed buckets only, "
+    "codebooks + centroids + LUTs broadcast, exact vectors fetched for "
+    "shortlist rows — candidate I/O is nprobe/ncells of the corpus at "
+    "~100× compression. Recall vs brute stays gated in "
+    "tests/test_approx.py.",
 )
 def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _unit_vectors(spark, sf_dir)
+    from .kmeans import lloyd_fit_grouped_quantized
 
-    # Coarse quantizer: the fixture's vec_id%CENTROID_MOD==0 vectors (the
-    # same cells sim_knn_ivf probes — KMeans-trained at scale).
-    cent = base.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    v = _vectors(spark, sf_dir).cache()
+    dim = len(v.select("fe").first()[0])
+    assert dim == PQ_M * PQ_SUB_W, f"fixture dim {dim} != {PQ_M}x{PQ_SUB_W}"
+    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
     )
-    a_dot = F.aggregate(
-        F.zip_with("emb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
-    # argmax via map-side max_by, not a window sort — see _cell_assignment.
-    assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", a_dot.alias("a_dot"))
-        .groupBy("vec_id")
-        .agg(F.max_by("cid", F.struct(F.col("a_dot"), (-F.col("cid")).alias("nc"))).alias("cid"))
-    )
-
-    # Residuals (vector − its cell centroid) are what gets product-quantized.
+    # Coarse assignment (shared law with sim_knn_ivf), then exact BIGINT
+    # residuals — vector minus its cell centroid, centroids broadcast.
+    assigned = _cell_assignment(v)
     resid = (
-        base.join(assigned, "vec_id")
-        .join(F.broadcast(cent), "cid")
-        .select("vec_id", "cid", F.zip_with("emb", "cemb", lambda a, b: a - b).alias("res"))
-        .cache()
-    )
-    code_cols, recon_res = _pq_codes_and_recon(resid, "res")
-    codes = resid.select("vec_id", "cid").join(code_cols, "vec_id")
-
-    # Approximate vector = centroid + reconstructed residual; built per-row
-    # from the 4-bit codes + broadcast codebooks (ADC's decode side).
-    recv = (
-        codes.join(F.broadcast(cent), "cid")
+        assigned.join(F.broadcast(cent), "cid")
         .select(
             "vec_id",
-            "cid",
-            F.zip_with(F.col("cemb"), recon_res, lambda a, b: a + b).alias("approx"),
+            F.col("cid").alias("ccid"),
+            "nrm",
+            F.zip_with("fe", "cfe", lambda a, b: a - b).alias("res"),
         )
         .cache()
     )
+    subs = resid.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gid"),
+                        F.slice("res", m * PQ_SUB_W + 1, PQ_SUB_W).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.gid").alias("gid"), "vec_id", F.col("s.sv").alias("sv"))
+    codes, pcent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
 
-    q = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
     )
-    # Query-side coarse probing: NPROBE closest cells only.
-    p_dot = F.aggregate(
-        F.zip_with("qemb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    # Probing keeps the coarse INTEGER dot alongside the cosine rank: it is
+    # the first ADC term, so it never needs recomputing per candidate.
+    p_cos = _dot(F.col("qfe"), F.col("cfe")).cast("double") / (
+        F.col("qnrm") * F.col("cnrm")
     )
-    pw = Window.partitionBy("query_id").orderBy(F.col("p_dot").desc(), F.col("cid"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), F.col("cid"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "cid", p_dot.alias("p_dot"))
-        .select("query_id", "cid", F.row_number().over(pw).alias("prn"))
+        .select(
+            "query_id",
+            "cid",
+            _dot(F.col("qfe"), F.col("cfe")).alias("cdot"),
+            p_cos.alias("p_cos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
         .filter(F.col("prn") <= NPROBE)
-        .select("query_id", "cid")
+        .select("query_id", F.col("cid").alias("ccid"), "cdot")
     )
-    adc = F.aggregate(
-        F.zip_with("qemb", "approx", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    # Residual ADC lookup tables: nq * M * K integer dots, broadcast.
+    qsubs = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gid"),
+                        F.slice("qfe", m * PQ_SUB_W + 1, PQ_SUB_W).alias("qsv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.gid").alias("gid"), F.col("s.qsv").alias("qsv"))
+    lut = qsubs.join(F.broadcast(pcent), "gid").select(
+        "query_id", "gid", "cid", _dot(F.col("qsv"), F.col("c_q")).alias("part")
     )
+    # Candidates are the probed cells' members only; ADC = coarse dot +
+    # summed residual LUT parts (exact integers, order-free).
+    cand = (
+        probes.join(resid.select("vec_id", "ccid", "nrm"), "ccid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cdot", "nrm")
+    )
+    adcn = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "gid", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            (F.first("cdot") + F.sum("part")).alias("adc_num"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    qn = q.select("query_id", "qnrm")
     sw = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlist = (
-        probes.join(recv, "cid")
-        .join(F.broadcast(q), "query_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qemb", "vec_id", adc.alias("adc"))
+        adcn.join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("adc_num").cast("double") / (F.col("qnrm") * F.col("nrm"))).alias(
+                "adc"
+            ),
+        )
         .withColumn("arn", F.row_number().over(sw))
         .filter(F.col("arn") <= PQ_SHORTLIST)
-        .select("query_id", "qemb", "vec_id")
+        .select("query_id", "vec_id")
     )
-    exact = F.aggregate(
-        F.zip_with("qemb", "emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    # Exact re-rank fetches true vectors ONLY for shortlist rows.
+    exact = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
+        F.col("qnrm") * F.col("nrm")
     )
-    rer = shortlist.join(base, "vec_id").select(
-        "query_id", "vec_id", exact.alias("cosine")
+    rer = (
+        shortlist.join(v.select("vec_id", "fe", "nrm"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", exact.alias("cosine"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
