@@ -121,59 +121,6 @@ def _assign(vectors: DataFrame, centroids: DataFrame, zero=None) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroid per cell: element-wise mean via posexplode + regroup."""
-    exploded = assigned.select(
-        "cell", F.posexplode("emb").alias("dim", "val")
-    )
-    means = exploded.groupBy("cell", "dim").agg(F.avg("val").alias("m"))
-    return (
-        means.groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("c_emb")
-        )
-        .select(F.col("cell").alias("cid"), "c_emb")
-    )
-
-
-def lloyd_fit(
-    vectors: DataFrame, k: int, iters: int
-) -> tuple[DataFrame, list[list[float]], list[float]]:
-    """Lloyd's over any ``(vec_id, emb: array<double>)`` frame. Returns
-    (final assignment with vec_id/cell/d2, final centroid arrays indexed
-    by cid, per-iteration inertia history). Shared by the whole-vector
-    trainer (kmeans_fit / sim_kmeans_cells / sim_knn_ivf centroids) and
-    the per-subspace product-quantization codebooks (sim_knn_pq)."""
-    spark = vectors.sparkSession
-    centroids = (
-        vectors.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("c_emb"))
-    )
-    # Deterministic init re-entered as literals so cid is 0..k-1 dense.
-    cent_rows = [list(r.c_emb) for r in centroids.collect()]
-    history: list[float] = []
-    for _ in range(iters):
-        centroids = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cent_rows)], "cid INT, c_emb ARRAY<DOUBLE>"
-        )
-        assigned = _assign(vectors, centroids).cache()
-        history.append(assigned.agg(F.sum("d2")).collect()[0][0])
-        new_centroids = _update(assigned)
-        # Re-enter as literal rows: K tiny arrays through the driver, so
-        # iteration N+1's plan does not contain iteration N's. A cell that
-        # lost all members keeps its previous centroid.
-        updates = {int(r.cid): list(r.c_emb) for r in new_centroids.collect()}
-        cent_rows = [updates.get(i, c) for i, c in enumerate(cent_rows)]
-        assigned.unpersist()
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cent_rows)], "cid INT, c_emb ARRAY<DOUBLE>"
-    )
-    return _assign(vectors, centroids).cache(), cent_rows, history
-
-
 def lloyd_fit_grouped_quantized(
     subs: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -254,21 +201,58 @@ def lloyd_fit_grouped_quantized(
     return codes, cent
 
 
-def kmeans_fit(
+def kmeans_fit_quantized(
     spark: SparkSession,
     sf_dir: str,
     k: int = K_DEFAULT,
     iters: int = ITERS_DEFAULT,
-) -> tuple[DataFrame, list[float]]:
-    """Run Lloyd's for ``iters`` rounds; returns (assignment frame with
-    columns vec_id/cell/d2, per-iteration inertia history)."""
-    vectors = (
-        spread(t(spark, sf_dir, "embeddings"))
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .cache()
+) -> DataFrame:
+    """Whole-vector fixed-point Lloyd's: lloyd_fit_grouped_quantized with
+    a single constant group, plus the exact integer d2 of every vector to
+    its FINAL centroid. Returns (vec_id, cell, d2: long)."""
+    v = _vectors(spark, sf_dir)
+    subs = v.select(
+        F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
+    ).cache()
+    codes, cent = lloyd_fit_grouped_quantized(subs, k, iters)
+    d2 = F.aggregate(
+        F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    assigned, _, history = lloyd_fit(vectors, k, iters)
-    return assigned, history
+    return (
+        subs.join(codes, ["gid", "vec_id"])
+        .join(F.broadcast(cent), ["gid", "cid"])
+        .select("vec_id", F.col("cid").alias("cell"), d2.alias("d2"))
+    )
+
+
+def _kmeans_cells_oracle(k: int, iters: int) -> str:
+    """ANSI replay of the whole-vector fixed-point trainer: a single-gid
+    subs CTE feeds the SAME trainer unroll the PQ oracles use
+    (_pq_trainer_parts), then the summary aggregates exact integer d2
+    per final cell — the one IEEE divide is the mean at the surface."""
+    from .similarity import _pq_trainer_parts
+
+    parts = [
+        "subs AS (SELECT CAST(0 AS BIGINT) AS gid, vec_id, fe AS sv FROM vecs)",
+    ]
+    parts.extend(_pq_trainer_parts(k, iters))
+    parts.append(
+        f"""pv AS (
+        SELECT co.cid, {_sql_d2("s.sv", "c.c_q")} AS d2
+        FROM subs s
+        JOIN codes co ON co.gid = s.gid AND co.vec_id = s.vec_id
+        JOIN cent{iters} c ON c.gid = co.gid AND c.cid = co.cid)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body}
+    SELECT cid AS cell, COUNT(*) AS n_members,
+           CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean_sq_dist
+    FROM pv GROUP BY cid
+    """
 
 
 @register(
@@ -309,7 +293,7 @@ def kmeans_fit(
     tags=("similarity", "iterative"),
     window_defer=True,
     doc=f"ONE Lloyd iteration with pinned centroids (the k={K_DEFAULT} "
-    "lowest vec_ids — lloyd_fit's deterministic init), oracle-gated "
+    "lowest vec_ids — the trainer's deterministic init), oracle-gated "
     "bit-for-bit: assign every vector to its nearest centroid (exact "
     "integer squared-L2 on the similarity module's fixed-point "
     "vectors, ties to the lowest cid — the trainer's exact tie rule), "
@@ -378,19 +362,32 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_kmeans_cells",
-    oracle=None,  # iterative; invariants pinned by tests/test_kmeans.py
+    oracle=_kmeans_cells_oracle(K_DEFAULT, ITERS_DEFAULT),
     tags=("similarity", "iterative"),
+    window_defer=True,
     doc=f"K-means cell summary after {ITERS_DEFAULT} Lloyd's iterations "
-    f"(k={K_DEFAULT}): per-cell member count and mean squared distance. "
-    "The iterative-algorithm representative: driver loop over cached "
-    "DataFrame jobs, centroids re-entering as literals so lineage stays "
-    "flat. Trains the production centroids for sim_knn_ivf.",
+    f"(k={K_DEFAULT}): per-cell member count and mean squared distance, "
+    "oracle-gated END-TO-END — the whole-vector trainer is "
+    "lloyd_fit_grouped_quantized with a single constant group (gid=0), "
+    "so the iterative-algorithm representative runs the SAME pinned "
+    "fixed-point law as the PQ codebooks and trained IVF: exact BIGINT "
+    "squared-L2 assignment (ties to the lowest cid), floor-integer "
+    "centroid means, deterministic k-lowest-vec_ids init. Summary "
+    "aggregates the exact integer d2 to the FINAL centroids "
+    "(decimal-accumulated, so no overflow at any SF) with the single "
+    "IEEE divide at the surface; the oracle reuses _pq_trainer_parts "
+    "verbatim. Plan per iteration: centroids broadcast (k rows), argmin "
+    "via min_by — map-side partial agg, ~n rows shuffled, no window "
+    "over the vector table — the shape that scales to 100 TB.",
 )
 def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned, _ = kmeans_fit(spark, sf_dir)
-    return assigned.groupBy("cell").agg(
+    pv = kmeans_fit_quantized(spark, sf_dir)
+    return pv.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.avg("d2").alias("mean_sq_dist"),
+        (
+            F.sum(F.col("d2").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_sq_dist"),
     )
 
 
@@ -508,7 +505,7 @@ def _ivf_trained_oracle(k: int, iters: int, nprobe: int, nq: int) -> str:
     "round — noise at embedding precision, and the price of an exact "
     "cross-engine gate on an iterative algorithm. Plan: the whole "
     "trainer is ONE lazy declarative plan (no driver loop, no collect "
-    "— unlike lloyd_fit's literal re-entry); each round is a k-row "
+    "— the superseded float trainer re-entered literals); each round is a k-row "
     "broadcast crossJoin + min_by argmin (map-side partial agg, ~n "
     "rows shuffled) + posexplode/regroup update; the vector table is "
     "cached once and re-read per round from memory. 100 TB: identical "

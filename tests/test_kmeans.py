@@ -1,21 +1,27 @@
 """Iterative K-means: Lloyd's invariants (monotone inertia, argmin
-assignments, full coverage) on the embeddings fixture."""
+assignments, full coverage) on the embeddings fixture, over the
+fixed-point trainer (kmeans_fit_quantized / lloyd_fit_grouped_quantized
+— the oracle-gated path sim_kmeans_cells runs)."""
 
 from __future__ import annotations
 
-from nrg_etl_airflow_spark_emr_spark.operators.kmeans import kmeans_fit
+from nrg_etl_airflow_spark_emr_spark.operators.kmeans import kmeans_fit_quantized
 
 
 def test_kmeans_inertia_monotone_and_assignments_consistent(spark, sf_dir):
-    assigned, history = kmeans_fit(spark, sf_dir, k=5, iters=4)
-
-    # Lloyd's guarantee: inertia never increases between iterations.
-    assert len(history) == 4
+    # Lloyd's guarantee: inertia never increases between iterations. The
+    # floor-integer centroid update perturbs each coordinate by < 1 of
+    # ~1e7-scale values, so the classical monotonicity holds up to a
+    # vanishing relative tolerance.
+    history = []
+    for iters in range(1, 5):
+        pv = kmeans_fit_quantized(spark, sf_dir, k=5, iters=iters)
+        history.append(pv.groupBy().sum("d2").collect()[0][0])
     for prev, cur in zip(history, history[1:]):
-        assert cur <= prev + 1e-9, f"inertia rose: {history}"
+        assert cur <= prev * (1 + 1e-6), f"inertia rose: {history}"
     assert history[-1] < history[0], "no improvement over init at all"
 
-    rows = assigned.collect()
+    rows = kmeans_fit_quantized(spark, sf_dir, k=5, iters=4).collect()
     n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert len(rows) == n_vec, "every vector must be assigned exactly once"
     cells = {r.cell for r in rows}
@@ -24,41 +30,30 @@ def test_kmeans_inertia_monotone_and_assignments_consistent(spark, sf_dir):
 
 
 def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
-    """Spot-check: each assigned distance equals the minimum distance to
-    any final centroid, recomputed independently in Python."""
-    assigned, _ = kmeans_fit(spark, sf_dir, k=5, iters=3)
-    rows = assigned.collect()
+    """Exact check: each vector's final cell is the integer-squared-L2
+    argmin (ties to the lowest cid) over the FINAL centroids, recomputed
+    independently in Python from the quantized fixture vectors."""
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import (
+        lloyd_fit_grouped_quantized,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from pyspark.sql import functions as F
 
-    # Recover the final centroids as the per-cell element-wise mean of
-    # the PREVIOUS assignment is internal; instead verify pairwise: for
-    # every pair of rows in different cells, swapping cells cannot give
-    # a smaller total distance if assignment is argmin per row. Cheaper
-    # exact check: group members' d2 must each be <= distance to every
-    # OTHER cell's member-mean... To stay independent, recompute argmin
-    # against centroids derived from the returned assignment itself.
-    import collections
-
-    sums: dict[int, list[float]] = {}
-    counts = collections.Counter()
-    for r in rows:
-        counts[r.cell] += 1
-        acc = sums.setdefault(r.cell, [0.0] * len(r.emb))
-        for i, v in enumerate(r.emb):
-            acc[i] += v
-    cents = {c: [x / counts[c] for x in acc] for c, acc in sums.items()}
+    v = _vectors(spark, sf_dir)
+    subs = v.select(
+        F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
+    )
+    codes, cent = lloyd_fit_grouped_quantized(subs, 5, 3)
+    cents = {int(r.cid): list(r.c_q) for r in cent.collect()}
+    assigned = {int(r.vec_id): int(r.cid) for r in codes.collect()}
+    vecs = {int(r.vec_id): list(r.fe) for r in v.collect()}
 
     def d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
-    # After convergence-ish iterations the assigned cell should be the
-    # argmin against the implied centroids for the vast majority of
-    # vectors (exact equality only holds at a fixed point; require 90%).
-    ok = sum(
-        1
-        for r in rows
-        if r.cell == min(cents, key=lambda c: (d2(r.emb, cents[c]), c))
-    )
-    assert ok / len(rows) >= 0.9, f"only {ok}/{len(rows)} at argmin"
+    for vid, fe in vecs.items():
+        want = min(cents, key=lambda c: (d2(fe, cents[c]), c))
+        assert assigned[vid] == want, f"vec {vid}: {assigned[vid]} != {want}"
 
 
 def test_kmeans_step_tie_and_update_semantics(spark, tmp_path):
