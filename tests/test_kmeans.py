@@ -158,3 +158,60 @@ def test_trained_ivf_beats_fixture_rule_recall(spark, sf_dir):
         f"training no longer beats the fixture rule "
         f"({recall_trained} vs {recall_fixture})"
     )
+
+
+def test_quantized_trainer_edge_fixture_matches_oracle(spark, tmp_path):
+    """Crafted-fixture pin for the fixed-point trainer's edge laws the sf
+    fixtures never exercise: NEGATIVE coordinates through the
+    floor-integer mean (floor(-3/2) = -2 — the subtract-mod identity must
+    floor, not truncate toward zero) and an init cell that loses every
+    member and VANISHES (duplicate init vectors tie to the lower cid, so
+    the higher cid starves in round 1). Runs sim_kmeans_cells' registered
+    builder AND its registered oracle over the same crafted table and
+    compares values exactly — the same gate as test_catalog_oracle, but
+    on a fixture built to hit the edges."""
+    import duckdb
+
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    rows = [
+        # vec_ids 0..4 are the pinned init centroids (k=5 lowest ids).
+        # 0 and 1 are IDENTICAL: every vector near them ties to cid 0,
+        # so cell 1 starves and must vanish from the summary.
+        (0, [-1.0, -1.0], 0),
+        (1, [-1.0, -1.0], 0),
+        (2, [3.0, 3.0], 0),
+        (3, [-3.0, 3.0], 0),
+        (4, [3.0, -3.0], 0),
+        # negative-coordinate members: their floor-integer means are
+        # negative and non-integral in every dim.
+        (5, [-1.3, -0.9], 0),
+        (6, [-0.8, -1.6], 0),
+        (7, [2.5, 3.4], 0),
+        (8, [-3.2, 2.1], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    spec = all_specs()["sim_kmeans_cells"]
+    got = {
+        int(r.cell): (int(r.n_members), float(r.mean_sq_dist))
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        # Spark writes a directory of part files; glob inside it.
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = {
+        int(cell): (int(n), float(m))
+        for cell, n, m in con.sql(spec.oracle).fetchall()
+    }
+    con.close()
+
+    assert got == want, f"engine {got} != oracle {want}"
+    assert 1 not in got, "starved init cell must vanish"
+    assert sum(n for n, _ in got.values()) == len(rows)
