@@ -710,3 +710,94 @@ def src_sorted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").alias("max_key"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+@register(
+    "snk_compacted_roundtrip",
+    oracle=_AGG_ORACLE,
+    tags=("sink", "format", "layout"),
+    window_defer=True,
+    doc="Small-file compaction round-trip: orders deliberately fragmented "
+    "into 32 undersized files (the shape incremental/streaming sinks "
+    "leave behind), rewritten by compact_parquet to ceil(bytes/target) "
+    "files — sized on COMPRESSED on-disk bytes, narrowed with coalesce "
+    "so compaction never pays a shuffle — then aggregated per priority "
+    "against the oracle's scan of the original. The value-level gate is "
+    "what lets a 100 TB table compact in place safely: "
+    "tests/test_layout.py proves the file-count mechanics, this row "
+    "proves the rewritten DATA is intact. At scale, small files mean "
+    "listing storms and per-file open overhead dominating scan time; "
+    "compaction is the standing maintenance job every long-lived "
+    "parquet table needs.",
+)
+def snk_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import compact_parquet, dir_bytes
+
+    frag = _roundtrip_dir(spark, "frag", sf_dir)
+    out = _roundtrip_dir(spark, "compacted", sf_dir)
+    t(spark, sf_dir, "orders").repartition(32).write.mode("overwrite").parquet(frag)
+    # Target a quarter of the fragmented size -> ~4 compacted files.
+    compact_parquet(
+        spark, frag, out, target_file_bytes=max(1, dir_bytes(frag) // 4)
+    )
+    return _agg(spark.read.parquet(out))
+
+
+_Z_CK_LO, _Z_CK_HI = 40, 120  # o_custkey band (populated at every fixture SF)
+_Z_OK_HI = 3000               # o_orderkey bound: rectangle, not a stripe
+
+
+@register(
+    "src_zorder_layout_roundtrip",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_ck,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_ck,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_ok,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_ok,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE o_custkey >= {_Z_CK_LO} AND o_custkey < {_Z_CK_HI}
+      AND o_orderkey < {_Z_OK_HI}
+    """,
+    tags=("source", "format", "layout"),
+    window_defer=True,
+    doc="Z-order (Morton-curve) layout round-trip: orders rewritten with "
+    "write_zordered_parquet clustered on the interleaved bits of "
+    "(o_custkey, o_orderkey) — each output file covers a small SQUARE "
+    "of the two-key space instead of a thin full-width stripe — then a "
+    "RECTANGLE query (band on both keys) runs against the z-ordered "
+    "copy and must match the oracle's scan of the original. Completes "
+    "the layout family's value gates next to src_sorted_layout_"
+    "roundtrip (single-key bands) and snk_compacted_roundtrip: "
+    "tests/test_layout.py proves both dimensions' min/max file bands "
+    "tighten, this row proves the curve math (normalize to 2^bits "
+    "buckets, JVM-side bit interleave, range-partition on z, drop the "
+    "helper columns) loses no rows and mangles no values. The min/max "
+    "echo of BOTH keys catches boundary off-by-ones in either "
+    "dimension. At 100 TB this is what Delta's OPTIMIZE ZORDER BY "
+    "does, as plain column algebra.",
+)
+def src_zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import write_zordered_parquet
+
+    path = _roundtrip_dir(spark, "zorder", sf_dir)
+    write_zordered_parquet(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        path,
+        "o_custkey",
+        "o_orderkey",
+    )
+    df = spark.read.parquet(path).filter(
+        (F.col("o_custkey") >= _Z_CK_LO)
+        & (F.col("o_custkey") < _Z_CK_HI)
+        & (F.col("o_orderkey") < _Z_OK_HI)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min("o_orderkey").alias("min_ok"),
+        F.max("o_orderkey").alias("max_ok"),
+        dsum("o_totalprice", "total_price"),
+    )
