@@ -743,8 +743,10 @@ def snk_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(spark.read.parquet(out))
 
 
-_Z_CK_LO, _Z_CK_HI = 40, 120  # o_custkey band (populated at every fixture SF)
-_Z_OK_HI = 3000               # o_orderkey bound: rectangle, not a stripe
+# o_custkey band shared with src_sorted_layout_roundtrip (single-sourced
+# so both layout gates test the same selectivity).
+_Z_CK_LO, _Z_CK_HI = _LAYOUT_KEY_LO, _LAYOUT_KEY_HI
+_Z_OK_HI = 3000  # o_orderkey bound: rectangle, not a stripe
 
 
 @register(

@@ -142,7 +142,8 @@ def lloyd_fit_grouped_quantized(
 
     Unlike lloyd_fit_grouped there is NO driver loop state: the whole
     trainer is one lazy declarative plan (iters is small and fixed).
-    Returns (codes: gid/vec_id/cid under the FINAL centroids,
+    Returns (codes: gid/vec_id/cid/d2 under the FINAL centroids — d2 is
+    the exact integer distance to the winning centroid,
     cent: gid/cid/c_q — cached, k*M rows)."""
     d2 = F.aggregate(
         F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
@@ -151,13 +152,20 @@ def lloyd_fit_grouped_quantized(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
+        # Struct-min == ORDER BY d2, cid; carrying the winning d2 out
+        # costs nothing and spares callers (kmeans_fit_quantized) a full
+        # re-join + re-aggregate against the final centroids.
         return (
             subs.join(F.broadcast(cent), "gid")
             .select("gid", "vec_id", "sv", "cid", d2.alias("d2"))
             .groupBy("gid", "vec_id")
             .agg(
                 F.first("sv").alias("sv"),
-                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.min(F.struct("d2", "cid")).alias("m"),
+            )
+            .select(
+                "gid", "vec_id", "sv", F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
             )
         )
 
@@ -197,7 +205,7 @@ def lloyd_fit_grouped_quantized(
             .select("gid", F.col("cell").alias("cid"), "c_q")
         )
     cent = cent.cache()
-    codes = assign(cent).select("gid", "vec_id", "cid")
+    codes = assign(cent).select("gid", "vec_id", "cid", "d2")
     return codes, cent
 
 
@@ -214,17 +222,10 @@ def kmeans_fit_quantized(
     subs = v.select(
         F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
     ).cache()
-    codes, cent = lloyd_fit_grouped_quantized(subs, k, iters)
-    d2 = F.aggregate(
-        F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        subs.join(codes, ["gid", "vec_id"])
-        .join(F.broadcast(cent), ["gid", "cid"])
-        .select("vec_id", F.col("cid").alias("cell"), d2.alias("d2"))
-    )
+    # The trainer's final assignment already carries the winning d2 —
+    # no re-join against the centroids.
+    codes, _cent = lloyd_fit_grouped_quantized(subs, k, iters)
+    return codes.select("vec_id", F.col("cid").alias("cell"), "d2")
 
 
 def _kmeans_cells_oracle(k: int, iters: int) -> str:

@@ -653,6 +653,28 @@ PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
 PQ_SUB_W = 8  # fixture dim 64 = PQ_M * PQ_SUB_W; asserted in the builder
 
 
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFrame:
+    """Explode ``df[vec_col]`` into its PQ_M width-PQ_SUB_W subvectors:
+    (id_col, gid, out_col). The 1-based slice offsets are the ONE place
+    the subspace-slicing law lives on the Spark side (the SQL twin is the
+    list_slice in _pq_oracle/_ivfpq_oracle) — shared by both PQ builders
+    for database vectors, residuals, and query vectors alike."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("gid"),
+                        F.slice(vec_col, m * PQ_SUB_W + 1, PQ_SUB_W).alias("v"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.gid").alias("gid"), id_col, F.col("s.v").alias(out_col))
+
+
 def _pq_trainer_parts(k: int, iters: int) -> list[str]:
     """CTE parts replaying lloyd_fit_grouped_quantized over an existing
     ``subs(gid, vec_id, sv)`` CTE: deterministic init, ``iters`` rounds
@@ -807,20 +829,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).cache()
     dim = len(v.select("fe").first()[0])
     assert dim == PQ_M * PQ_SUB_W, f"fixture dim {dim} != {PQ_M}x{PQ_SUB_W}"
-    subs = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("gid"),
-                        F.slice("fe", m * PQ_SUB_W + 1, PQ_SUB_W).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col("s.gid").alias("gid"), "vec_id", F.col("s.sv").alias("sv"))
+    subs = _subvectors(v, "vec_id", "fe", "sv")
     codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
 
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -828,20 +837,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fe").alias("qfe"),
         F.col("nrm").alias("qnrm"),
     )
-    qsubs = q.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("gid"),
-                        F.slice("qfe", m * PQ_SUB_W + 1, PQ_SUB_W).alias("qsv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", F.col("s.gid").alias("gid"), F.col("s.qsv").alias("qsv"))
+    qsubs = _subvectors(q, "query_id", "qfe", "qsv")
     # ADC lookup tables: nq * M * K integer dots — broadcast-sized state.
     lut = qsubs.join(F.broadcast(cent), "gid").select(
         "query_id", "gid", "cid", _dot(F.col("qsv"), F.col("c_q")).alias("part")
@@ -1028,20 +1024,7 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    subs = resid.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("gid"),
-                        F.slice("res", m * PQ_SUB_W + 1, PQ_SUB_W).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col("s.gid").alias("gid"), "vec_id", F.col("s.sv").alias("sv"))
+    subs = _subvectors(resid, "vec_id", "res", "sv")
     codes, pcent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
 
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1068,20 +1051,7 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("cid").alias("ccid"), "cdot")
     )
     # Residual ADC lookup tables: nq * M * K integer dots, broadcast.
-    qsubs = q.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("gid"),
-                        F.slice("qfe", m * PQ_SUB_W + 1, PQ_SUB_W).alias("qsv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", F.col("s.gid").alias("gid"), F.col("s.qsv").alias("qsv"))
+    qsubs = _subvectors(q, "query_id", "qfe", "qsv")
     lut = qsubs.join(F.broadcast(pcent), "gid").select(
         "query_id", "gid", "cid", _dot(F.col("qsv"), F.col("c_q")).alias("part")
     )

@@ -62,10 +62,11 @@ def test_no_oracle_row_is_terminal_for_rows_only_spec(tmp_path, monkeypatch):
 
 
 def test_explicit_false_keeps_rows_only_spec_pending(tmp_path, monkeypatch):
-    # sim_knn_ivfpq is a (still) rows-only spec; sim_knn_pq graduated to
+    # mm_byte_histogram is a (still) rows-only spec; the former subjects
+    # of this test (sim_knn_pq, then sim_knn_ivfpq) graduated to
     # oracle-gated in round 9.
-    _with_records(tmp_path, monkeypatch, {"sim_knn_ivfpq": ROWS_ONLY_FAIL})
-    assert "sim_knn_ivfpq" not in cat._driver_green_names()
+    _with_records(tmp_path, monkeypatch, {"mm_byte_histogram": ROWS_ONLY_FAIL})
+    assert "mm_byte_histogram" not in cat._driver_green_names()
 
 
 def test_pending_rows_only_sorts_behind_pending_oracle_gated(tmp_path, monkeypatch):
