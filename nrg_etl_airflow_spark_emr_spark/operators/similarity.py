@@ -653,6 +653,26 @@ PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
 PQ_SUB_W = 8  # fixture dim 64 = PQ_M * PQ_SUB_W; asserted in the builder
 
 
+def _exact_rerank_top10(shortlist: DataFrame, v: DataFrame, q: DataFrame) -> DataFrame:
+    """Shared PQ tail: fetch true vectors ONLY for (query_id, vec_id)
+    shortlist rows, score exact fixed-point cosine, return the top-10
+    with rn — identical in sim_knn_pq and sim_knn_ivfpq (and in their
+    oracles\' final SELECT)."""
+    exact = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    rer = (
+        shortlist.join(v.select("vec_id", "fe", "nrm"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", exact.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFrame:
     """Explode ``df[vec_col]`` into its PQ_M width-PQ_SUB_W subvectors:
     (id_col, gid, out_col). The 1-based slice offsets are the ONE place
@@ -865,20 +885,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= PQ_SHORTLIST)
         .select("query_id", "vec_id")
     )
-    # Exact re-rank fetches true vectors ONLY for shortlist rows.
-    exact = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
-        F.col("qnrm") * F.col("nrm")
-    )
-    rer = (
-        shortlist.join(v.select("vec_id", "fe", "nrm"), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "vec_id", exact.alias("cosine"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
-        .filter(F.col("rn") <= 10)
-    )
+    return _exact_rerank_top10(shortlist, v, q)
 
 
 def _ivfpq_oracle(
@@ -1086,20 +1093,7 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= PQ_SHORTLIST)
         .select("query_id", "vec_id")
     )
-    # Exact re-rank fetches true vectors ONLY for shortlist rows.
-    exact = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
-        F.col("qnrm") * F.col("nrm")
-    )
-    rer = (
-        shortlist.join(v.select("vec_id", "fe", "nrm"), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "vec_id", exact.alias("cosine"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        rer.select("query_id", "vec_id", "cosine", F.row_number().over(w2).alias("rn"))
-        .filter(F.col("rn") <= 10)
-    )
+    return _exact_rerank_top10(shortlist, v, q)
 
 
 @register(
