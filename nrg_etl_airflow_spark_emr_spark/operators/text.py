@@ -1760,3 +1760,194 @@ def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("toks", F.col("start_tok"), CHUNK_TOK)
         ).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --- BPE merge training ------------------------------------------------------
+
+BPE_MERGES = 8  # unrolled training rounds (one merge learned per round)
+
+
+def _bpe_oracle(k: int) -> str:
+    """ANSI replay of the BPE trainer. Per round r over seqs{r-1}(word,
+    n, toks): adjacent-pair counts weighted by word frequency, the
+    argmax pair (ties: lexicographic a then b), and the greedy
+    left-to-right non-overlapping merge — expressed RELATIONALLY via
+    run parity: consecutive match positions form a run (pos minus
+    row_number is constant), and greedy-from-the-left takes exactly the
+    odd-ranked positions of each run. The same law, CTE for CTE, as the
+    Spark builder — no fold/reduce anywhere, so both engines agree on
+    chains like 'aaaa' merging to ('aa','aa'), not ('a','aa','a')."""
+    parts = [
+        """w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != '' GROUP BY word)""",
+        """seqs0 AS MATERIALIZED (
+        SELECT word, n,
+               list_transform(range(1, len(word) + 1), i -> word[i]) AS toks
+        FROM w0)""",
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        parts.append(
+            f"""px{r} AS MATERIALIZED (
+        SELECT word, n, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS tok
+        FROM seqs{p})"""
+        )
+        parts.append(
+            f"""pr{r} AS MATERIALIZED (
+        SELECT word, n, pos, tok AS a,
+               LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM px{r})"""
+        )
+        parts.append(
+            f"""tp{r} AS MATERIALIZED (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM pr{r} WHERE b IS NOT NULL
+        GROUP BY a, b
+        ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""tk{r} AS MATERIALIZED (
+        SELECT word, pos FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
+            FROM (
+                SELECT p.word, p.pos,
+                       p.pos - ROW_NUMBER() OVER (
+                           PARTITION BY p.word ORDER BY p.pos) AS grp
+                FROM pr{r} p JOIN tp{r} t ON p.a = t.a AND p.b = t.b
+            )
+        ) WHERE rn2 % 2 = 1)"""
+        )
+        parts.append(
+            f"""seqs{r} AS MATERIALIZED (
+        SELECT word, n, list(tok ORDER BY pos) AS toks FROM (
+            SELECT p.word, p.n, p.pos,
+                   CASE WHEN t1.pos IS NOT NULL THEN t.a || t.b
+                        ELSE p.tok END AS tok
+            FROM px{r} p
+            CROSS JOIN tp{r} t
+            LEFT JOIN tk{r} t1 ON t1.word = p.word AND t1.pos = p.pos
+            LEFT JOIN tk{r} t0 ON t0.word = p.word AND t0.pos = p.pos - 1
+            WHERE t0.pos IS NULL
+        ) GROUP BY word, n)"""
+        )
+    body = ",\n    ".join(parts)
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS lhs, b AS rhs,"
+        f" cnt AS pair_count FROM tp{r}"
+        for r in range(1, k + 1)
+    )
+    return f"WITH {body}\n    {sel}"
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(BPE_MERGES),
+    tags=("text", "iterative", "training"),
+    window_defer=True,
+    doc=f"BPE tokenizer TRAINING — the iterative-text counterpart of the "
+    "fixed-point k-means trainer, oracle-gated end-to-end: learn the "
+    f"first {BPE_MERGES} byte-pair merges over the corpus. The classic "
+    "trainer trick makes it corpus-size independent after one pass: "
+    "aggregate to (DISTINCT word, frequency) — the ONLY corpus-scale "
+    "stage — then every round runs on the vocabulary frame (millions "
+    "of short char arrays at 100 TB, not billions of documents). Per "
+    "round: adjacent-pair counts weighted by word frequency (exact "
+    "BIGINT sums), argmax pair with lexicographic tie-break, then the "
+    "greedy left-to-right non-overlapping merge expressed relationally "
+    "— consecutive match positions group into runs (pos − row_number "
+    "constant) and greedy takes the odd-ranked position of each run — "
+    "so overlapping chains ('aaaa' under merge (a,a)) resolve "
+    "identically in Spark and the unrolled SQL, with no fold/UDF. "
+    "Merged tokens participate in later rounds naturally because each "
+    "round re-derives pairs from the rebuilt sequences. Emits "
+    "(merge_rank, lhs, rhs, pair_count) — the merges file a tokenizer "
+    "ships. Plan: one corpus scan, then per round a word-keyed window "
+    "chain (single pass, no self-joins) over the cached vocabulary "
+    "frame; the per-round argmax is ONE row collected and re-entered "
+    "as literals (the bounded-small driver round-trip the QC scalars "
+    "use) — inlining it keeps the plan linear where a lazy 1-row "
+    "crossJoin would branch the lineage into 2^rounds analysis cost.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(t(spark, sf_dir, "documents").select("text"))
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seqs = wf.select(
+        "word",
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    ).cache()
+
+    lw = Window.partitionBy("word").orderBy("pos")
+    rows: list[tuple[int, str, str, int]] = []
+    for r in range(1, BPE_MERGES + 1):
+        px = seqs.select(
+            "word", "n", F.posexplode("toks").alias("pos0", "tok")
+        ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
+        pr = px.withColumn("b", F.lead("tok").over(lw))
+        top = (
+            pr.filter(F.col("b").isNotNull())
+            .groupBy(F.col("tok").alias("a"), "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        rows.append((r, a, b, cnt))
+        # Window-chain greedy merge (single pass, no self-joins): match
+        # flags -> running match-count -> run id (pos - count is constant
+        # within a run of consecutive matches) -> conditional rank within
+        # the run -> odd ranks are taken; a row is dropped when its left
+        # neighbor was taken.
+        match = (F.col("tok") == F.lit(a)) & (F.col("b") == F.lit(b))
+        mflag = F.when(F.col("match"), 1).otherwise(0)
+        m = (
+            pr.withColumn("match", match)
+            .withColumn("rm", F.sum(mflag).over(lw))
+            .withColumn("grp", F.col("pos") - F.col("rm"))
+            .withColumn(
+                "rn2",
+                F.sum(mflag).over(Window.partitionBy("word", "grp").orderBy("pos")),
+            )
+            .withColumn("taken", F.col("match") & (F.col("rn2") % 2 == 1))
+            .withColumn("dropped", F.lag("taken").over(lw))
+        )
+        seqs = (
+            m.filter(~F.coalesce(F.col("dropped"), F.lit(False)))
+            .select(
+                "word",
+                "n",
+                "pos",
+                F.when(F.col("taken"), F.lit(a + b)).otherwise(F.col("tok")).alias(
+                    "tok"
+                ),
+            )
+            .groupBy("word")
+            .agg(
+                F.first("n").alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st["tok"],
+                ).alias("toks"),
+            )
+            .cache()
+        )
+
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
