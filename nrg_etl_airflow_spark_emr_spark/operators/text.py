@@ -1767,8 +1767,9 @@ def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8  # unrolled training rounds (one merge learned per round)
 
 
-def _bpe_oracle(k: int) -> str:
-    """ANSI replay of the BPE trainer. Per round r over seqs{r-1}(word,
+def _bpe_round_parts(k: int) -> list[str]:
+    """CTE parts replaying the BPE trainer through seqs{k}. Per round r
+    over seqs{r-1}(word,
     n, toks): adjacent-pair counts weighted by word frequency, the
     argmax pair (ties: lexicographic a then b), and the greedy
     left-to-right non-overlapping merge — expressed RELATIONALLY via
@@ -1834,13 +1835,38 @@ def _bpe_oracle(k: int) -> str:
             WHERE t0.pos IS NULL
         ) GROUP BY word, n)"""
         )
-    body = ",\n    ".join(parts)
+    return parts
+
+
+def _bpe_oracle(k: int) -> str:
+    """Trainer output: the k learned merges in rank order."""
+    body = ",\n    ".join(_bpe_round_parts(k))
     sel = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS lhs, b AS rhs,"
         f" cnt AS pair_count FROM tp{r}"
         for r in range(1, k + 1)
     )
     return f"WITH {body}\n    {sel}"
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Encode output: documents re-tokenized under the FINAL merged
+    vocabulary (seqs{k}) — per-doc BPE token count, tokenized chars, and
+    the chars-per-token compression the merges bought."""
+    body = ",\n    ".join(_bpe_round_parts(k))
+    return f"""WITH {body}
+    SELECT d.doc_id,
+           CAST(SUM(len(s.toks)) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(s.word)) AS BIGINT) AS n_chars_tokenized,
+           CAST(FLOOR(CAST(SUM(len(s.word)) AS DOUBLE)
+                / SUM(len(s.toks)) * 10000) AS DOUBLE) / 10000
+               AS chars_per_token
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) d
+    JOIN seqs{k} s ON s.word = d.word
+    WHERE d.word != ''
+    GROUP BY d.doc_id"""
 
 
 @register(
@@ -1873,6 +1899,16 @@ def _bpe_oracle(k: int) -> str:
     "crossJoin would branch the lineage into 2^rounds analysis cost.",
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, _seqs = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the trainer; returns (learned merges as plain rows, the final
+    merged vocabulary frame seqs(word, n, toks) — cached). Shared by the
+    trainer query and text_bpe_encode."""
     from pyspark.sql.window import Window
 
     docs = spread(t(spark, sf_dir, "documents").select("text"))
@@ -1948,6 +1984,46 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
 
-    return spark.createDataFrame(
-        rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    return rows, seqs
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_MERGES),
+    tags=("text", "iterative", "training", "udf"),
+    window_defer=True,
+    doc=f"Tokenize WITH the trained tokenizer — the apply half that "
+    "completes text_bpe_train_merges the way trained-IVF search "
+    "completes its trainer: re-train the {BPE_MERGES} merges (shared "
+    "_bpe_train, bit-identical by construction), then re-tokenize every "
+    "document under the FINAL merged vocabulary and emit per-doc BPE "
+    "token count, tokenized chars, and the chars-per-token compression "
+    "the merges bought. Encoding is a JOIN, not a per-doc replay: the "
+    "vocabulary frame already holds each distinct word's merged token "
+    "sequence, so documents explode to words once and join the vocab on "
+    "the word key — at 100 TB that is the one corpus-scale pass, with "
+    "the vocab frame shuffle-joined (or broadcast when it fits) and "
+    "every count an exact integer. The oracle replays the identical "
+    "rounds and the identical join.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rows, seqs = _bpe_train(spark, sf_dir)
+    dw = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    joined = dw.join(seqs.select("word", "toks"), "word")
+    ratio = (
+        F.floor(
+            F.sum(F.length("word")).cast("double")
+            / F.sum(F.size("toks")).cast("double")
+            * 10000
+        ).cast("double")
+        / 10000
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.size("toks")).alias("n_bpe_tokens"),
+        F.sum(F.length("word")).alias("n_chars_tokenized"),
+        ratio.alias("chars_per_token"),
     )
