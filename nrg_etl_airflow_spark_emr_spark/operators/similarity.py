@@ -816,6 +816,7 @@ def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> s
 @register(
     "sim_knn_pq",
     oracle=_pq_oracle(PQ_M, PQ_SUB_W, PQ_K, PQ_ITERS, PQ_SHORTLIST, N_QUERIES),
+    bench=True,
     tags=("similarity", "topk", "compression", "iterative"),
     window_defer=True,
     doc=f"Product-quantized top-10 with exact re-rank (IVFADC's PQ half), "

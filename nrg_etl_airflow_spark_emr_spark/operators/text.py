@@ -1872,6 +1872,7 @@ def _bpe_encode_oracle(k: int) -> str:
 @register(
     "text_bpe_train_merges",
     oracle=_bpe_oracle(BPE_MERGES),
+    bench=True,
     tags=("text", "iterative", "training"),
     window_defer=True,
     doc=f"BPE tokenizer TRAINING — the iterative-text counterpart of the "
