@@ -1613,3 +1613,94 @@ def _mmr_greedy_kernel(pdf):
             "score": [s for _, _, s in out],
         }
     )
+
+
+# --- Hard-negative mining (contrastive training) -----------------------------
+
+HN_ANCHORS = 64  # fixed anchor set: vec_id < 64 at every SF
+HN_K = 2         # hard negatives per anchor
+
+
+@register(
+    "train_hard_negatives",
+    oracle=f"""
+    WITH {_SQL_VEC_CTE},
+    {_SQL_ASSIGN_CTE},
+    anchors AS (
+        SELECT v.vec_id, v.label, v.fe, v.nrm, a.cid
+        FROM vecs v JOIN assigned a ON a.vec_id = v.vec_id
+        WHERE v.vec_id < {HN_ANCHORS}
+    ),
+    cand AS (
+        SELECT an.vec_id AS anchor_id, v.vec_id AS negative_id,
+               list_dot_product(an.fe, v.fe) / (an.nrm * v.nrm) AS cosine
+        FROM anchors an
+        JOIN assigned a2 ON a2.cid = an.cid
+        JOIN vecs v ON v.vec_id = a2.vec_id
+        WHERE v.label != an.label
+    )
+    SELECT anchor_id, negative_id, cosine, rn FROM (
+        SELECT anchor_id, negative_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY cosine DESC, negative_id) AS INTEGER) AS rn
+        FROM cand)
+    WHERE rn <= {HN_K}
+    """,
+    tags=("training", "similarity", "topk"),
+    window_defer=True,
+    doc=f"Hard-negative mining for contrastive training — the ANN-routed "
+    "complement of train_negative_pairs' random negatives (random "
+    "negatives are easy; the pairs a contrastive objective learns from "
+    "are the SIMILAR-but-differently-labeled ones): a deterministic "
+    f"{HN_ANCHORS}-anchor fixed set (vec_id < {HN_ANCHORS}) takes its top-{HN_K} "
+    "most-cosine-similar vectors with a DIFFERENT label, candidates "
+    "restricted to the anchor's IVF cell (_cell_assignment — the pinned "
+    "cosine/max_by law sim_knn_ivf shares), so mining cost is "
+    "n_anchors x cell size, never all-pairs. The anchor set is a FIXED "
+    "absolute bound, not a modular sample: a 1-in-k sample was built "
+    "first and its measured sf0.1->sf1 ramp was ~10x for 10x data "
+    "(anchors AND the fixture's 5 fixed cells both grow linearly -> "
+    "quadratic mining) — the registered query must not own that shape. "
+    "At 100 TB mining IS linear in anchors (every example needs "
+    "negatives), so the per-anchor term is what must stay bounded: "
+    "train cell count proportional to corpus size (k ~ n/target_cell_"
+    "size via kmeans_fit_quantized) and per-anchor cost is a constant "
+    "cell, giving linear total — the fixture rule keeps 5 cells only "
+    "because the oracle replays it. Exact fixed-point cosine, "
+    "IEEE-identical ranking in both engines.",
+)
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    assigned = _cell_assignment(v)  # vec_id, fe, nrm, cid (payload carried)
+    lab = v.select("vec_id", "label")
+    anchors = (
+        assigned.filter(F.col("vec_id") < HN_ANCHORS)
+        .join(lab, "vec_id")
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("fe").alias("afe"),
+            F.col("nrm").alias("anrm"),
+            F.col("label").alias("alabel"),
+            "cid",
+        )
+    )
+    cand = (
+        anchors.join(assigned.join(lab, "vec_id"), "cid")
+        .filter(F.col("label") != F.col("alabel"))
+    )
+    cosine = _dot(F.col("afe"), F.col("fe")).cast("double") / (
+        F.col("anrm") * F.col("nrm")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        cand.select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            cosine.alias("cosine"),
+        )
+        .select("anchor_id", "negative_id", "cosine", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= HN_K)
+    )
