@@ -1777,7 +1777,12 @@ def _bpe_round_parts(k: int) -> list[str]:
     row_number is constant), and greedy-from-the-left takes exactly the
     odd-ranked positions of each run. The same law, CTE for CTE, as the
     Spark builder — no fold/reduce anywhere, so both engines agree on
-    chains like 'aaaa' merging to ('aa','aa'), not ('a','aa','a')."""
+    chains like 'aaaa' merging to ('aa','aa'), not ('a','aa','a').
+    The argmax joins back as LEFT JOIN ON TRUE, not CROSS JOIN: when a
+    round finds no pairs (vocabulary exhausted before k merges), the
+    empty tp{r} must pass the vocabulary THROUGH unchanged — a cross
+    join would annihilate seqs{r} and zero out the encode oracle, while
+    the Spark trainer breaks and keeps the last vocabulary."""
     parts = [
         """w0 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
@@ -1829,7 +1834,7 @@ def _bpe_round_parts(k: int) -> list[str]:
                    CASE WHEN t1.pos IS NOT NULL THEN t.a || t.b
                         ELSE p.tok END AS tok
             FROM px{r} p
-            CROSS JOIN tp{r} t
+            LEFT JOIN tp{r} t ON TRUE
             LEFT JOIN tk{r} t1 ON t1.word = p.word AND t1.pos = p.pos
             LEFT JOIN tk{r} t0 ON t0.word = p.word AND t0.pos = p.pos - 1
             WHERE t0.pos IS NULL
@@ -1929,6 +1934,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 
     lw = Window.partitionBy("word").orderBy("pos")
     rows: list[tuple[int, str, str, int]] = []
+    generations = [seqs]  # cached frames; all but the last two unpersist
     for r in range(1, BPE_MERGES + 1):
         px = seqs.select(
             "word", "n", F.posexplode("toks").alias("pos0", "tok")
@@ -1942,6 +1948,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .limit(1)
             .collect()
         )
+        # This round's collect materialized the newest cached frame, so
+        # everything two generations back is dead — release it (the
+        # newest frame stays lazy and recomputes from its cached parent).
+        if len(generations) >= 2:
+            generations[-2].unpersist()
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
@@ -1984,6 +1995,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
             .cache()
         )
+        generations.append(seqs)
 
     return rows, seqs
 
@@ -1991,11 +2003,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 @register(
     "text_bpe_encode",
     oracle=_bpe_encode_oracle(BPE_MERGES),
-    tags=("text", "iterative", "training", "udf"),
+    tags=("text", "iterative", "training"),
     window_defer=True,
-    doc=f"Tokenize WITH the trained tokenizer — the apply half that "
+    doc="Tokenize WITH the trained tokenizer — the apply half that "
     "completes text_bpe_train_merges the way trained-IVF search "
-    "completes its trainer: re-train the {BPE_MERGES} merges (shared "
+    f"completes its trainer: re-train the {BPE_MERGES} merges (shared "
     "_bpe_train, bit-identical by construction), then re-tokenize every "
     "document under the FINAL merged vocabulary and emit per-doc BPE "
     "token count, tokenized chars, and the chars-per-token compression "

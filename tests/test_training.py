@@ -116,3 +116,61 @@ def test_token_budget_is_prefix_of_priority_order(spark, sf_dir):
             break
         expect[r.doc_id] = cum
     assert {r.doc_id: r.cum_tokens for r in rows} == expect
+
+
+def test_bpe_greedy_overlap_chain_semantics(spark, tmp_path):
+    """Crafted pin for the BPE trainer's greedy non-overlap law AND the
+    exhaustion law, on a corpus of 'aaaa'/'bb' words. Round 1 must learn
+    (a,a) with overlapping positions counted (3 per 'aaaa'), the merge
+    must rewrite 'aaaa' to ['aa','aa'] (run parity), round 2 learns
+    (aa,aa), round 3 (b,b) — and then the vocabulary is single tokens,
+    so rounds 4..8 find NO pairs: the trainer must stop at 3 merges and
+    text_bpe_encode must still tokenize under the round-3 vocabulary,
+    with its DuckDB oracle passing the vocabulary THROUGH the empty
+    rounds (the LEFT JOIN ON TRUE law) instead of annihilating it."""
+    import duckdb
+
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    rows = [
+        (0, "aaaa bb aaaa", "en", "s", 12),
+        (1, "bb aaaa", "en", "s", 7),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        int(r.merge_rank): (r.lhs, r.rhs, int(r.pair_count))
+        for r in all_specs()["text_bpe_train_merges"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    # Word frequencies: 'aaaa' n=3, 'bb' n=2. (a,a) has 3 adjacent
+    # positions inside 'aaaa' (overlaps counted) -> 3*3 = 9, beating
+    # (b,b) at 1*2 = 2.
+    assert out[1] == ("a", "a", 9), out
+    # Greedy left-to-right: 'aaaa' -> [aa, aa]; the dominant next pair is
+    # (aa, aa) with count 3 (one per word occurrence).
+    assert out[2] == ("aa", "aa", 3), out
+    # Round 3 merges bb; then every word is one token -> exhaustion.
+    assert out[3] == ("b", "b", 2), out
+    assert len(out) == 3, out
+
+    # Encode under the exhausted (round-3) vocabulary: every word is a
+    # single token. Engine AND oracle must agree (the oracle must not
+    # return zero rows for rounds past exhaustion).
+    spec = all_specs()["text_bpe_encode"]
+    got = sorted(
+        (int(r.doc_id), int(r.n_bpe_tokens), int(r.n_chars_tokenized))
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    )
+    assert got == [(0, 3, 10), (1, 2, 6)], got
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted((int(d), int(nt), int(nc)) for d, nt, nc, _ in con.sql(spec.oracle).fetchall())
+    con.close()
+    assert want == got, (want, got)
