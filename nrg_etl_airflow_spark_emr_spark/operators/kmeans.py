@@ -188,6 +188,15 @@ def lloyd_fit_grouped_quantized(
             F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("s"),
         )
         smod = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
+        # Exactness bound: (s - smod)/n runs as long/long DOUBLE division,
+        # exact only while |s| < 2^53 — i.e. per-(gid, cell, dim) coordinate
+        # sums under ~9e15, or ~4.5e8 members per cell at 1e7-scale
+        # fixed-point coords. Beyond that Spark's double->long cast
+        # truncates while DuckDB's CAST(double AS BIGINT) rounds to
+        # nearest — a cross-engine divergence. The decimal accumulator
+        # above keeps SUM itself exact to 38 digits; if cells ever
+        # approach the bound, compute the quotient in decimal domain
+        # ((s - smod).cast(decimal) / n) on BOTH sides instead.
         means = agg.select(
             "gid",
             "cell",
@@ -521,13 +530,14 @@ def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_trained_shortlist(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
-    """Per-query top-``topn`` of the trained-IVF search, carrying each
-    hit's (fe, nrm) so downstream rerank stages (sim_knn_ivf_mmr) can
-    compute candidate-set pairwise cosines without joining back to the
-    vector table. Columns: query_id, vec_id, cosine, rn, fe, nrm."""
-    v = _vectors(spark, sf_dir).cache()
-    guard = _long_d2_guard(v, "fe")
+def ivf_train(v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The trained-IVF *build* step, factored out of the search so the
+    index can be PERSISTED (sources/ann_index.py) instead of re-trained
+    per query: quantized-Lloyd centroids plus the final cell assignment
+    of every vector. Returns ``(cent: cid/c_q — cached, k rows,
+    fassign: vec_id/fe/nrm/cid)``. Same arithmetic law as
+    lloyd_fit_grouped_quantized (exact BIGINT assignment, floor-integer
+    means), so the artifact round-trips through parquet bit-exactly."""
     d2 = F.aggregate(
         F.zip_with("fe", "c_q", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -565,6 +575,9 @@ def ivf_trained_shortlist(spark: SparkSession, sf_dir: str, topn: int) -> DataFr
             F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("s"),
         )
         smod = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
+        # Same 2^53 cell-sum bound as lloyd_fit_grouped_quantized's mean
+        # (see the note there): exact while per-(cell, dim) sums stay
+        # under 2^53 (~4.5e8 members/cell at 1e7-scale coords).
         means = agg.select(
             "cell", "dim", ((F.col("s") - smod) / F.col("n")).cast("long").alias("m")
         )
@@ -585,12 +598,19 @@ def ivf_trained_shortlist(spark: SparkSession, sf_dir: str, topn: int) -> DataFr
     # collapse the identical broadcasts, but the pin should not depend
     # on an optimizer rule firing).
     cent = cent.cache()
-    fassign = assign(cent)
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("fe").alias("qfe"),
-        F.col("nrm").alias("qnrm"),
-    )
+    return cent, assign(cent)
+
+
+def ivf_search(
+    cent: DataFrame, fassign: DataFrame, q: DataFrame, topn: int
+) -> DataFrame:
+    """The trained-IVF *search* step over an already-built index
+    (``cent``: cid/c_q, ``fassign``: vec_id/fe/nrm/cid — from ivf_train
+    or read back from a persisted parquet index): route each query to
+    its NPROBE nearest cells by the exact-d2 assignment law, exact
+    fixed-point cosine inside probed cells, top-``topn`` per query.
+    Columns: query_id, vec_id, cosine, rn, fe, nrm. ``q`` columns:
+    query_id, qfe, qnrm."""
     qd2 = F.aggregate(
         F.zip_with("qfe", "c_q", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -624,9 +644,79 @@ def ivf_trained_shortlist(spark: SparkSession, sf_dir: str, topn: int) -> DataFr
             "nrm",
         )
         .filter(F.col("rn") <= topn)
+    )
+
+
+def ivf_trained_shortlist(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
+    """Per-query top-``topn`` of the trained-IVF search, carrying each
+    hit's (fe, nrm) so downstream rerank stages (sim_knn_ivf_mmr) can
+    compute candidate-set pairwise cosines without joining back to the
+    vector table. Columns: query_id, vec_id, cosine, rn, fe, nrm.
+    Composes ivf_train + ivf_search (trainer inline — the persisted-
+    index twin is sim_knn_ivf_persisted) plus the long-d2 exactness
+    guard."""
+    v = _vectors(spark, sf_dir).cache()
+    guard = _long_d2_guard(v, "fe")
+    cent, fassign = ivf_train(v)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        ivf_search(cent, fassign, q, topn)
         .crossJoin(F.broadcast(guard))
         .filter(F.col("d2_ok").isNull())
         .drop("d2_ok")
+    )
+
+
+@register(
+    "sim_knn_ivf_persisted",
+    bench=True,
+    oracle=_ivf_trained_oracle(K_DEFAULT, IVF_TRAIN_ITERS, NPROBE, N_QUERIES),
+    tags=("similarity", "topk", "index", "sink"),
+    window_defer=True,
+    doc="Trained-IVF search FROM A PERSISTED INDEX — the train-once / "
+    "search-many shape a 100 TB deployment actually runs, closing the "
+    "'every trainer re-trains inline per query' gap: the builder first "
+    "writes the index artifact (sources/ann_index.write_ivf_index — "
+    "quantized-Lloyd centroids as a k-row parquet routing table, the "
+    "corpus postings PARTITIONED BY trained cell id, the physical "
+    "realization of IVF inverted lists), then the returned SEARCH plan "
+    "contains NO trainer at all — it starts from two parquet scans "
+    "(plan-pinned: zero posexplode/Generate stages, "
+    "tests/test_plans.py). Routing and scoring are ivf_search, the "
+    "SAME code path as sim_knn_ivf_trained, and fe/c_q (array<bigint>) "
+    "and nrm (double) round-trip through parquet bit-exactly, so the "
+    "persisted search hash-matches the inline path under the IDENTICAL "
+    "oracle — the same value-level guarantee the layout round-trips "
+    "(snk_compacted_roundtrip) established for physical rewrites, now "
+    "for trained state. At 100 TB the index build is a once-per-corpus "
+    "maintenance job; each query batch broadcasts the centroid table, "
+    "routes to nprobe cells, and partition pruning on cid skips every "
+    "unprobed inverted list without opening a file. Amortization is "
+    "measured in BASELINE.md (build vs search split).",
+)
+def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.formats import _roundtrip_dir
+    from ..sources.ann_index import read_ivf_index, write_ivf_index
+
+    path = _roundtrip_dir(spark, "ivfidx", sf_dir)
+    write_ivf_index(spark, sf_dir, path)  # the once-per-corpus build
+    cent, postings = read_ivf_index(spark, path)
+    guard = _long_d2_guard(postings, "fe")
+    q = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        ivf_search(cent, postings, q, topn=5)
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("d2_ok").isNull())
+        .drop("d2_ok")
+        .select("query_id", "vec_id", "cosine", "rn")
     )
 
 

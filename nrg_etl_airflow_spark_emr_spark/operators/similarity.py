@@ -673,6 +673,17 @@ def _exact_rerank_top10(shortlist: DataFrame, v: DataFrame, q: DataFrame) -> Dat
     )
 
 
+def _check_pq_dim(dim: int) -> None:
+    """Fail fast on a mis-sized fixture BEFORE _subvectors slices it:
+    an explicit raise (not assert — asserts vanish under python -O) so a
+    wrong embedding width can never silently produce short/ragged
+    subvectors."""
+    if dim != PQ_M * PQ_SUB_W:
+        raise ValueError(
+            f"embedding dim {dim} is not PQ_M*PQ_SUB_W = {PQ_M}x{PQ_SUB_W}"
+        )
+
+
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataFrame:
     """Explode ``df[vec_col]`` into its PQ_M width-PQ_SUB_W subvectors:
     (id_col, gid, out_col). The 1-based slice offsets are the ONE place
@@ -848,8 +859,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import lloyd_fit_grouped_quantized
 
     v = _vectors(spark, sf_dir).cache()
-    dim = len(v.select("fe").first()[0])
-    assert dim == PQ_M * PQ_SUB_W, f"fixture dim {dim} != {PQ_M}x{PQ_SUB_W}"
+    _check_pq_dim(len(v.select("fe").first()[0]))
     subs = _subvectors(v, "vec_id", "fe", "sv")
     codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
 
@@ -1014,8 +1024,7 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import lloyd_fit_grouped_quantized
 
     v = _vectors(spark, sf_dir).cache()
-    dim = len(v.select("fe").first()[0])
-    assert dim == PQ_M * PQ_SUB_W, f"fixture dim {dim} != {PQ_M}x{PQ_SUB_W}"
+    _check_pq_dim(len(v.select("fe").first()[0]))
     cent = v.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
     )

@@ -2021,12 +2021,21 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rows, seqs = _bpe_train(spark, sf_dir)
+    return _bpe_encode_with_vocab(spark, sf_dir, seqs)
+
+
+def _bpe_encode_with_vocab(
+    spark: SparkSession, sf_dir: str, vocab: DataFrame
+) -> DataFrame:
+    """The encode tail shared by the inline and persisted-artifact
+    paths: explode documents to words once, join the (word, toks)
+    vocabulary, aggregate per-doc token stats."""
     dw = (
         spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    joined = dw.join(seqs.select("word", "toks"), "word")
+    joined = dw.join(vocab.select("word", "toks"), "word")
     ratio = (
         F.floor(
             F.sum(F.length("word")).cast("double")
@@ -2040,3 +2049,62 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("word")).alias("n_chars_tokenized"),
         ratio.alias("chars_per_token"),
     )
+
+
+def write_bpe_artifacts(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Train the BPE merges over ``sf_dir``'s documents and persist the
+    tokenizer artifacts under ``path`` — the train-once / encode-many
+    shape (sources/ann_index.py's discipline applied to the tokenizer):
+
+    - ``merges/`` — (merge_rank, lhs, rhs, pair_count): the merges file
+      a tokenizer ships; what an *unseen-word* encoder would replay.
+    - ``vocab/``  — (word, toks): each distinct corpus word's final
+      merged token sequence — the precomputed word→tokens cache real
+      tokenizer services front their merge table with. Encoding a
+      corpus is then ONE join, no merge replay at all.
+
+    Strings round-trip through parquet exactly, so a persisted-vocab
+    encode hash-matches the inline path under the identical oracle."""
+    import os
+
+    rows, seqs = _bpe_train(spark, sf_dir)
+    spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
+    seqs.select("word", "toks").write.mode("overwrite").parquet(
+        os.path.join(path, "vocab")
+    )
+
+
+@register(
+    "text_bpe_encode_persisted",
+    oracle=_bpe_encode_oracle(BPE_MERGES),
+    tags=("text", "iterative", "training", "index", "sink"),
+    window_defer=True,
+    doc="BPE encode FROM PERSISTED TOKENIZER ARTIFACTS — the tokenizer "
+    "twin of sim_knn_ivf_persisted, closing the re-train-per-query gap "
+    "for the text side: the builder first writes the trained artifacts "
+    "(write_bpe_artifacts — the (lhs, rhs) merges file a tokenizer "
+    "ships, plus the (word, toks) vocabulary cache), then the returned "
+    "ENCODE plan contains no trainer: it scans the vocab parquet and "
+    "joins exploded document words against it — the 8 sequential "
+    "trainer jobs are gone from the query path entirely. Strings "
+    "round-trip through parquet exactly, so the persisted encode "
+    "hash-matches text_bpe_encode under the IDENTICAL oracle. At "
+    "100 TB the merge table is learned once on a sample or the full "
+    "corpus by a maintenance job; every downstream tokenization run "
+    "(epoch packing, token budgeting, surprisal scoring) reads the "
+    "artifact — thousands of encode runs amortize one training. The "
+    "vocab cache additionally makes encode incremental: only words "
+    "NOT already in the cache need the merge replay (here the corpus "
+    "vocabulary is closed, so the join covers every word).",
+)
+def text_bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .formats import _roundtrip_dir
+
+    path = _roundtrip_dir(spark, "bpeidx", sf_dir)
+    write_bpe_artifacts(spark, sf_dir, path)  # the once-per-corpus train
+    vocab = spark.read.parquet(os.path.join(path, "vocab"))
+    return _bpe_encode_with_vocab(spark, sf_dir, vocab)

@@ -1,0 +1,68 @@
+"""Persisted trained-artifact paths (sources/ann_index.py,
+text.write_bpe_artifacts): the train-once / search-many shape. Two
+guarantees per artifact — (a) the persisted search/encode is VALUE-
+identical to the inline-trainer path (parquet round-trip of the trained
+state loses nothing), and (b) the query-side plan contains no trainer
+(the whole point: at 100 TB the trainer must not run per query)."""
+
+from __future__ import annotations
+
+from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+SPECS = all_specs()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_persisted_ivf_matches_inline(spark, sf_dir):
+    got = _rows(SPECS["sim_knn_ivf_persisted"].builder(spark, sf_dir))
+    want = _rows(SPECS["sim_knn_ivf_trained"].builder(spark, sf_dir))
+    assert got == want
+
+
+def test_persisted_ivf_search_plan_has_no_trainer(spark, sf_dir):
+    """The search plan must start from parquet scans of the index —
+    zero Generate (posexplode) stages, which only the trainer's
+    centroid-update rounds produce — and the probes→postings join must
+    dynamically prune the cid partitions (the inverted-list skip)."""
+    df = SPECS["sim_knn_ivf_persisted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "trainer leaked into the search plan"
+    assert "Scan parquet" in plan
+    assert "dynamicpruning" in plan.lower(), (
+        "postings scan should partition-prune on probed cells"
+    )
+
+
+def test_read_ivf_index_types(spark, sf_dir, tmp_path):
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(spark, sf_dir, path)
+    cent, postings = read_ivf_index(spark, path)
+    assert dict(cent.dtypes)["cid"] == "bigint"
+    assert dict(postings.dtypes)["cid"] == "bigint"
+    assert dict(postings.dtypes)["fe"] == "array<bigint>"
+    # Postings cover the corpus exactly once.
+    assert postings.select("vec_id").distinct().count() == postings.count()
+
+
+def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
+    got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
+    want = _rows(SPECS["text_bpe_encode"].builder(spark, sf_dir))
+    assert got == want
+
+
+def test_persisted_bpe_encode_plan_has_no_trainer(spark, sf_dir):
+    """Encode-from-vocab is one join over exploded words: the 8
+    sequential merge rounds (window chains) must be absent — zero
+    Window stages in the encode plan."""
+    df = SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "merge-replay leaked into the encode plan"
+    assert "Scan parquet" in plan

@@ -39,4 +39,3 @@ def test_duplicate_and_self_edges_are_harmless(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(edges, nodes).collect()}
     assert got == {0: 0, 1: 0, 2: 2}
-
