@@ -719,6 +719,47 @@ def _approx_profile_oracle() -> str:
     "baseline; accuracy vs exact pinned in tests/test_qc.py.",
 )
 def qc_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_profile_approx(spark, sf_dir, hasher=None)
+
+
+@register(
+    "qc_table_profile_approx_xx",
+    oracle=None,  # xxhash64 is Spark-engine-native — see rows-only policy below
+    tags=("qc", "agg", "sketch"),
+    window_defer=True,
+    doc="qc_table_profile_approx's 100 TB REGISTER-HASH variant: same "
+    "fused exact stats + relational HLL, but the per-value register "
+    "hash is Spark's built-in xxhash64 (codegen'd JVM integer mixing) "
+    "masked to 60 bits, instead of md5-hex-parse — the swap "
+    "BASELINE.md's affine-hash A/B named as the genuine scale path "
+    "(the affine mix was DECLINED because equally-spaced hashes bias "
+    "rho statistics; xxhash64 is a full-avalanche mixer, so the "
+    "geometric-rho assumption holds). At 100 TB the hash is the "
+    "profile's bill: one md5 per cell value is ~10 digest+hex-parse "
+    "ops per row x columns, xxhash64 is a handful of multiply-rotate "
+    "rounds inside whole-stage codegen. ROWS-ONLY BY POLICY: DuckDB "
+    "has no xxhash64, so the estimate leaves the bit-exact oracle "
+    "(same class as approx_sketches' engine-native sketch bytes); the "
+    "gate is instead (a) ground-truth accuracy vs EXACT distinct "
+    "counts pinned in tests/test_qc.py next to the md5 path — the "
+    "re-validation the affine A/B taught is mandatory under a sketch "
+    "estimator — and (b) the exact columns (n_rows/n_null/min/max) "
+    "pinned equal to the oracle-gated md5 variant's. Register "
+    "geometry, merge law, and linear-counting branch are byte-shared "
+    "with the gated path (hll_registers/hll_estimates).",
+)
+def qc_table_profile_approx_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_profile_approx(spark, sf_dir, hasher=_xx_hash60)
+
+
+def _xx_hash60(c):
+    """60-bit register hash from Spark's codegen'd xxhash64: mask the
+    signed 64-bit mix to [0, 2^60) so the (bucket, rho) geometry is
+    identical to hash60's 60-bit md5 prefix."""
+    return F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
+
+
+def _table_profile_approx(spark: SparkSession, sf_dir: str, hasher) -> DataFrame:
     by_table: dict[str, list[tuple[str, str]]] = {}
     for tbl, c, kind in _APPROX_PROFILE:
         by_table.setdefault(tbl, []).append((c, kind))
@@ -767,7 +808,7 @@ def qc_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fme in stat_frames[1:]:
         stats = stats.unionByName(fme)
 
-    est = hll_estimates(hll_registers(vals))
+    est = hll_estimates(hll_registers(vals, hasher=hasher))
     return (
         stats.join(est, ["tbl", "col"], "left")
         .select(
@@ -783,17 +824,23 @@ def qc_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_registers(vals: DataFrame) -> DataFrame:
+def hll_registers(vals: DataFrame, hasher=None) -> DataFrame:
     """``(tbl, col, sval)`` → register frame ``(tbl, col, bucket, mrho)``.
 
     THE mergeable sketch state: registers from any sharding of the input
     combine by max(mrho) per (tbl, col, bucket) to exactly the
     whole-input registers — the distributed-combine law pinned in
     tests/test_qc.py::test_hll_registers_merge_law, and the reason the
-    profile's shuffle stays O(columns x 1024) at any data size."""
+    profile's shuffle stays O(columns x 1024) at any data size.
+
+    ``hasher``: optional Column→Column producing a long in [0, 2^60)
+    from the tagged value string; None → the portable md5 hash60 (the
+    oracle-replayable default). The xxhash64 scale variant passes
+    _xx_hash60 — same geometry, no DuckDB twin."""
     from ..functions.hashing import hash60
 
-    h = hash60(F.concat(F.lit("prof:"), F.col("col"), F.lit(":"), F.col("sval")))
+    hash_fn = hasher if hasher is not None else hash60
+    h = hash_fn(F.concat(F.lit("prof:"), F.col("col"), F.lit(":"), F.col("sval")))
     w = F.expr(f"h div {_HLL_M}")
     rho = F.when(w == 0, F.lit(_HLL_W_BITS)).otherwise(
         F.lit(_HLL_W_BITS) - F.length(F.bin(w))

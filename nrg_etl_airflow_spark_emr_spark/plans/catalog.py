@@ -92,6 +92,18 @@ def register(
 _LOAD_DEPTH = 0  # >0 while module imports are in flight (may reenter)
 
 
+def _mid_import() -> bool:
+    """True while any operator module is partway through its own module
+    body (importlib sets __spec__._initializing for the duration): the
+    registry is legitimately incomplete then, whichever frame asked."""
+    import sys
+
+    return any(
+        getattr(getattr(sys.modules.get(mod), "__spec__", None), "_initializing", False)
+        for mod in _MODULES
+    )
+
+
 def _load() -> None:
     global _LOAD_DEPTH
     import importlib
@@ -264,10 +276,14 @@ def all_specs() -> dict[str, QuerySpec]:
     slot until it goes green."""
     _load()
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in _REGISTRY]
-    if missing and _LOAD_DEPTH == 0:
+    if missing and _LOAD_DEPTH == 0 and not _mid_import():
         # A priority name may legitimately be absent during a reentrant
         # call from a module that is itself still importing (corpus.py
-        # composes its oracle from other specs at import time).
+        # composes its oracle from other specs at import time). That
+        # reentrancy has TWO entry paths: via _load() (depth > 0) and via
+        # a DIRECT `import pipelines.corpus` from user code — the latter
+        # leaves depth at 0, so it is detected by the module's own
+        # __spec__._initializing flag instead (_mid_import).
         raise KeyError(f"_DRIVER_WINDOW_PRIORITY names not registered: {missing}")
     base = {n: _REGISTRY[n] for n in _DRIVER_WINDOW_PRIORITY if n in _REGISTRY}
     base.update((n, s) for n, s in _REGISTRY.items() if n not in base)

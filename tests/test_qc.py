@@ -178,6 +178,48 @@ def test_profile_approx_tracks_exact_distincts(spark, sf_dir, duck):
             assert abs(got - exact) <= max(0.04 * exact, 0.5), (tbl, c, got, exact)
 
 
+def test_profile_approx_xx_accuracy_and_exact_columns(spark, sf_dir, duck):
+    """The xxhash64 register-hash scale variant's gate (it is rows-only —
+    DuckDB has no xxhash64): (a) its HLL estimates stay within the SAME
+    m=1024 design envelope of ground-truth exact distinct counts as the
+    md5 path — the re-validation BASELINE.md's affine-hash episode made
+    mandatory for any hash swap under a sketch estimator; (b) its exact
+    columns (n_rows/n_null/min/max) are identical to the oracle-gated
+    md5 variant's — only the register hash differs."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import _APPROX_PROFILE
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    xx = {
+        (r.tbl, r.col): r
+        for r in specs["qc_table_profile_approx_xx"].builder(spark, sf_dir).collect()
+    }
+    md5 = {
+        (r.tbl, r.col): r
+        for r in specs["qc_table_profile_approx"].builder(spark, sf_dir).collect()
+    }
+    assert set(xx) == {(tbl, c) for tbl, c, _ in _APPROX_PROFILE}
+    for tbl, c, _ in _APPROX_PROFILE:
+        exact = duck.sql(f"SELECT COUNT(DISTINCT {c}) FROM {tbl}").fetchone()[0]
+        got = xx[(tbl, c)].nd_approx
+        assert abs(got - exact) <= max(0.13 * exact, 1.0), (tbl, c, got, exact)
+        if exact <= 50:  # linear-counting regime: near-exact
+            assert abs(got - exact) <= max(0.04 * exact, 0.5), (tbl, c, got, exact)
+        for fld in ("n_rows", "n_null", "min_val", "max_val"):
+            assert getattr(xx[(tbl, c)], fld) == getattr(md5[(tbl, c)], fld)
+
+
+def test_profile_approx_xx_is_codegen_hash(spark, sf_dir):
+    """The variant's point is staying inside whole-stage codegen: its
+    plan must contain xxhash64 and NO md5 in the register stage."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    df = all_specs()["qc_table_profile_approx_xx"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "md5" not in plan
+
+
 def test_hll_registers_merge_law(spark, sf_dir):
     """The 100 TB claim behind qc_table_profile_approx: registers
     computed on ARBITRARY shards of the input merge by max(mrho) per
