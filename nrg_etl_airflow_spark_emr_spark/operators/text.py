@@ -1911,10 +1911,11 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     """Run the trainer; returns (learned merges as plain rows, the final
     merged vocabulary frame seqs(word, n, toks) — cached). Shared by the
-    trainer query and text_bpe_encode."""
+    trainer query and text_bpe_encode. ``n_merges`` parameterizes the
+    merge count (SCALE.md records the merges-vs-wall regime curve)."""
     from pyspark.sql.window import Window
 
     docs = spread(t(spark, sf_dir, "documents").select("text"))
@@ -1935,7 +1936,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     lw = Window.partitionBy("word").orderBy("pos")
     rows: list[tuple[int, str, str, int]] = []
     generations = [seqs]  # cached frames; all but the last two unpersist
-    for r in range(1, BPE_MERGES + 1):
+    for r in range(1, n_merges + 1):
         px = seqs.select(
             "word", "n", F.posexplode("toks").alias("pos0", "tok")
         ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -2073,6 +2074,153 @@ def write_bpe_artifacts(spark: SparkSession, sf_dir: str, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
     seqs.select("word", "toks").write.mode("overwrite").parquet(
         os.path.join(path, "vocab")
+    )
+
+
+def _bpe_train_batched(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES, batch: int = 8
+):
+    """Batched BPE merge learning: per round, select the top-``batch``
+    SYMBOL-DISJOINT pairs (greedy by (count desc, a, b) over a bounded
+    4*batch candidate collect) and apply them all in ONE vocabulary
+    pass. Returns (rows, seqs) like _bpe_train.
+
+    Correctness of simultaneous application: selected pairs share no
+    symbols, so a position can match at most one pair, and ADJACENT
+    positions can never match different pairs (position i matching
+    (a, b) forces tok[i+1] = b, which no other selected pair may
+    contain) — every run of consecutive matches is single-pair, so the
+    single-pair run-parity greedy law applies verbatim, and applying
+    the batch simultaneously equals applying its pairs sequentially in
+    any order. The ONE deviation from strict greedy BPE: pairs 2..B of
+    a round are chosen by PRE-round counts (stale by the round's
+    earlier merges) and their recorded pair_count is that stale count.
+    batch=1 is bit-identical to _bpe_train (pinned in
+    tests/test_properties.py); the measured merge-set deviation at
+    real batch sizes is recorded in SCALE.md.
+
+    Why this exists: the greedy trainer is one driver round-trip + one
+    vocabulary pass PER MERGE — fine at 8, fatal at a production 30k
+    (SCALE.md's regime bound). Batch-B cuts the sequential-round count
+    B-fold: 30k merges at batch 256 is ~120 rounds, back inside the
+    driver-loop regime the k-means trainer already owns."""
+    from pyspark.sql.window import Window
+
+    docs = spread(t(spark, sf_dir, "documents").select("text"))
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seqs = wf.select(
+        "word",
+        "n",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    ).cache()
+
+    lw = Window.partitionBy("word").orderBy("pos")
+    rows: list[tuple[int, str, str, int]] = []
+    generations = [seqs]
+    while len(rows) < n_merges:
+        px = seqs.select(
+            "word", "n", F.posexplode("toks").alias("pos0", "tok")
+        ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
+        pr = px.withColumn("b", F.lead("tok").over(lw))
+        cands = (
+            pr.filter(F.col("b").isNotNull())
+            .groupBy(F.col("tok").alias("a"), "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(4 * batch)
+            .collect()
+        )
+        if len(generations) >= 2:
+            generations[-2].unpersist()
+        if not cands:
+            break
+        want = min(batch, n_merges - len(rows))
+        used: set[str] = set()
+        sel: list[tuple[str, str, int]] = []
+        for c in cands:
+            if len(sel) >= want:
+                break
+            if c["a"] in used or c["b"] in used:
+                continue
+            sel.append((c["a"], c["b"], int(c["cnt"])))
+            used.update((c["a"], c["b"]))
+        for a, b, cnt in sel:
+            rows.append((len(rows) + 1, a, b, cnt))
+        match = F.lit(False)
+        for a, b, _ in sel:
+            match = match | ((F.col("tok") == F.lit(a)) & (F.col("b") == F.lit(b)))
+        mflag = F.when(F.col("match"), 1).otherwise(0)
+        m = (
+            pr.withColumn("match", match)
+            .withColumn("rm", F.sum(mflag).over(lw))
+            .withColumn("grp", F.col("pos") - F.col("rm"))
+            .withColumn(
+                "rn2",
+                F.sum(mflag).over(Window.partitionBy("word", "grp").orderBy("pos")),
+            )
+            .withColumn("taken", F.col("match") & (F.col("rn2") % 2 == 1))
+            .withColumn("dropped", F.lag("taken").over(lw))
+        )
+        seqs = (
+            m.filter(~F.coalesce(F.col("dropped"), F.lit(False)))
+            .select(
+                "word",
+                "n",
+                "pos",
+                # Disjointness makes the merged token position-local:
+                # concat of the two ACTUAL tokens (no per-pair literal).
+                F.when(F.col("taken"), F.concat(F.col("tok"), F.col("b"))).otherwise(
+                    F.col("tok")
+                ).alias("tok"),
+            )
+            .groupBy("word")
+            .agg(
+                F.first("n").alias("n"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st["tok"],
+                ).alias("toks"),
+            )
+            .cache()
+        )
+        generations.append(seqs)
+
+    return rows, seqs
+
+
+@register(
+    "text_bpe_train_batched",
+    oracle=None,  # driver-side disjoint selection is not ANSI-replayable;
+    # the gate is the batch=1 ≡ greedy pin (tests/test_properties.py)
+    # bridging it to the oracle-gated text_bpe_train_merges, plus the
+    # deviation measurement in SCALE.md.
+    tags=("text", "iterative", "training"),
+    window_defer=True,
+    doc=f"Batched BPE merge learning — lifts the greedy trainer's "
+    "one-driver-round-trip-PER-MERGE regime bound (SCALE.md): each "
+    "round selects the top-8 symbol-disjoint pairs from one bounded "
+    "candidate collect and applies them in ONE vocabulary pass, so a "
+    "production 30k-merge tokenizer needs ~B-fold fewer sequential "
+    f"Spark jobs. Emits the same (merge_rank, lhs, rhs, pair_count) "
+    f"surface as text_bpe_train_merges for {BPE_MERGES * 2} merges "
+    "(two rounds at batch=8). Simultaneous application is exact "
+    "because selected pairs share no symbols (adjacent positions can "
+    "never match different pairs — see _bpe_train_batched); the only "
+    "greedy deviation is stale counts for pairs 2..B of a round, "
+    "measured and recorded in SCALE.md. batch=1 is pinned bit-equal "
+    "to the oracle-gated greedy trainer.",
+)
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, _seqs = _bpe_train_batched(spark, sf_dir, n_merges=BPE_MERGES * 2, batch=8)
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
 
 
