@@ -862,12 +862,25 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _check_pq_dim(len(v.select("fe").first()[0]))
     subs = _subvectors(v, "vec_id", "fe", "sv")
     codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
+    return _pq_adc_search(cent, codes, v.select("vec_id", "nrm"), v, _pq_queries(v))
 
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+
+def _pq_queries(v: DataFrame) -> DataFrame:
+    return v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("fe").alias("qfe"),
         F.col("nrm").alias("qnrm"),
     )
+
+
+def _pq_adc_search(
+    cent: DataFrame, codes: DataFrame, norms: DataFrame, v: DataFrame, q: DataFrame
+) -> DataFrame:
+    """The PQ *search* over an already-built codebook/code/norm index
+    (inline from the trainer or read back from a persisted parquet
+    index): per-query ADC lookup tables, code-keyed ADC sums, top-
+    PQ_SHORTLIST by approximate cosine, exact fixed-point re-rank
+    fetching raw vectors (``v``) for shortlist rows only."""
     qsubs = _subvectors(q, "query_id", "qfe", "qsv")
     # ADC lookup tables: nq * M * K integer dots — broadcast-sized state.
     lut = qsubs.join(F.broadcast(cent), "gid").select(
@@ -879,7 +892,6 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("part").alias("adc_num"))
     )
-    norms = v.select("vec_id", "nrm")
     qn = q.select("query_id", "qnrm")
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlist = (
@@ -897,6 +909,38 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     return _exact_rerank_top10(shortlist, v, q)
+
+
+@register(
+    "sim_knn_pq_persisted",
+    oracle=_pq_oracle(PQ_M, PQ_SUB_W, PQ_K, PQ_ITERS, PQ_SHORTLIST, N_QUERIES),
+    tags=("similarity", "topk", "index", "sink"),
+    window_defer=True,
+    doc="PQ search FROM A PERSISTED INDEX — completes the train-once / "
+    "search-many family (sim_knn_ivf_persisted, text_bpe_encode_"
+    "persisted) for the compressed-corpus case: the builder first "
+    "writes the index (sources/ann_index.write_pq_index — M*K-row "
+    "codebooks, the 4-bit codes at ~100x raw-vector compression, one "
+    "stored norm per vector), then the SEARCH reads codes + codebooks "
+    "+ norms from parquet: the quantized-Lloyd trainer is gone from "
+    "the query path (plan-pinned: the only Generate left is the "
+    "query-subvector explode over nq rows). Raw vectors are fetched "
+    "from the source table ONLY for exact-re-rank shortlist rows — "
+    "the actual IVFADC deployment I/O shape, where the index IS the "
+    "compressed corpus and a query batch reads ~1% of the raw bytes. "
+    "Integer codes/codebooks and IEEE norms round-trip through parquet "
+    "bit-exactly, so the persisted search hash-matches sim_knn_pq "
+    "under the IDENTICAL oracle.",
+)
+def sim_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ann_index import read_pq_index, write_pq_index
+    from .formats import _roundtrip_dir
+
+    path = _roundtrip_dir(spark, "pqidx", sf_dir)
+    write_pq_index(spark, sf_dir, path)  # the once-per-corpus build
+    cb, codes, norms = read_pq_index(spark, path)
+    v = _vectors(spark, sf_dir).cache()
+    return _pq_adc_search(cb, codes, norms, v, _pq_queries(v))
 
 
 def _ivfpq_oracle(

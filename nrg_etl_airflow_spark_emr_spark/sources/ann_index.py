@@ -54,6 +54,58 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
+def write_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Build the product-quantization index over ``sf_dir``'s embeddings
+    and persist it under ``path`` — the real IVFADC storage shape, where
+    the index IS the compressed corpus:
+
+    - ``codebooks/`` — M*K rows (gid, cid, c_q): the per-subspace
+      codebook entries; broadcast-sized at any corpus scale.
+    - ``codes/``     — M rows per vector (gid, vec_id, cid): the 4-bit
+      codes, ~100x smaller than the raw vectors — what the ADC scan
+      reads instead of the corpus.
+    - ``norms/``     — (vec_id, nrm): one stored double per vector, the
+      denominator of cosine-via-IP.
+
+    Search reads codes + codebooks + norms; raw vectors are fetched (by
+    vec_id, from the source table) ONLY for shortlist rows."""
+    from ..operators.kmeans import lloyd_fit_grouped_quantized
+    from ..operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        _check_pq_dim,
+        _subvectors,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir).cache()
+    _check_pq_dim(len(v.select("fe").first()[0]))
+    subs = _subvectors(v, "vec_id", "fe", "sv")
+    codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
+    cent.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    codes.select("gid", "vec_id", "cid").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    v.select("vec_id", "nrm").write.mode("overwrite").parquet(
+        os.path.join(path, "norms")
+    )
+
+
+def read_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a persisted PQ index: (codebooks: gid/cid/c_q, codes:
+    gid/vec_id/cid, norms: vec_id/nrm)."""
+    cb = spark.read.parquet(os.path.join(path, "codebooks")).select(
+        "gid", "cid", "c_q"
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        "gid", "vec_id", "cid"
+    )
+    norms = spark.read.parquet(os.path.join(path, "norms")).select("vec_id", "nrm")
+    return cb, codes, norms
+
+
 def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF index: (cent: cid/c_q, postings:
     vec_id/fe/nrm/cid). cid comes back as a partition column (inferred

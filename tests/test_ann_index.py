@@ -52,6 +52,23 @@ def test_read_ivf_index_types(spark, sf_dir, tmp_path):
     assert postings.select("vec_id").distinct().count() == postings.count()
 
 
+def test_persisted_pq_matches_inline(spark, sf_dir):
+    got = _rows(SPECS["sim_knn_pq_persisted"].builder(spark, sf_dir))
+    want = _rows(SPECS["sim_knn_pq"].builder(spark, sf_dir))
+    assert got == want
+
+
+def test_persisted_pq_search_plan_has_no_trainer(spark, sf_dir):
+    """The persisted PQ search's only Generate stages are the QUERY
+    subvector explode (nq rows); the inline path carries ~16 from the
+    corpus explode + trainer rounds. Codes/codebooks/norms must come
+    from parquet scans."""
+    df = SPECS["sim_knn_pq_persisted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") <= 2, "trainer leaked into the search plan"
+    assert "Scan parquet" in plan
+
+
 def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
     got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
     want = _rows(SPECS["text_bpe_encode"].builder(spark, sf_dir))
