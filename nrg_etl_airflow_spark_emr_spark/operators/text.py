@@ -1765,6 +1765,7 @@ def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training ------------------------------------------------------
 
 BPE_MERGES = 8  # unrolled training rounds (one merge learned per round)
+BPE_CKPT_EVERY = 4  # lazy localCheckpoint interval: bounds plan depth
 
 
 def _bpe_round_parts(k: int) -> list[str]:
@@ -1937,6 +1938,18 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     rows: list[tuple[int, str, str, int]] = []
     generations = [seqs]  # cached frames; all but the last two unpersist
     for r in range(1, n_merges + 1):
+        # Lineage truncation every BPE_CKPT_EVERY rounds: cache()
+        # shortcuts EXECUTION but never the LOGICAL plan, and the
+        # round-10 merges-vs-wall measurement (SCALE.md) showed
+        # per-round wall DOUBLING from ~round 10 (1.4s -> 182s by round
+        # 17) as Catalyst re-analyzes the deepening window-chain
+        # lineage. A lazy localCheckpoint resets the plan to the
+        # materialized rows (the graph_pagerank discipline), holding
+        # per-round cost flat at any merge count. (Skipped on the final
+        # round: truncation only pays off for rounds that FOLLOW it, so
+        # the registered 8-merge query pays exactly one checkpoint.)
+        if r % BPE_CKPT_EVERY == 0 and r < n_merges:
+            seqs = seqs.localCheckpoint(eager=False)
         px = seqs.select(
             "word", "n", F.posexplode("toks").alias("pos0", "tok")
         ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -2124,7 +2137,12 @@ def _bpe_train_batched(
     lw = Window.partitionBy("word").orderBy("pos")
     rows: list[tuple[int, str, str, int]] = []
     generations = [seqs]
+    rounds = 0
     while len(rows) < n_merges:
+        # Same lineage truncation as _bpe_train (see the note there).
+        rounds += 1
+        if rounds % BPE_CKPT_EVERY == 0:
+            seqs = seqs.localCheckpoint(eager=False)
         px = seqs.select(
             "word", "n", F.posexplode("toks").alias("pos0", "tok")
         ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
