@@ -405,21 +405,28 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can share it without a circular module-level import.
 
 
-def _ivf_trained_parts(k: int, iters: int, nprobe: int, nq: int) -> list[str]:
+def _ivf_trained_parts(
+    k: int, iters: int, nprobe: int, nq: int, src: str = "vecs"
+) -> list[str]:
     """CTE parts of the trained-IVF search, up to ``scored(query_id,
     vec_id, cosine, fe, nrm)`` — shared by _ivf_trained_oracle (top-5
-    select) and sim_knn_ivf_mmr's oracle (top-C candidates into the MMR
-    rounds), so the trainer unroll exists exactly once."""
+    select), sim_knn_ivf_mmr's oracle (top-C candidates into the MMR
+    rounds), and sim_knn_ivf_upsert's oracle, so the trainer unroll
+    exists exactly once. ``src``: the CTE the TRAINER reads (cent0 init
+    + per-round assignment); the final assignment (fassign) and the
+    queries always cover the FULL ``vecs`` — with src="vecs" that is
+    the plain trained search, with src = a base subset it states the
+    incremental-index law (old centroids, union corpus)."""
     parts = [
         f"cent0 AS (SELECT vec_id AS cid, fe AS c_q"
-        f" FROM vecs ORDER BY vec_id LIMIT {k})"
+        f" FROM {src} ORDER BY vec_id LIMIT {k})"
     ]
     for i in range(1, iters + 1):
         prev = f"cent{i - 1}"
         parts.append(
             f"""a{i} AS (
         SELECT v.vec_id, v.fe, c.cid
-        FROM vecs v CROSS JOIN {prev} c
+        FROM {src} v CROSS JOIN {prev} c
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY v.vec_id
             ORDER BY {_sql_d2("v.fe", "c.c_q")}, c.cid) = 1)"""
@@ -538,25 +545,9 @@ def ivf_train(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     fassign: vec_id/fe/nrm/cid)``. Same arithmetic law as
     lloyd_fit_grouped_quantized (exact BIGINT assignment, floor-integer
     means), so the artifact round-trips through parquet bit-exactly."""
-    d2 = F.aggregate(
-        F.zip_with("fe", "c_q", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
 
     def assign(cent: DataFrame) -> DataFrame:
-        # Carries fe/nrm through the argmin so the re-rank needs no join
-        # back to the vector table (same trick as _cell_assignment).
-        return (
-            v.crossJoin(F.broadcast(cent))
-            .select("vec_id", "fe", "nrm", "cid", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.first("fe").alias("fe"),
-                F.first("nrm").alias("nrm"),
-                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-            )
-        )
+        return ivf_assign(v, cent)
 
     cent = (
         v.orderBy("vec_id")
@@ -599,6 +590,31 @@ def ivf_train(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     # on an optimizer rule firing).
     cent = cent.cache()
     return cent, assign(cent)
+
+
+def ivf_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """THE cell-assignment law, factored module-level so incremental
+    index maintenance (sources/ann_index.upsert_ivf_postings) assigns
+    NEW vectors under persisted centroids with the identical arithmetic
+    the trainer used: exact BIGINT squared-L2, ties to the lowest cid.
+    Carries fe/nrm through the argmin so consumers need no join back to
+    the vector table (the _cell_assignment trick).
+    ``v``: vec_id/fe/nrm → returns vec_id/fe/nrm/cid."""
+    d2 = F.aggregate(
+        F.zip_with("fe", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "fe", "nrm", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("fe").alias("fe"),
+            F.first("nrm").alias("nrm"),
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+        )
+    )
 
 
 def ivf_search(
@@ -707,6 +723,86 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, postings = read_ivf_index(spark, path)
     guard = _long_d2_guard(postings, "fe")
     q = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fe").alias("qfe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        ivf_search(cent, postings, q, topn=5)
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("d2_ok").isNull())
+        .drop("d2_ok")
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def _ivf_upsert_oracle() -> str:
+    """The incremental-index law in ANSI: train centroids on the BASE
+    slice only (src="base"), assign the UNION corpus under them (the
+    shared parts' fassign always covers vecs), search. Must equal the
+    engine's build-on-base + append-new-under-old-centroids index."""
+    body = ",\n    ".join(
+        _ivf_trained_parts(K_DEFAULT, IVF_TRAIN_ITERS, NPROBE, N_QUERIES, src="base")
+    )
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    base AS (SELECT * FROM vecs WHERE vec_id % 4 != 0),
+    {body}
+    SELECT query_id, vec_id, cosine, rn FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "sim_knn_ivf_upsert",
+    oracle=_ivf_upsert_oracle(),
+    tags=("similarity", "topk", "index", "sink", "upsert"),
+    window_defer=True,
+    doc="INCREMENTAL maintenance of the persisted IVF index — the "
+    "operation a growing 100 TB corpus runs instead of rebuilds: the "
+    "index is built on the base slice (vec_id % 4 != 0), then the new "
+    "batch (vec_id % 4 == 0) is assigned under the PERSISTED centroids "
+    "(ivf_assign — the identical exact-BIGINT argmin law) and APPENDED "
+    "to the cid-partitioned postings (sources/ann_index."
+    "upsert_ivf_postings): mode('append') into Hive partitions writes "
+    "a few files into only the inverted-list directories the batch "
+    "lands in, never rewriting the corpus — the same touched-"
+    "partitions-only discipline as upsert_scd2_history, applied to "
+    "trained state. The search over the upserted index is oracle-gated "
+    "against the incremental LAW: centroids trained on base, the UNION "
+    "corpus assigned under them (_ivf_trained_parts with src='base' — "
+    "fassign always covers the full vecs, which IS the law), exact "
+    "cosine in probed cells. Centroid retrain stays a separate, rarer "
+    "job, per the standard IVF maintenance contract; recall drift "
+    "under growth is bounded because probe law == cell law holds for "
+    "whatever centroids the index carries.",
+)
+def sim_knn_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.formats import _roundtrip_dir
+    from ..sources.ann_index import (
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = _roundtrip_dir(spark, "ivfups", sf_dir)
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(
+        spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 != 0)
+    )
+    upsert_ivf_postings(
+        spark,
+        path,
+        v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm"),
+    )
+    cent, postings = read_ivf_index(spark, path)
+    guard = _long_d2_guard(postings, "fe")
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("fe").alias("qfe"),
         F.col("nrm").alias("qnrm"),

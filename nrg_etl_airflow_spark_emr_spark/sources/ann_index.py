@@ -36,19 +36,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Build the trained-IVF index over ``sf_dir``'s embeddings and
-    persist it under ``path`` (centroids/ + cid-partitioned postings/).
-    Overwrites. This is the once-per-corpus maintenance job; searches
-    read the artifact via :func:`read_ivf_index`."""
+def write_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, vectors: DataFrame | None = None
+) -> None:
+    """Build the trained-IVF index over ``sf_dir``'s embeddings (or an
+    explicit ``vectors`` frame — e.g. the base slice of an incremental
+    build) and persist it under ``path`` (centroids/ + cid-partitioned
+    postings/). Overwrites. This is the once-per-corpus maintenance
+    job; searches read the artifact via :func:`read_ivf_index`."""
     from ..operators.kmeans import ivf_train
     from ..operators.similarity import _vectors
 
-    v = _vectors(spark, sf_dir).cache()
+    v = vectors if vectors is not None else _vectors(spark, sf_dir).cache()
     cent, fassign = ivf_train(v)
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     (
         fassign.write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "postings"))
+    )
+
+
+def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance — the operation a GROWING corpus
+    runs instead of rebuilds: assign ``new_vectors`` (vec_id/fe/nrm)
+    under the index's PERSISTED centroids (ivf_assign — the identical
+    exact-BIGINT argmin the trainer used) and APPEND them to the
+    cid-partitioned postings. mode("append") into Hive partitions
+    touches only the cells the new batch lands in — at 100 TB a daily
+    ingest writes a few files into a few inverted-list directories,
+    never rewriting the corpus. Centroids are NOT retrained: the
+    incremental law (search over the upserted index == assignment of
+    the union corpus under the OLD centroids) is what the
+    sim_knn_ivf_upsert oracle states, and the standard IVF maintenance
+    contract (periodic retrain is a separate, rarer job)."""
+    from ..operators.kmeans import ivf_assign
+
+    cent, _ = read_ivf_index(spark, path)
+    (
+        ivf_assign(new_vectors, cent)
+        .write.mode("append")
         .partitionBy("cid")
         .parquet(os.path.join(path, "postings"))
     )

@@ -69,6 +69,38 @@ def test_persisted_pq_search_plan_has_no_trainer(spark, sf_dir):
     assert "Scan parquet" in plan
 
 
+def test_ivf_upsert_equals_rebuild_under_same_centroids(spark, sf_dir, tmp_path):
+    """The incremental law, pinned in-engine: build on the base slice,
+    append the new slice under the persisted centroids — the postings
+    must be row-identical to assigning the UNION corpus under those
+    same centroids in one shot (and cover every vector exactly once)."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign, ivf_train
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    upsert_ivf_postings(spark, path, new)
+
+    cent_base, _ = ivf_train(base)
+    want = {
+        (r.vec_id, r.cid) for r in ivf_assign(v, cent_base).select("vec_id", "cid").collect()
+    }
+    _, postings = read_ivf_index(spark, path)
+    got = {(r.vec_id, r.cid) for r in postings.select("vec_id", "cid").collect()}
+    assert got == want
+    assert len(got) == v.count()
+
+
 def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
     got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
     want = _rows(SPECS["text_bpe_encode"].builder(spark, sf_dir))
