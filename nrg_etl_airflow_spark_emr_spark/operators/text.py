@@ -12,7 +12,7 @@ association order in both expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, sql_hash60
@@ -1768,8 +1768,10 @@ BPE_MERGES = 8  # unrolled training rounds (one merge learned per round)
 BPE_CKPT_EVERY = 4  # lazy localCheckpoint interval: bounds plan depth
 
 
-def _bpe_round_parts(k: int) -> list[str]:
-    """CTE parts replaying the BPE trainer through seqs{k}. Per round r
+def _bpe_round_parts(k: int, train_docs_where: str = "") -> list[str]:
+    """CTE parts replaying the BPE trainer through seqs{k}
+    (``train_docs_where`` optionally restricts the TRAINING documents —
+    the encode-unseen oracle trains on half the corpus). Per round r
     over seqs{r-1}(word,
     n, toks): adjacent-pair counts weighted by word frequency, the
     argmax pair (ties: lexicographic a then b), and the greedy
@@ -1785,9 +1787,10 @@ def _bpe_round_parts(k: int) -> list[str]:
     join would annihilate seqs{r} and zero out the encode oracle, while
     the Spark trainer breaks and keeps the last vocabulary."""
     parts = [
-        """w0 AS MATERIALIZED (
+        f"""w0 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents {train_docs_where})
         WHERE word != '' GROUP BY word)""",
         """seqs0 AS MATERIALIZED (
         SELECT word, n,
@@ -1875,6 +1878,135 @@ def _bpe_encode_oracle(k: int) -> str:
     GROUP BY d.doc_id"""
 
 
+def _bpe_encode_unseen_oracle(k: int) -> str:
+    """The tokenizer-apply law for NEW text: merges learned on the even
+    half of the corpus (the trainer CTEs, train_docs_where), then
+    REPLAYED in rank order over the FULL union vocabulary (the u-chain
+    below — application-only rounds joining the trainer's tp{r}, same
+    run-parity law, same empty-round pass-through), and every document
+    encoded under the replayed vocabulary. States the same
+    old-artifact/union-corpus law as sim_knn_ivf_upsert's oracle."""
+    parts = _bpe_round_parts(k, train_docs_where="WHERE doc_id % 2 = 0")
+    parts.append(
+        """u0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != '' GROUP BY word)"""
+    )
+    parts.append(
+        """useqs0 AS MATERIALIZED (
+        SELECT word, n,
+               list_transform(range(1, len(word) + 1), i -> word[i]) AS toks
+        FROM u0)"""
+    )
+    for r in range(1, k + 1):
+        p = r - 1
+        parts.append(
+            f"""upx{r} AS MATERIALIZED (
+        SELECT word, n, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS tok
+        FROM useqs{p})"""
+        )
+        parts.append(
+            f"""upr{r} AS MATERIALIZED (
+        SELECT word, n, pos, tok AS a,
+               LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM upx{r})"""
+        )
+        parts.append(
+            f"""utk{r} AS MATERIALIZED (
+        SELECT word, pos FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
+            FROM (
+                SELECT p.word, p.pos,
+                       p.pos - ROW_NUMBER() OVER (
+                           PARTITION BY p.word ORDER BY p.pos) AS grp
+                FROM upr{r} p JOIN tp{r} t ON p.a = t.a AND p.b = t.b
+            )
+        ) WHERE rn2 % 2 = 1)"""
+        )
+        parts.append(
+            f"""useqs{r} AS MATERIALIZED (
+        SELECT word, n, list(tok ORDER BY pos) AS toks FROM (
+            SELECT p.word, p.n, p.pos,
+                   CASE WHEN t1.pos IS NOT NULL THEN t.a || t.b
+                        ELSE p.tok END AS tok
+            FROM upx{r} p
+            LEFT JOIN tp{r} t ON TRUE
+            LEFT JOIN utk{r} t1 ON t1.word = p.word AND t1.pos = p.pos
+            LEFT JOIN utk{r} t0 ON t0.word = p.word AND t0.pos = p.pos - 1
+            WHERE t0.pos IS NULL
+        ) GROUP BY word, n)"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""WITH {body}
+    SELECT d.doc_id,
+           CAST(SUM(len(s.toks)) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(s.word)) AS BIGINT) AS n_chars_tokenized,
+           CAST(FLOOR(CAST(SUM(len(s.word)) AS DOUBLE)
+                / SUM(len(s.toks)) * 10000) AS DOUBLE) / 10000
+               AS chars_per_token
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) d
+    JOIN useqs{k} s ON s.word = d.word
+    WHERE d.word != ''
+    GROUP BY d.doc_id"""
+
+
+@register(
+    "text_bpe_encode_unseen",
+    oracle=_bpe_encode_unseen_oracle(BPE_MERGES),
+    tags=("text", "iterative", "training", "index"),
+    window_defer=True,
+    doc="Tokenize text the trainer NEVER SAW — the capability that makes "
+    "a trained tokenizer deployable, completing the apply story the way "
+    "sim_knn_ivf_upsert completes the index story (old artifact, union "
+    "corpus): merges are learned on the EVEN-doc_id half of the corpus, "
+    "then every document — including odd-doc words absent from the "
+    "training vocabulary — is encoded. Seen words take their trained "
+    "token sequence from the vocabulary cache by JOIN; ONLY the unseen "
+    "words (left_anti against the cache) replay the learned merges in "
+    "rank order (bpe_apply_merges — one window pass per merge over the "
+    "UNSEEN vocabulary frame, never the corpus, sharing _apply_pair "
+    "with the trainer). Replaying unseen-only then unioning the cache "
+    "is value-identical to replaying the whole union vocabulary because "
+    "per-word application is word-local and the trainer's own final "
+    "vocabulary IS the sequential application of its merges — the "
+    "oracle states the full-union form (trainer CTEs on the even half "
+    "+ an application-only u-chain joining the trainer's tp rounds). "
+    "At 100 TB this is the nightly encode-the-new-crawl job: replay "
+    "cost scales with the NEW corpus's unseen vocabulary (typically "
+    "tiny), the corpus itself is touched once by the encode join.",
+)
+def text_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, base_vocab = _bpe_train(
+        spark, sf_dir, doc_where=(F.col("doc_id") % 2 == 0)
+    )
+    merges = [(r[1], r[2]) for r in rows]
+    dw = (
+        spread(t(spark, sf_dir, "documents").select("text"))
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    useqs0 = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word",
+            "n",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("toks"),
+        )
+    )
+    seen = base_vocab.select("word", "toks")
+    unseen0 = useqs0.join(seen.select("word"), "word", "left_anti")
+    vocab = seen.unionByName(bpe_apply_merges(unseen0, merges).select("word", "toks"))
+    return _bpe_encode_with_vocab(spark, sf_dir, vocab)
+
+
 @register(
     "text_bpe_train_merges",
     oracle=_bpe_oracle(BPE_MERGES),
@@ -1912,14 +2044,24 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    doc_where=None,
+):
     """Run the trainer; returns (learned merges as plain rows, the final
     merged vocabulary frame seqs(word, n, toks) — cached). Shared by the
     trainer query and text_bpe_encode. ``n_merges`` parameterizes the
-    merge count (SCALE.md records the merges-vs-wall regime curve)."""
+    merge count (SCALE.md records the merges-vs-wall regime curve);
+    ``doc_where`` optionally restricts the TRAINING corpus (the
+    encode-unseen split trains on half the documents)."""
     from pyspark.sql.window import Window
 
-    docs = spread(t(spark, sf_dir, "documents").select("text"))
+    base = t(spark, sf_dir, "documents")
+    if doc_where is not None:
+        base = base.filter(doc_where)
+    docs = spread(base.select("text"))
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1971,47 +2113,69 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         rows.append((r, a, b, cnt))
-        # Window-chain greedy merge (single pass, no self-joins): match
-        # flags -> running match-count -> run id (pos - count is constant
-        # within a run of consecutive matches) -> conditional rank within
-        # the run -> odd ranks are taken; a row is dropped when its left
-        # neighbor was taken.
-        match = (F.col("tok") == F.lit(a)) & (F.col("b") == F.lit(b))
-        mflag = F.when(F.col("match"), 1).otherwise(0)
-        m = (
-            pr.withColumn("match", match)
-            .withColumn("rm", F.sum(mflag).over(lw))
-            .withColumn("grp", F.col("pos") - F.col("rm"))
-            .withColumn(
-                "rn2",
-                F.sum(mflag).over(Window.partitionBy("word", "grp").orderBy("pos")),
-            )
-            .withColumn("taken", F.col("match") & (F.col("rn2") % 2 == 1))
-            .withColumn("dropped", F.lag("taken").over(lw))
-        )
-        seqs = (
-            m.filter(~F.coalesce(F.col("dropped"), F.lit(False)))
-            .select(
-                "word",
-                "n",
-                "pos",
-                F.when(F.col("taken"), F.lit(a + b)).otherwise(F.col("tok")).alias(
-                    "tok"
-                ),
-            )
-            .groupBy("word")
-            .agg(
-                F.first("n").alias("n"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda st: st["tok"],
-                ).alias("toks"),
-            )
-            .cache()
-        )
+        seqs = _apply_pair(pr, a, b, lw).cache()
         generations.append(seqs)
 
     return rows, seqs
+
+
+def _apply_pair(pr, a: str, b: str, lw) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge pass of pair
+    (a, b) over an exploded pair frame ``pr(word, n, pos, tok, b)`` —
+    THE single-pair application law, shared by the trainer rounds and
+    merge REPLAY (bpe_apply_merges): match flags -> running match-count
+    -> run id (pos - count is constant within a run of consecutive
+    matches) -> conditional rank within the run -> odd ranks are taken;
+    a row is dropped when its left neighbor was taken. Returns the
+    regrouped seqs(word, n, toks) — uncached."""
+    match = (F.col("tok") == F.lit(a)) & (F.col("b") == F.lit(b))
+    mflag = F.when(F.col("match"), 1).otherwise(0)
+    m = (
+        pr.withColumn("match", match)
+        .withColumn("rm", F.sum(mflag).over(lw))
+        .withColumn("grp", F.col("pos") - F.col("rm"))
+        .withColumn(
+            "rn2",
+            F.sum(mflag).over(Window.partitionBy("word", "grp").orderBy("pos")),
+        )
+        .withColumn("taken", F.col("match") & (F.col("rn2") % 2 == 1))
+        .withColumn("dropped", F.lag("taken").over(lw))
+    )
+    return (
+        m.filter(~F.coalesce(F.col("dropped"), F.lit(False)))
+        .select(
+            "word",
+            "n",
+            "pos",
+            F.when(F.col("taken"), F.lit(a + b)).otherwise(F.col("tok")).alias("tok"),
+        )
+        .groupBy("word")
+        .agg(
+            F.first("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ).alias("toks"),
+        )
+    )
+
+
+def bpe_apply_merges(seqs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenizer APPLY: replay an already-learned merge list, in rank
+    order, over a vocabulary frame ``seqs(word, n, toks)`` — what
+    encoding a NEW corpus with a trained tokenizer does. One window
+    pass per merge over the vocabulary (never the corpus), with the
+    same lazy-localCheckpoint lineage cadence as the trainer."""
+    lw = Window.partitionBy("word").orderBy("pos")
+    for i, (a, b) in enumerate(merges, start=1):
+        if i % BPE_CKPT_EVERY == 0 and i < len(merges):
+            seqs = seqs.localCheckpoint(eager=False)
+        px = seqs.select(
+            "word", "n", F.posexplode("toks").alias("pos0", "tok")
+        ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
+        pr = px.withColumn("b", F.lead("tok").over(lw))
+        seqs = _apply_pair(pr, a, b, lw)
+    return seqs
 
 
 @register(

@@ -221,3 +221,27 @@ def test_bpe_batched_simultaneous_application(spark, tmp_path):
     assert [(r[1], r[2]) for r in got] == [("a", "b"), ("c", "d")]
     toks = {r.word: list(r.toks) for r in seqs.collect()}
     assert toks["abcd"] == ["ab", "cd"]
+
+
+def test_bpe_encode_unseen_replays_merges(spark, tmp_path):
+    """An unseen word must get the TRAINED merges replayed, not a raw
+    char split: training on even docs ('spark'x3) learns the 4 merges
+    that fuse 'spark' into one token (then exhausts); the odd doc's
+    unseen 'sparky' must replay them to [spark, y] -> 2 tokens."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    rows = [
+        (0, "spark spark spark", "en", "s", 17),
+        (1, "sparky", "en", "s", 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        int(r.doc_id): (int(r.n_bpe_tokens), int(r.n_chars_tokenized))
+        for r in all_specs()["text_bpe_encode_unseen"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[0] == (3, 15)  # three fully-merged 'spark' tokens
+    assert got[1] == (2, 6)   # 'sparky' -> [spark, y], NOT 6 chars
