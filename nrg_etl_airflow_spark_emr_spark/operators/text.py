@@ -2008,6 +2008,83 @@ def text_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_vocab_coverage",
+    oracle="""
+    WITH trainvocab AS (
+        SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id % 2 = 0)
+        WHERE word != ''
+    ),
+    allw AS (
+        SELECT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != ''
+    ),
+    j AS (
+        SELECT a.word, (t.word IS NULL) AS oov
+        FROM allw a LEFT JOIN trainvocab t ON t.word = a.word
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+           CAST(FLOOR(CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) * 10000) AS DOUBLE) / 10000 AS oov_token_rate,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CASE WHEN oov THEN word END) AS BIGINT)
+               AS n_oov_types,
+           CAST(FLOOR(CAST(COUNT(DISTINCT CASE WHEN oov THEN word END) AS DOUBLE)
+                / COUNT(DISTINCT word) * 10000) AS DOUBLE) / 10000
+               AS oov_type_rate
+    FROM j
+    """,
+    tags=("text", "qc", "training"),
+    window_defer=True,
+    doc="Tokenizer-deployment QC: out-of-vocabulary rate of a trained "
+    "vocabulary (the even-doc_id half, the same split text_bpe_encode_"
+    "unseen trains on) measured over the FULL corpus — by token "
+    "occurrences AND by distinct types. THE gate a 100 TB pipeline "
+    "checks before shipping a tokenizer to a new crawl: a high "
+    "token-level OOV rate means the merge replay path (encode_unseen) "
+    "dominates encode cost and the tokenizer should be retrained; "
+    "type-level vs token-level divergence separates a long tail of "
+    "rare new words (cheap) from drift in the head (expensive). Plan: "
+    "distinct-vocab broadcast left join over one exploded corpus pass; "
+    "at scale both sides collapse to vocabulary-sized frames before "
+    "the join.",
+)
+def text_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dw = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    trainvocab = (
+        dw.filter(F.col("doc_id") % 2 == 0).select("word").distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    j = dw.select("word").join(F.broadcast(trainvocab), "word", "left").select(
+        "word", F.col("seen").isNull().alias("oov")
+    )
+    oovn = F.sum(F.when(F.col("oov"), 1).otherwise(0)).cast("long")
+    rate = lambda num, den: (  # noqa: E731 — floor*1e4 per the oracle-parity rule
+        F.floor(num.cast("double") / den.cast("double") * 10000).cast("double") / 10000
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        oovn.alias("n_oov_tokens"),
+        rate(oovn, F.count(F.lit(1))).alias("oov_token_rate"),
+        F.countDistinct("word").cast("long").alias("n_types"),
+        F.countDistinct(F.when(F.col("oov"), F.col("word"))).cast("long").alias(
+            "n_oov_types"
+        ),
+        rate(
+            F.countDistinct(F.when(F.col("oov"), F.col("word"))),
+            F.countDistinct("word"),
+        ).alias("oov_type_rate"),
+    )
+
+
+@register(
     "text_bpe_train_merges",
     oracle=_bpe_oracle(BPE_MERGES),
     bench=True,

@@ -245,3 +245,23 @@ def test_bpe_encode_unseen_replays_merges(spark, tmp_path):
     }
     assert got[0] == (3, 15)  # three fully-merged 'spark' tokens
     assert got[1] == (2, 6)   # 'sparky' -> [spark, y], NOT 6 chars
+
+
+def test_bpe_vocab_coverage_counts_oov(spark, tmp_path):
+    """Coverage must count odd-doc-only words as OOV by token AND type:
+    even doc trains {spark, runs}; odd doc adds 'sparky' (x2) and
+    'runs' (seen). 7 tokens, 2 OOV; 3 types, 1 OOV."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    rows = [
+        (0, "spark runs spark", "en", "s", 16),
+        (1, "sparky runs sparky spark", "en", "s", 24),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = all_specs()["text_bpe_vocab_coverage"].builder(spark, str(tmp_path)).collect()[0]
+    assert (r.n_tokens, r.n_oov_tokens) == (7, 2)
+    assert (r.n_types, r.n_oov_types) == (3, 1)
+    assert abs(r.oov_token_rate - 0.2857) < 1e-9
+    assert abs(r.oov_type_rate - 0.3333) < 1e-9
