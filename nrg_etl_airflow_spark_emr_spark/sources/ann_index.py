@@ -133,14 +133,61 @@ def read_pq_index(
     return cb, codes, norms
 
 
-def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: str):
+    """STREAMING ANN ingest — upsert_ivf_postings as a Structured
+    Streaming sink: each micro-batch of new vectors (vec_id/fe/nrm) is
+    assigned under the index's persisted centroids (the same ivf_assign
+    law) and landed in ``postings_stream/`` partitioned by
+    (ingest_batch, cid) via DYNAMIC partition overwrite — a replayed
+    batch (failure between write and checkpoint commit) overwrites its
+    own ingest_batch partitions instead of duplicating them, the
+    effectively-exactly-once contract foreach_batch_parquet_sink
+    established. Searches read base ∪ stream segments transparently
+    (read_ivf_index) — the vector-store memtable-flush shape: the base
+    segment is the bulk build, stream segments accrue per trigger, and
+    a periodic compaction (compact_parquet per cid) folds them in.
+    Returns the started query; drive with trigger(availableNow=True)."""
+    from ..operators.kmeans import ivf_assign
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent, _ = read_ivf_index(spark, index_path, include_stream=False)
+        (
+            ivf_assign(batch_df, cent)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "cid")
+            .parquet(os.path.join(index_path, "postings_stream"))
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ivf_index(
+    spark: SparkSession, path: str, include_stream: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF index: (cent: cid/c_q, postings:
     vec_id/fe/nrm/cid). cid comes back as a partition column (inferred
-    int) — cast to long so downstream joins match the trainer's type."""
+    int) — cast to long so downstream joins match the trainer's type.
+    Stream-ingested segments (postings_stream/, see stream_ingest_ivf)
+    union in transparently unless ``include_stream=False``."""
     cent = spark.read.parquet(os.path.join(path, "centroids")).select(
         F.col("cid").cast("long").alias("cid"), "c_q"
     )
     postings = spark.read.parquet(os.path.join(path, "postings")).select(
         "vec_id", "fe", "nrm", F.col("cid").cast("long").alias("cid")
     )
+    stream_dir = os.path.join(path, "postings_stream")
+    if include_stream and os.path.isdir(stream_dir):
+        postings = postings.unionByName(
+            spark.read.parquet(stream_dir).select(
+                "vec_id", "fe", "nrm", F.col("cid").cast("long").alias("cid")
+            )
+        )
     return cent, postings

@@ -101,6 +101,49 @@ def test_ivf_upsert_equals_rebuild_under_same_centroids(spark, sf_dir, tmp_path)
     assert len(got) == v.count()
 
 
+def test_stream_ingest_ivf_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """Stream ≡ batch for ANN ingest: the new slice arriving as two
+    micro-batches through stream_ingest_ivf must leave the index in the
+    same state as the batch upsert — same (vec_id, cid) postings, and
+    the search over base ∪ stream segments value-equal to
+    sim_knn_ivf_upsert."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign, ivf_train
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        stream_ingest_ivf,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+
+    stage = str(tmp_path / "stage")
+    new.repartition(2).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ingest_ivf(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    cent_base, _ = ivf_train(base)
+    want = {
+        (r.vec_id, r.cid)
+        for r in ivf_assign(v, cent_base).select("vec_id", "cid").collect()
+    }
+    _, postings = read_ivf_index(spark, path)
+    got = {(r.vec_id, r.cid) for r in postings.select("vec_id", "cid").collect()}
+    assert got == want
+    assert len(got) == v.count()
+
+
 def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
     got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
     want = _rows(SPECS["text_bpe_encode"].builder(spark, sf_dir))
