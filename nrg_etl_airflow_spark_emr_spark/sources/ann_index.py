@@ -169,6 +169,31 @@ def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: st
     )
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Fold stream-ingested segments back into the base postings — the
+    periodic maintenance job that completes the memtable-flush cycle:
+    read base ∪ postings_stream, rewrite ``postings/`` in one
+    cid-partitioned pass, drop the stream directory. Value-neutral by
+    construction (the union is exactly what searches already read —
+    pinned in tests/test_ann_index.py); what it buys is file count: a
+    long-running ingest leaves one file per (ingest_batch, cid), and
+    per-cell scan cost at 100 TB is listing + open overhead once files
+    outnumber row groups. Staged like compact_parquet's write: the
+    rewrite lands in a temp dir first, then replaces postings/, so a
+    crash mid-compaction never leaves a half-written base segment."""
+    import shutil
+
+    _, postings = read_ivf_index(spark, path)
+    final_dir = os.path.join(path, "postings")
+    tmp_dir = os.path.join(path, "postings_compacting")
+    postings.write.mode("overwrite").partitionBy("cid").parquet(tmp_dir)
+    stream_dir = os.path.join(path, "postings_stream")
+    shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+    if os.path.isdir(stream_dir):
+        shutil.rmtree(stream_dir)
+
+
 def read_ivf_index(
     spark: SparkSession, path: str, include_stream: bool = True
 ) -> tuple[DataFrame, DataFrame]:

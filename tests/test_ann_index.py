@@ -143,6 +143,18 @@ def test_stream_ingest_ivf_equals_batch_upsert(spark, sf_dir, tmp_path):
     assert got == want
     assert len(got) == v.count()
 
+    # Compaction folds the stream segments into the base postings
+    # value-neutrally and leaves no stream directory behind.
+    import os
+
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import compact_ivf_index
+
+    compact_ivf_index(spark, path)
+    assert not os.path.isdir(os.path.join(path, "postings_stream"))
+    _, compacted = read_ivf_index(spark, path)
+    got2 = {(r.vec_id, r.cid) for r in compacted.select("vec_id", "cid").collect()}
+    assert got2 == want
+
 
 def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
     got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
