@@ -1273,6 +1273,126 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame into its LSH band index rows
+    (doc_id, band_id, band_key) — the 4x4 band layout every LSH query
+    shares, factored so the persisted band index and the inline queries
+    derive it from one place."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(",", *[f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)])
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+
+
+def write_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the HISTORICAL corpus's MinHash dedup index: signatures/
+    (doc_id, mh0..mh15) for verification joins and bands/ (partitioned
+    by band_id) for candidate generation. The dedup counterpart of
+    sources/ann_index.py: at 100 TB the historical band table is what a
+    daily increment joins against — it must be an artifact, not a
+    per-run recomputation of corpus-wide signatures (one md5 per
+    (doc, shingle) over 100 TB per day is the bill the inline
+    dedup_incremental_lsh pays and this removes). History here =
+    doc_id % INCR_MOD != 0, matching the incremental fixture split."""
+    import os
+
+    hist_sig = _signatures(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != 0)
+    hist_sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    (
+        _band_frame(hist_sig)
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(os.path.join(path, "bands"))
+    )
+
+
+@register(
+    "dedup_incremental_persisted",
+    oracle=_sql_incremental_lsh_oracle(),
+    tags=("dedup", "sketch", "incremental", "index", "sink"),
+    window_defer=True,
+    doc="Incremental MinHash-LSH dedup FROM A PERSISTED BAND INDEX — "
+    "extends the round-10 train-once/search-many family to dedup: the "
+    "builder first persists the historical corpus's index "
+    "(write_minhash_index — signatures + band table partitioned by "
+    "band_id), then the incremental batch computes signatures for the "
+    "NEW docs ONLY (the doc_id filter pushes below the row-local "
+    "md5/permutation transforms to the parquet scan) and joins its "
+    "bands against the persisted band index; verification sigs for "
+    "historical candidates come from the persisted signature table. "
+    "Identical verdict law and the IDENTICAL oracle as "
+    "dedup_incremental_lsh — what changes is the bill: per-batch "
+    "compute is increment-sized (inline recomputes corpus-wide "
+    "signatures every run — one md5 per (doc, shingle) over the full "
+    "history), and at 100 TB the band index is append-maintained like "
+    "the IVF postings (today's keeps append their bands; earlier "
+    "verdicts stay immutable).",
+)
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .formats import _roundtrip_dir
+
+    path = _roundtrip_dir(spark, "mhidx", sf_dir)
+    write_minhash_index(spark, sf_dir, path)  # the once-per-corpus build
+
+    hist_sig = spark.read.parquet(os.path.join(path, "signatures"))
+    hist_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        "doc_id", F.col("band_id").cast("int").alias("band_id"), "band_key"
+    )
+    new_sig = _signatures(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD == 0).cache()
+    new_bands = _band_frame(new_sig)
+
+    a = new_bands.alias("a")
+    b_ = hist_bands.unionByName(new_bands).alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (
+                (F.col("b.doc_id") % INCR_MOD != 0)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("cand_id"))
+        .distinct()
+    )
+    s1 = new_sig.alias("s1")
+    s2 = hist_sig.unionByName(new_sig).alias("s2")
+    agree = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
+            for j in range(MINHASH_K)
+        ],
+    )
+    scored = (
+        cand.join(s1, F.col("new_id") == F.col("s1.doc_id"))
+        .join(s2, F.col("cand_id") == F.col("s2.doc_id"))
+        .select("new_id", "cand_id", (agree / float(MINHASH_K)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+    best = scored.groupBy("new_id").agg(
+        F.min("cand_id").alias("dup_of"),
+        F.min_by("est_jaccard", "cand_id").alias("est_jaccard"),
+    )
+    incr = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCR_MOD == 0)
+        .select("doc_id")
+    )
+    return incr.join(best, incr["doc_id"] == best["new_id"], "left").select(
+        "doc_id",
+        "dup_of",
+        "est_jaccard",
+        F.col("dup_of").isNull().alias("keep"),
+    )
+
+
 # --- Exact-substring (maximal shared span) dedup -----------------------------
 
 SPAN_W = 8        # seed window, tokens

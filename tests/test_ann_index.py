@@ -156,7 +156,22 @@ def test_stream_ingest_ivf_equals_batch_upsert(spark, sf_dir, tmp_path):
     assert got2 == want
 
 
-def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
+def test_persisted_minhash_dedup_matches_inline(spark, sf_dir):
+    got = _rows(SPECS["dedup_incremental_persisted"].builder(spark, sf_dir))
+    want = _rows(SPECS["dedup_incremental_lsh"].builder(spark, sf_dir))
+    assert got == want
+
+
+def test_persisted_minhash_reads_index_not_history_sigs(spark, sf_dir):
+    """The point of the persisted band index: historical signatures and
+    bands come from the parquet ARTIFACT (scans of the mhidx dir), so
+    the query-side md5/permutation work covers the increment only."""
+    df = SPECS["dedup_incremental_persisted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln and "mhidx" in ln
+    ]
+    assert len(idx_scans) >= 2, "expected scans of the persisted bands + signatures"
     got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
     want = _rows(SPECS["text_bpe_encode"].builder(spark, sf_dir))
     assert got == want
