@@ -172,6 +172,9 @@ def test_persisted_minhash_reads_index_not_history_sigs(spark, sf_dir):
         ln for ln in plan.splitlines() if "Scan parquet" in ln and "mhidx" in ln
     ]
     assert len(idx_scans) >= 2, "expected scans of the persisted bands + signatures"
+
+
+def test_persisted_bpe_encode_matches_inline(spark, sf_dir):
     got = _rows(SPECS["text_bpe_encode_persisted"].builder(spark, sf_dir))
     want = _rows(SPECS["text_bpe_encode"].builder(spark, sf_dir))
     assert got == want
@@ -185,3 +188,51 @@ def test_persisted_bpe_encode_plan_has_no_trainer(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, "merge-replay leaked into the encode plan"
     assert "Scan parquet" in plan
+
+
+def test_upsert_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    """A day with no new vectors must leave the index unchanged (the
+    append writes no rows and search results are identical)."""
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(spark, sf_dir, path)
+    _, before = read_ivf_index(spark, path)
+    n_before = before.count()
+    empty = _vectors(spark, sf_dir).select("vec_id", "fe", "nrm").limit(0)
+    upsert_ivf_postings(spark, path, empty)
+    _, after = read_ivf_index(spark, path)
+    assert after.count() == n_before
+
+
+def test_bpe_apply_no_merges_is_identity(spark, sf_dir):
+    """Replaying an empty merge list returns the vocabulary unchanged —
+    the degenerate case of a tokenizer trained to exhaustion at 0."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators._util import spread, t
+    from nrg_etl_airflow_spark_emr_spark.operators.text import bpe_apply_merges
+
+    seqs = (
+        spread(t(spark, sf_dir, "documents").select("text"))
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "word",
+            "n",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("toks"),
+        )
+    )
+    out = bpe_apply_merges(seqs, [])
+    a = {r.word: list(r.toks) for r in seqs.collect()}
+    b = {r.word: list(r.toks) for r in out.collect()}
+    assert a == b
