@@ -278,3 +278,18 @@ def test_kmv_join_size_accuracy_and_exact_regime(spark, sf_dir):
     assert s.union_est == 70.0
     assert s.intersect_est == 40.0
     assert s.jaccard_est == 40.0 / 70.0
+
+
+def test_upserted_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Incremental growth must not silently destroy recall: the
+    upserted index (centroids trained on 75% of the corpus, the rest
+    appended under them) still recovers most of the brute-force top-5.
+    Catches degenerate base-centroid layouts where appended vectors
+    pile into mis-probed cells."""
+    brute = all_specs()["sim_knn_brute"].builder(spark, sf_dir).filter("rn <= 5")
+    up = all_specs()["sim_knn_ivf_upsert"].builder(spark, sf_dir)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    u = {(r.query_id, r.vec_id) for r in up.collect()}
+    assert b, "brute-force baseline empty"
+    recall = len(b & u) / len(b)
+    assert recall >= 0.6, f"upserted-IVF recall {recall:.2f} vs brute force"
