@@ -121,6 +121,36 @@ def _assign(vectors: DataFrame, centroids: DataFrame, zero=None) -> DataFrame:
     )
 
 
+def pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """THE per-subspace code-assignment law, factored module-level so
+    incremental PQ maintenance (sources/ann_index.upsert_pq_codes)
+    encodes NEW vectors under persisted codebooks with the identical
+    arithmetic the trainer used: exact BIGINT squared-L2 per gid, ties
+    to the lowest cid. Struct-min == ORDER BY d2, cid; carrying the
+    winning d2 out costs nothing and spares callers
+    (kmeans_fit_quantized) a re-join against the final centroids.
+    ``subs``: gid/vec_id/sv; ``cent``: gid/cid/c_q →
+    gid/vec_id/sv/cid/d2."""
+    d2 = F.aggregate(
+        F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(cent), "gid")
+        .select("gid", "vec_id", "sv", "cid", d2.alias("d2"))
+        .groupBy("gid", "vec_id")
+        .agg(
+            F.first("sv").alias("sv"),
+            F.min(F.struct("d2", "cid")).alias("m"),
+        )
+        .select(
+            "gid", "vec_id", "sv", F.col("m.cid").alias("cid"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
 def lloyd_fit_grouped_quantized(
     subs: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -145,29 +175,8 @@ def lloyd_fit_grouped_quantized(
     Returns (codes: gid/vec_id/cid/d2 under the FINAL centroids — d2 is
     the exact integer distance to the winning centroid,
     cent: gid/cid/c_q — cached, k*M rows)."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
     def assign(cent: DataFrame) -> DataFrame:
-        # Struct-min == ORDER BY d2, cid; carrying the winning d2 out
-        # costs nothing and spares callers (kmeans_fit_quantized) a full
-        # re-join + re-aggregate against the final centroids.
-        return (
-            subs.join(F.broadcast(cent), "gid")
-            .select("gid", "vec_id", "sv", "cid", d2.alias("d2"))
-            .groupBy("gid", "vec_id")
-            .agg(
-                F.first("sv").alias("sv"),
-                F.min(F.struct("d2", "cid")).alias("m"),
-            )
-            .select(
-                "gid", "vec_id", "sv", F.col("m.cid").alias("cid"),
-                F.col("m.d2").alias("d2"),
-            )
-        )
+        return pq_assign(subs, cent)
 
     iw = Window.partitionBy("gid").orderBy("vec_id")
     cent = (

@@ -706,28 +706,32 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataF
     ).select(F.col("s.gid").alias("gid"), id_col, F.col("s.v").alias(out_col))
 
 
-def _pq_trainer_parts(k: int, iters: int) -> list[str]:
+def _pq_trainer_parts(k: int, iters: int, train_src: str = "subs") -> list[str]:
     """CTE parts replaying lloyd_fit_grouped_quantized over an existing
     ``subs(gid, vec_id, sv)`` CTE: deterministic init, ``iters`` rounds
     of (exact-BIGINT assign, floor-integer update), and the final
     ``codes(gid, vec_id, cid)`` under ``cent{iters}``. Shared by the
-    whole-vector PQ oracle (sim_knn_pq) and the residual-PQ oracle
-    (sim_knn_ivfpq) — gid is just another grouping key, so the unroll
-    is per-iteration only, never per-subspace."""
+    whole-vector PQ oracle (sim_knn_pq), the residual-PQ oracle
+    (sim_knn_ivfpq), and the incremental oracle (sim_knn_pq_upsert) —
+    gid is just another grouping key, so the unroll is per-iteration
+    only, never per-subspace. ``train_src``: the CTE the TRAINER reads;
+    the final ``codes`` always cover the full ``subs`` (with a base
+    subset as train_src that states the incremental law: old codebooks,
+    union corpus)."""
     parts = [
         f"""cent0 AS (
         SELECT gid,
                CAST(ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vec_id) - 1
                     AS BIGINT) AS cid,
                sv AS c_q
-        FROM subs
+        FROM {train_src}
         QUALIFY ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vec_id) <= {k})""",
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""a{i} AS (
         SELECT s.gid, s.vec_id, s.sv, c.cid
-        FROM subs s JOIN cent{i - 1} c ON c.gid = s.gid
+        FROM {train_src} s JOIN cent{i - 1} c ON c.gid = s.gid
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY s.gid, s.vec_id
             ORDER BY {_sql_d2("s.sv", "c.c_q")}, c.cid) = 1)"""
@@ -764,10 +768,20 @@ def _pq_trainer_parts(k: int, iters: int) -> list[str]:
     return parts
 
 
-def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> str:
+def _pq_oracle(
+    m: int,
+    w: int,
+    k: int,
+    iters: int,
+    shortlist: int,
+    nq: int,
+    train_where: str = "",
+) -> str:
     """ANSI replay of the WHOLE fixed-point PQ path — codebook training
     (_pq_trainer_parts), 4-bit code assignment, per-query ADC lookup
-    tables, the shortlist, and the exact re-rank."""
+    tables, the shortlist, and the exact re-rank. ``train_where``
+    optionally restricts the codebook TRAINING vectors (the incremental
+    oracle trains on the base slice; codes always cover the corpus)."""
     cent = f"cent{iters}"
     parts = [
         f"gids AS (SELECT unnest(range({m})) AS gid)",
@@ -776,7 +790,13 @@ def _pq_oracle(m: int, w: int, k: int, iters: int, shortlist: int, nq: int) -> s
                list_slice(v.fe, g.gid * {w} + 1, g.gid * {w} + {w}) AS sv
         FROM vecs v CROSS JOIN gids g)""",
     ]
-    parts.extend(_pq_trainer_parts(k, iters))
+    train_src = "subs"
+    if train_where:
+        parts.append(
+            f"subs_base AS (SELECT * FROM subs WHERE {train_where})"
+        )
+        train_src = "subs_base"
+    parts.extend(_pq_trainer_parts(k, iters, train_src=train_src))
     parts.append(f"q AS (SELECT vec_id, fe, nrm FROM vecs WHERE vec_id < {nq})")
     parts.append(
         f"""lut AS (
@@ -940,6 +960,52 @@ def sim_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_pq_index(spark, sf_dir, path)  # the once-per-corpus build
     cb, codes, norms = read_pq_index(spark, path)
     v = _vectors(spark, sf_dir).cache()
+    return _pq_adc_search(cb, codes, norms, v, _pq_queries(v))
+
+
+@register(
+    "sim_knn_pq_upsert",
+    oracle=_pq_oracle(
+        PQ_M,
+        PQ_SUB_W,
+        PQ_K,
+        PQ_ITERS,
+        PQ_SHORTLIST,
+        N_QUERIES,
+        train_where="vec_id % 4 != 0",
+    ),
+    tags=("similarity", "topk", "index", "sink", "upsert"),
+    window_defer=True,
+    doc="INCREMENTAL maintenance of the persisted PQ index — the "
+    "compressed-corpus twin of sim_knn_ivf_upsert: codebooks are "
+    "trained on the base slice (vec_id % 4 != 0), then the new batch "
+    "is ENCODED under the persisted codebooks (pq_assign — the "
+    "trainer's exact per-subspace argmin) and its codes + norms "
+    "appended (sources/ann_index.upsert_pq_codes); the ADC search runs "
+    "over the upserted index. Oracle states the incremental law via "
+    "_pq_oracle's train_where: codebooks from the base subs, codes "
+    "over the FULL corpus — old artifact, union data, the same "
+    "contract as the IVF upsert and the unseen-word encode. At 100 TB "
+    "the appended codes are ~1% of the appended vectors' bytes (4-bit "
+    "codes + one norm), so the daily ingest ships compressed-corpus "
+    "deltas; codebook retrain stays the rarer job, and quantization "
+    "error for new vectors under old codebooks is exactly what the "
+    "exact re-rank stage absorbs.",
+)
+def sim_knn_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ann_index import read_pq_index, upsert_pq_codes, write_pq_index
+    from .formats import _roundtrip_dir
+
+    path = _roundtrip_dir(spark, "pqups", sf_dir)
+    v = _vectors(spark, sf_dir).cache()
+    _check_pq_dim(len(v.select("fe").first()[0]))
+    write_pq_index(
+        spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 != 0)
+    )
+    upsert_pq_codes(
+        spark, path, v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    )
+    cb, codes, norms = read_pq_index(spark, path)
     return _pq_adc_search(cb, codes, norms, v, _pq_queries(v))
 
 

@@ -81,7 +81,9 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
     )
 
 
-def write_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def write_pq_index(
+    spark: SparkSession, sf_dir: str, path: str, vectors: DataFrame | None = None
+) -> None:
     """Build the product-quantization index over ``sf_dir``'s embeddings
     and persist it under ``path`` — the real IVFADC storage shape, where
     the index IS the compressed corpus:
@@ -105,7 +107,7 @@ def write_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         _vectors,
     )
 
-    v = _vectors(spark, sf_dir).cache()
+    v = vectors if vectors is not None else _vectors(spark, sf_dir).cache()
     _check_pq_dim(len(v.select("fe").first()[0]))
     subs = _subvectors(v, "vec_id", "fe", "sv")
     codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
@@ -114,6 +116,31 @@ def write_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         os.path.join(path, "codes")
     )
     v.select("vec_id", "nrm").write.mode("overwrite").parquet(
+        os.path.join(path, "norms")
+    )
+
+
+def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
+    """Incremental PQ maintenance: ENCODE ``new_vectors`` (vec_id/fe/
+    nrm) under the index's PERSISTED codebooks (pq_assign — the
+    trainer's exact-BIGINT per-subspace argmin) and append their codes
+    + norms. Codebooks are NOT retrained — the incremental law (search
+    over the upserted index == codes of the union corpus under the OLD
+    codebooks) is what sim_knn_pq_upsert's oracle states. At 100 TB the
+    appended codes are ~1% of the appended vectors' bytes: the daily
+    ingest writes compressed-corpus deltas."""
+    from ..operators.kmeans import pq_assign
+    from ..operators.similarity import _subvectors
+
+    cb, _codes, _norms = read_pq_index(spark, path)
+    subs = _subvectors(new_vectors, "vec_id", "fe", "sv")
+    (
+        pq_assign(subs, cb)
+        .select("gid", "vec_id", "cid")
+        .write.mode("append")
+        .parquet(os.path.join(path, "codes"))
+    )
+    new_vectors.select("vec_id", "nrm").write.mode("append").parquet(
         os.path.join(path, "norms")
     )
 

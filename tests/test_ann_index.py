@@ -236,3 +236,47 @@ def test_bpe_apply_no_merges_is_identity(spark, sf_dir):
     a = {r.word: list(r.toks) for r in seqs.collect()}
     b = {r.word: list(r.toks) for r in out.collect()}
     assert a == b
+
+
+def test_pq_upsert_equals_rebuild_under_same_codebooks(spark, sf_dir, tmp_path):
+    """The PQ incremental law in-engine: encode-new-under-persisted-
+    codebooks leaves codes row-identical to encoding the union corpus
+    under those codebooks in one shot."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import (
+        lloyd_fit_grouped_quantized,
+        pq_assign,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        _subvectors,
+        _vectors,
+    )
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_pq_index,
+        upsert_pq_codes,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    write_pq_index(spark, sf_dir, path, vectors=base)
+    upsert_pq_codes(spark, path, new)
+
+    _, cb_base = lloyd_fit_grouped_quantized(
+        _subvectors(base, "vec_id", "fe", "sv"), PQ_K, PQ_ITERS
+    )
+    want = {
+        (r.gid, r.vec_id, r.cid)
+        for r in pq_assign(_subvectors(v, "vec_id", "fe", "sv"), cb_base)
+        .select("gid", "vec_id", "cid")
+        .collect()
+    }
+    _, codes, norms = read_pq_index(spark, path)
+    got = {(r.gid, r.vec_id, r.cid) for r in codes.collect()}
+    assert got == want
+    assert norms.count() == v.count()
