@@ -745,6 +745,58 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_balance_oracle() -> str:
+    body = ",\n    ".join(
+        _ivf_trained_parts(K_DEFAULT, IVF_TRAIN_ITERS, NPROBE, N_QUERIES)
+    )
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body}
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                / SUM(COUNT(*)) OVER () * 10000) AS DOUBLE) / 10000
+               AS cell_share
+    FROM fassign
+    GROUP BY cid
+    """
+
+
+@register(
+    "qc_ivf_index_balance",
+    oracle=_ivf_balance_oracle(),
+    tags=("qc", "similarity", "index"),
+    window_defer=True,
+    doc="ANN-index health audit: per-cell postings count and share of "
+    "the corpus under the trained-IVF assignment — the gate a vector "
+    "store checks before (and after each maintenance cycle of) serving "
+    "an index: a hot cell means every query probing it scans a "
+    "disproportionate inverted list, and probe-time p99 is set by the "
+    "LARGEST probed cell, not the average (the same reason "
+    "qc_key_skew_audit exists for join keys). Oracle-gated end-to-end "
+    "through the trainer unroll (fassign GROUP BY cid); the cell_share "
+    "column is the floor*1e4 portable ratio. At 100 TB this reads the "
+    "persisted postings' partition footprints — a metadata-weight "
+    "query — and a share above ~3x 1/k triggers the centroid-retrain "
+    "job the upsert path deliberately defers.",
+)
+def qc_ivf_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).cache()
+    _cent, fassign = ivf_train(v)
+    share = (
+        F.floor(
+            F.count(F.lit(1)).cast("double")
+            / F.sum(F.count(F.lit(1))).over(Window.partitionBy()).cast("double")
+            * 10000
+        ).cast("double")
+        / 10000
+    )
+    return fassign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        share.alias("cell_share"),
+    )
+
+
 def _ivf_upsert_oracle() -> str:
     """The incremental-index law in ANSI: train centroids on the BASE
     slice only (src="base"), assign the UNION corpus under them (the

@@ -293,3 +293,16 @@ def test_upserted_ivf_recall_vs_brute_force(spark, sf_dir):
     assert b, "brute-force baseline empty"
     recall = len(b & u) / len(b)
     assert recall >= 0.6, f"upserted-IVF recall {recall:.2f} vs brute force"
+
+
+def test_upserted_pq_recall_vs_brute_force(spark, sf_dir):
+    """Quantization error for vectors encoded under OLD codebooks is
+    absorbed by the exact re-rank — the upserted PQ index must keep
+    most of the brute-force top-5."""
+    brute = all_specs()["sim_knn_brute"].builder(spark, sf_dir).filter("rn <= 5")
+    up = all_specs()["sim_knn_pq_upsert"].builder(spark, sf_dir).filter("rn <= 5")
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    u = {(r.query_id, r.vec_id) for r in up.collect()}
+    assert b, "brute-force baseline empty"
+    recall = len(b & u) / len(b)
+    assert recall >= 0.6, f"upserted-PQ recall {recall:.2f} vs brute force"
