@@ -69,7 +69,13 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
     incremental law (search over the upserted index == assignment of
     the union corpus under the OLD centroids) is what the
     sim_knn_ivf_upsert oracle states, and the standard IVF maintenance
-    contract (periodic retrain is a separate, rarer job)."""
+    contract (periodic retrain is a separate, rarer job).
+
+    Replay semantics: a bare append is NOT idempotent — re-running a
+    failed batch duplicates its postings. Production ingest should run
+    through stream_ingest_ivf (checkpoint + per-batch dynamic
+    overwrite, effectively exactly-once) or dedupe on vec_id after a
+    failed job; this function is the single-shot maintenance step."""
     from ..operators.kmeans import ivf_assign
 
     cent, _ = read_ivf_index(spark, path)
@@ -128,7 +134,10 @@ def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> N
     over the upserted index == codes of the union corpus under the OLD
     codebooks) is what sim_knn_pq_upsert's oracle states. At 100 TB the
     appended codes are ~1% of the appended vectors' bytes: the daily
-    ingest writes compressed-corpus deltas."""
+    ingest writes compressed-corpus deltas. Same replay caveat as
+    upsert_ivf_postings: a bare append is not idempotent — wrap in a
+    checkpointed foreachBatch (the stream_ingest_ivf pattern) for
+    exactly-once ingest."""
     from ..operators.kmeans import pq_assign
     from ..operators.similarity import _subvectors
 
@@ -206,17 +215,25 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     long-running ingest leaves one file per (ingest_batch, cid), and
     per-cell scan cost at 100 TB is listing + open overhead once files
     outnumber row groups. Staged like compact_parquet's write: the
-    rewrite lands in a temp dir first, then replaces postings/, so a
-    crash mid-compaction never leaves a half-written base segment."""
+    rewrite lands in a temp dir first, then swaps in via two renames
+    (old→aside, tmp→final) so no crash window leaves a half-written OR
+    deleted base segment — the worst case is a microseconds-wide
+    missing-dir window between the renames, after which either the
+    aside copy or the new segment is intact on disk (true atomicity
+    needs a manifest pointer, the table-format upgrade)."""
     import shutil
 
     _, postings = read_ivf_index(spark, path)
     final_dir = os.path.join(path, "postings")
     tmp_dir = os.path.join(path, "postings_compacting")
+    old_dir = os.path.join(path, "postings_old")
     postings.write.mode("overwrite").partitionBy("cid").parquet(tmp_dir)
     stream_dir = os.path.join(path, "postings_stream")
-    shutil.rmtree(final_dir)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(final_dir, old_dir)
     os.rename(tmp_dir, final_dir)
+    shutil.rmtree(old_dir)
     if os.path.isdir(stream_dir):
         shutil.rmtree(stream_dir)
 
