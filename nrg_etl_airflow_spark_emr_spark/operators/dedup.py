@@ -527,19 +527,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
     """(cached signatures, band-keyed candidate pairs d1<d2) — the shared
     candidate-generation stage for every LSH-routed dedup scorer."""
     sig = _signatures(spark, sf_dir).cache()
-    # One pass over sig (not a LSH_BANDS-way union): posexplode an array of
-    # per-band keys. Band id comes free as the array position.
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",", *[f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    bands = _band_frame(sig)
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -1214,17 +1202,7 @@ def _sql_incremental_lsh_oracle() -> str:
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir).cache()
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",", *[f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    bands = _band_frame(sig)
     a = bands.filter(F.col("doc_id") % INCR_MOD == 0).alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -1276,8 +1254,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _band_frame(sig: DataFrame) -> DataFrame:
     """Explode a signature frame into its LSH band index rows
     (doc_id, band_id, band_key) — the 4x4 band layout every LSH query
-    shares, factored so the persisted band index and the inline queries
-    derive it from one place."""
+    shares (THE single source: _lsh_candidates, dedup_incremental_lsh,
+    and the persisted band index all call this). One pass over sig, not
+    a LSH_BANDS-way union: posexplode an array of per-band keys; band
+    id comes free as the array position."""
     band_keys = F.array(
         *[
             F.concat_ws(",", *[f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)])

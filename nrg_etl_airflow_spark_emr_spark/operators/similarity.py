@@ -998,7 +998,8 @@ def sim_knn_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _roundtrip_dir(spark, "pqups", sf_dir)
     v = _vectors(spark, sf_dir).cache()
-    _check_pq_dim(len(v.select("fe").first()[0]))
+    # Dim validation happens inside write_pq_index — no caller-side
+    # duplicate (it would cost an extra first() action per run).
     write_pq_index(
         spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 != 0)
     )

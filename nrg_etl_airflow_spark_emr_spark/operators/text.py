@@ -2406,10 +2406,21 @@ def _bpe_train_batched(
         for c in cands:
             if len(sel) >= want:
                 break
-            if c["a"] in used or c["b"] in used:
+            # Exclusion set covers each selected pair's CONCAT as well
+            # as its symbols: a pair whose symbol equals another
+            # selected pair's output (e.g. (t,h) with (th,e)) would
+            # make simultaneous != sequential. Under the trainer's own
+            # dynamics that state is unreachable — "th" existing as a
+            # token implies (t,h) was merged earlier, which consumed
+            # every (t,h) adjacency, and merges never re-create a
+            # bare-symbol adjacency (both neighbors of a merge are
+            # replaced by the grown token) — but guarding it here makes
+            # the disjointness invariant locally checkable instead of
+            # resting on that global argument.
+            if c["a"] in used or c["b"] in used or (c["a"] + c["b"]) in used:
                 continue
             sel.append((c["a"], c["b"], int(c["cnt"])))
-            used.update((c["a"], c["b"]))
+            used.update((c["a"], c["b"], c["a"] + c["b"]))
         for a, b, cnt in sel:
             rows.append((len(rows) + 1, a, b, cnt))
         match = F.lit(False)

@@ -47,6 +47,8 @@ def write_ivf_index(
     from ..operators.kmeans import ivf_train
     from ..operators.similarity import _vectors
 
+    import shutil
+
     v = vectors if vectors is not None else _vectors(spark, sf_dir).cache()
     cent, fassign = ivf_train(v)
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
@@ -55,6 +57,13 @@ def write_ivf_index(
         .partitionBy("cid")
         .parquet(os.path.join(path, "postings"))
     )
+    # A rebuild (e.g. the centroid-retrain job after stream growth)
+    # covers the whole corpus — stale stream segments from the previous
+    # epoch would DUPLICATE their vectors through read_ivf_index's
+    # union. Clear them as part of the overwrite.
+    stream_dir = os.path.join(path, "postings_stream")
+    if os.path.isdir(stream_dir):
+        shutil.rmtree(stream_dir)
 
 
 def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
@@ -214,28 +223,65 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     pinned in tests/test_ann_index.py); what it buys is file count: a
     long-running ingest leaves one file per (ingest_batch, cid), and
     per-cell scan cost at 100 TB is listing + open overhead once files
-    outnumber row groups. Staged like compact_parquet's write: the
-    rewrite lands in a temp dir first, then swaps in via two renames
-    (old→aside, tmp→final) so no crash window leaves a half-written OR
-    deleted base segment — the worst case is a microseconds-wide
-    missing-dir window between the renames, after which either the
-    aside copy or the new segment is intact on disk (true atomicity
-    needs a manifest pointer, the table-format upgrade)."""
+    outnumber row groups.
+
+    Crash discipline (no atomic multi-dir op exists on a plain
+    filesystem — true atomicity is a manifest pointer, the table-format
+    upgrade): (1) the rewrite lands in a temp dir; (2) the stream dir
+    is renamed ASIDE (readers stop unioning it — they see the
+    pre-ingest base snapshot, a bounded STALENESS window, never
+    duplicates); (3) the base swaps in via two renames; (4) cleanup.
+    A crash leaves, at worst, the aside/old dirs on disk — every row
+    still exists exactly once in (final ∪ aside), nothing is ever both
+    in the new base AND still unioned from the stream dir (the
+    duplication the naive delete-stream-last ordering allowed)."""
     import shutil
 
-    _, postings = read_ivf_index(spark, path)
     final_dir = os.path.join(path, "postings")
     tmp_dir = os.path.join(path, "postings_compacting")
     old_dir = os.path.join(path, "postings_old")
-    postings.write.mode("overwrite").partitionBy("cid").parquet(tmp_dir)
     stream_dir = os.path.join(path, "postings_stream")
+    aside_dir = os.path.join(path, "postings_stream_folding")
+
+    def _finish_swap() -> None:
+        # tmp is complete and supersedes base ∪ stream: swap it in and
+        # clear every superseded dir. Safe to re-run from any crash
+        # point past tmp completion.
+        if os.path.isdir(final_dir):
+            if os.path.isdir(old_dir):
+                shutil.rmtree(old_dir)
+            os.rename(final_dir, old_dir)
+        os.rename(tmp_dir, final_dir)
+        for d in (old_dir, aside_dir, stream_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+    # Recover a crashed prior run first. A COMPLETE tmp segment
+    # (Spark's _SUCCESS marker) already holds base ∪ stream — finish
+    # its swap rather than recompacting (deleting the aside/stream dirs
+    # without it would lose the folded rows). A partial tmp is garbage.
+    if os.path.isfile(os.path.join(tmp_dir, "_SUCCESS")):
+        _finish_swap()
+        return
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
     if os.path.isdir(old_dir):
-        shutil.rmtree(old_dir)
-    os.rename(final_dir, old_dir)
-    os.rename(tmp_dir, final_dir)
-    shutil.rmtree(old_dir)
+        if os.path.isdir(final_dir):
+            shutil.rmtree(old_dir)  # crash after the final swap
+        else:
+            os.rename(old_dir, final_dir)  # crash between the renames
+    if os.path.isdir(aside_dir):
+        # aside is created only AFTER tmp completes; tmp being absent
+        # therefore means the swap finished (final already holds the
+        # folded rows) and only the cleanup crashed — aside is
+        # superseded, never restored (restoring would duplicate).
+        shutil.rmtree(aside_dir)
+
+    _, postings = read_ivf_index(spark, path)
+    postings.write.mode("overwrite").partitionBy("cid").parquet(tmp_dir)
     if os.path.isdir(stream_dir):
-        shutil.rmtree(stream_dir)
+        os.rename(stream_dir, aside_dir)  # readers stop seeing the stream
+    _finish_swap()  # tmp already contains base ∪ stream
 
 
 def read_ivf_index(

@@ -280,3 +280,51 @@ def test_pq_upsert_equals_rebuild_under_same_codebooks(spark, sf_dir, tmp_path):
     got = {(r.gid, r.vec_id, r.cid) for r in codes.collect()}
     assert got == want
     assert norms.count() == v.count()
+
+
+def test_compact_recovers_from_crash_states(spark, sf_dir, tmp_path):
+    """Compaction crash discipline: (a) a complete tmp segment left by
+    a crash is swapped in on the next run — never recompacted from a
+    state that would lose or duplicate the folded stream rows; (b) an
+    aside dir surviving a post-swap crash is superseded garbage and
+    must not resurrect duplicates."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 != 0))
+    upsert_ivf_postings(
+        spark, path, v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    )
+    n_total = v.count()
+    _, p0 = read_ivf_index(spark, path)
+    want = {(r.vec_id, r.cid) for r in p0.select("vec_id", "cid").collect()}
+
+    # Crash state (a): tmp fully written (simulate by writing it the way
+    # compaction does), stream still present, swap never ran.
+    tmp = os.path.join(path, "postings_compacting")
+    p0.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    assert os.path.isfile(os.path.join(tmp, "_SUCCESS"))
+    compact_ivf_index(spark, path)  # must finish the swap, not recompact
+    _, p1 = read_ivf_index(spark, path)
+    got = {(r.vec_id, r.cid) for r in p1.select("vec_id", "cid").collect()}
+    assert got == want and p1.count() == n_total  # exactly once each
+
+    # Crash state (b): aside left behind after a completed swap.
+    aside = os.path.join(path, "postings_stream_folding")
+    shutil.copytree(os.path.join(path, "postings"), aside)
+    compact_ivf_index(spark, path)
+    _, p2 = read_ivf_index(spark, path)
+    assert p2.count() == n_total
+    assert not os.path.isdir(aside)
