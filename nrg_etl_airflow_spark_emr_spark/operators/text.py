@@ -1765,7 +1765,13 @@ def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training ------------------------------------------------------
 
 BPE_MERGES = 8  # unrolled training rounds (one merge learned per round)
-BPE_CKPT_EVERY = 4  # lazy localCheckpoint interval: bounds plan depth
+# Lazy-localCheckpoint interval. 4, not 8: interval 8 was measured
+# (48 merges, same protocol) at 37.2s vs interval 4's 24.8s — the
+# analysis cost is super-linear WITHIN a segment well before the
+# catastrophic ~depth-10 knee, so short segments win even though they
+# checkpoint twice as often; and the hoped-for saving on the 8-merge
+# bench query (zero checkpoints) was inside session noise.
+BPE_CKPT_EVERY = 4
 
 
 def _bpe_round_parts(k: int, train_docs_where: str = "") -> list[str]:
