@@ -760,3 +760,98 @@ def approx_kmv_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_intersect").cast("long").alias("n_intersect"),
         )
     )
+
+
+NBINS_Q = 1024            # histogram resolution: error bound = range/1024
+QUANTILES_Q = (0.5, 0.9, 0.99)
+
+
+def _binned_quantile_oracle() -> str:
+    per_q = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({q!r} AS DOUBLE) AS q,
+               (SELECT MIN(mm.lo) + MIN(bin) * MIN(mm.width) FROM bins, mm
+                WHERE cum >= CAST(CEIL({q!r} * n) AS BIGINT)) AS est_cents,
+               (SELECT width FROM mm) AS bin_width_cents,
+               (SELECT CAST(MAX(n) AS BIGINT) FROM bins) AS n_rows"""
+        for q in QUANTILES_Q
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    mm AS (
+        SELECT MIN(c) AS lo, MAX(c) AS hi,
+               (MAX(c) - MIN(c)) // {NBINS_Q} + 1 AS width
+        FROM c
+    ),
+    binned AS (
+        SELECT (c.c - mm.lo) // mm.width AS bin FROM c, mm
+    ),
+    bins AS (
+        SELECT bin,
+               SUM(COUNT(*)) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(COUNT(*)) OVER () AS n
+        FROM binned GROUP BY bin
+    )
+    {per_q}
+    """
+
+
+@register(
+    "approx_quantiles_binned",
+    oracle=_binned_quantile_oracle(),
+    tags=("agg", "sketch"),
+    window_defer=True,
+    doc=f"Mergeable binned-quantile sketch over order totals — the "
+    "quantile member of the engine-portable sketch family (KMV "
+    f"distinct, CMS heavy hitters, HLL registers): {NBINS_Q} "
+    "equal-width integer-cent bins, cumulative counts, and for each "
+    f"target quantile {QUANTILES_Q} the lower edge of the first bin "
+    "whose cumulative count reaches ceil(q*n) — every step exact "
+    "integer arithmetic (the one float op, ceil(q*n), is a single IEEE "
+    "product both engines round identically), so the ESTIMATE is "
+    "oracle-gated to the bit, and the error is bounded a priori by the "
+    "bin width (emitted alongside). Spark-native approx_percentile "
+    "(GK sketch) stays engine-internal — unverifiable cross-engine — "
+    "which is exactly why this relational histogram exists. The min/max "
+    "domain pass is one bounded driver scalar (the QC-scalar pattern); "
+    "the bin counts are THE mergeable state: shard histograms add "
+    "cell-wise, the distributed combine a 100 TB percentile rollup "
+    "needs, and quantile extraction is O(bins) post-aggregate. "
+    "Accuracy vs exact discrete quantiles is pinned within one bin "
+    "width in tests/test_approx.py.",
+)
+def approx_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    lo, hi = o.agg(F.min("c"), F.max("c")).first()
+    width = (int(hi) - int(lo)) // NBINS_Q + 1
+    bins = (
+        o.select(F.expr(f"(c - {int(lo)}) div {width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    b = bins.select(
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    out = None
+    for q in QUANTILES_Q:
+        row = b.filter(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n"))
+        ).agg(
+            F.lit(float(q)).alias("q"),
+            (F.lit(int(lo)) + F.min("bin") * F.lit(width)).cast("long").alias(
+                "est_cents"
+            ),
+            F.lit(width).cast("long").alias("bin_width_cents"),
+            F.max("n").cast("long").alias("n_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -306,3 +306,19 @@ def test_upserted_pq_recall_vs_brute_force(spark, sf_dir):
     assert b, "brute-force baseline empty"
     recall = len(b & u) / len(b)
     assert recall >= 0.6, f"upserted-PQ recall {recall:.2f} vs brute force"
+
+
+def test_binned_quantiles_within_one_bin_of_exact(spark, sf_dir, duck):
+    """The sketch's a-priori error bound is the bin width: each
+    estimate (a bin lower edge) must sit within one width of the exact
+    discrete quantile — the ground-truth gate the bit-exact oracle
+    (which replays the same estimator) cannot provide."""
+    rows = all_specs()["approx_quantiles_binned"].builder(spark, sf_dir).collect()
+    for r in rows:
+        exact = duck.sql(
+            "SELECT CAST(FLOOR(quantile_disc(o_totalprice * 100, "
+            f"{r.q}) ) AS BIGINT) FROM orders"
+        ).fetchone()[0]
+        assert abs(r.est_cents - exact) <= r.bin_width_cents, (
+            r.q, r.est_cents, exact, r.bin_width_cents
+        )
