@@ -1267,26 +1267,10 @@ def _band_frame(sig: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
 
 
-def write_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Persist the HISTORICAL corpus's MinHash dedup index: signatures/
-    (doc_id, mh0..mh15) for verification joins and bands/ (partitioned
-    by band_id) for candidate generation. The dedup counterpart of
-    sources/ann_index.py: at 100 TB the historical band table is what a
-    daily increment joins against — it must be an artifact, not a
-    per-run recomputation of corpus-wide signatures (one md5 per
-    (doc, shingle) over 100 TB per day is the bill the inline
-    dedup_incremental_lsh pays and this removes). History here =
-    doc_id % INCR_MOD != 0, matching the incremental fixture split."""
-    import os
-
-    hist_sig = _signatures(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != 0)
-    hist_sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    (
-        _band_frame(hist_sig)
-        .write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(os.path.join(path, "bands"))
-    )
+# write_minhash_index moved to sources/ann_index.py (round 11): the
+# persisted band index now commits through the same manifest-pointer
+# mechanism as the IVF/PQ indexes, with upsert_minhash_index /
+# compact_minhash_index completing its maintenance cycle.
 
 
 @register(
@@ -1312,17 +1296,14 @@ def write_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     "verdicts stay immutable).",
 )
 def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
+    from ..sources.ann_index import read_minhash_index, write_minhash_index
     from .formats import _roundtrip_dir
 
     path = _roundtrip_dir(spark, "mhidx", sf_dir)
     write_minhash_index(spark, sf_dir, path)  # the once-per-corpus build
 
-    hist_sig = spark.read.parquet(os.path.join(path, "signatures"))
-    hist_bands = spark.read.parquet(os.path.join(path, "bands")).select(
-        "doc_id", F.col("band_id").cast("int").alias("band_id"), "band_key"
-    )
+    hist_sig, hist_bands = read_minhash_index(spark, path)
+    hist_bands = hist_bands.select("doc_id", "band_id", "band_key")
     new_sig = _signatures(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD == 0).cache()
     new_bands = _band_frame(new_sig)
 

@@ -194,18 +194,19 @@ def lloyd_fit_grouped_quantized(
         )
         agg = ex.groupBy("gid", "cell", "dim").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("s"),
+            F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
         )
         smod = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
-        # Exactness bound: (s - smod)/n runs as long/long DOUBLE division,
-        # exact only while |s| < 2^53 — i.e. per-(gid, cell, dim) coordinate
-        # sums under ~9e15, or ~4.5e8 members per cell at 1e7-scale
-        # fixed-point coords. Beyond that Spark's double->long cast
-        # truncates while DuckDB's CAST(double AS BIGINT) rounds to
-        # nearest — a cross-engine divergence. The decimal accumulator
-        # above keeps SUM itself exact to 38 digits; if cells ever
-        # approach the bound, compute the quotient in decimal domain
-        # ((s - smod).cast(decimal) / n) on BOTH sides instead.
+        # Quotient law: s stays DECIMAL through the division (the oracle
+        # keeps it HUGEINT with integer `//`), so the mean is exact to
+        # the 38-digit accumulator bound on BOTH engines — (s - smod) is
+        # exactly divisible by n, and an exactly-representable integer
+        # quotient survives Spark's decimal divide + long cast bit-for-
+        # bit. No 2^53 double-division caveat: long/long division (the
+        # round-10 shape) went through IEEE doubles, where Spark's
+        # double->long cast truncates but DuckDB's rounds to nearest —
+        # a cross-engine divergence once per-(gid, cell, dim) sums
+        # passed 2^53 (~4.5e8 members/cell at 1e7-scale coords).
         means = agg.select(
             "gid",
             "cell",
@@ -443,10 +444,10 @@ def _ivf_trained_parts(
         parts.append(
             f"""m{i} AS (
         SELECT cell, dim,
-               CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m
+               CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS m
         FROM (
             SELECT cell, dim, COUNT(*) AS n,
-                   CAST(SUM(CAST(qv AS HUGEINT)) AS BIGINT) AS s
+                   SUM(CAST(qv AS HUGEINT)) AS s
             FROM (
                 SELECT cid AS cell,
                        CAST(generate_subscripts(fe, 1) AS BIGINT) AS dim,
@@ -572,12 +573,12 @@ def ivf_train(v: DataFrame) -> tuple[DataFrame, DataFrame]:
             # decimal accumulator: per-cell coordinate sums are bounded by
             # n_members * FP_SCALE, which outgrows BIGINT before the
             # vectors themselves do (sim_kmeans_step's discipline).
-            F.sum(F.col("qv").cast("decimal(38,0)")).cast("long").alias("s"),
+            F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
         )
         smod = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
-        # Same 2^53 cell-sum bound as lloyd_fit_grouped_quantized's mean
-        # (see the note there): exact while per-(cell, dim) sums stay
-        # under 2^53 (~4.5e8 members/cell at 1e7-scale coords).
+        # Decimal-domain quotient, same law as lloyd_fit_grouped_quantized
+        # (see the note there): exact to the 38-digit accumulator bound,
+        # no 2^53 double-division caveat.
         means = agg.select(
             "cell", "dim", ((F.col("s") - smod) / F.col("n")).cast("long").alias("m")
         )

@@ -739,10 +739,10 @@ def _pq_trainer_parts(k: int, iters: int, train_src: str = "subs") -> list[str]:
         parts.append(
             f"""m{i} AS (
         SELECT gid, cell, dim,
-               CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS m
+               CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS m
         FROM (
             SELECT gid, cell, dim, COUNT(*) AS n,
-                   CAST(SUM(CAST(qv AS HUGEINT)) AS BIGINT) AS s
+                   SUM(CAST(qv AS HUGEINT)) AS s
             FROM (
                 SELECT gid, cid AS cell,
                        CAST(generate_subscripts(sv, 1) AS BIGINT) AS dim,
@@ -998,8 +998,10 @@ def sim_knn_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _roundtrip_dir(spark, "pqups", sf_dir)
     v = _vectors(spark, sf_dir).cache()
-    # Dim validation happens inside write_pq_index — no caller-side
-    # duplicate (it would cost an extra first() action per run).
+    # Dim validation happens inside BOTH write_pq_index and
+    # upsert_pq_codes (round-11 advice: a mis-sized batch must fail
+    # loudly, not write ragged subvector codes) — no caller-side
+    # duplicate.
     write_pq_index(
         spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 != 0)
     )

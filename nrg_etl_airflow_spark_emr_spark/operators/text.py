@@ -2471,12 +2471,128 @@ def _bpe_train_batched(
     return rows, seqs
 
 
+def _bpe_batched_oracle(n_merges: int, batch: int) -> str:
+    """ANSI replay of the BATCHED trainer — graduates it from rows-only
+    to hash-gated (round-11 brief): the driver-side greedy disjoint
+    selection IS replayable because its candidate pool is bounded
+    (4*batch rows) and each pick depends only on earlier picks — so the
+    selection unrolls as one CTE pair per pick (sel = the lowest-rank
+    candidate whose a, b, and concat avoid every symbol selected so
+    far; used = the accumulated symbol set), exactly the loop
+    _bpe_train_batched runs over its collect. The batch application
+    reuses the single-pair run-parity law verbatim with the match set
+    joined against the round's selected pairs (runs of consecutive
+    matches are single-pair under symbol-disjointness — see
+    _bpe_train_batched), and the merged token is position-local
+    (p.a || p.b). One spare round is unrolled beyond ceil(n/batch) and
+    the output LIMITed to n_merges, so a round that under-fills (fewer
+    than ``batch`` disjoint pairs in its pool — unseen on real text)
+    still replays exactly; the greedy-prefix property makes the extra
+    SQL picks/applications of the final partial round output-invisible,
+    matching the Spark trainer's want-capped last round."""
+    rounds = (n_merges + batch - 1) // batch + 1
+    parts = [
+        """w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != '' GROUP BY word)""",
+        """seqs0 AS MATERIALIZED (
+        SELECT word, n,
+               list_transform(range(1, len(word) + 1), i -> word[i]) AS toks
+        FROM w0)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""px{r} AS MATERIALIZED (
+        SELECT word, n, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS tok
+        FROM seqs{p})"""
+        )
+        parts.append(
+            f"""pr{r} AS MATERIALIZED (
+        SELECT word, n, pos, tok AS a,
+               LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM px{r})"""
+        )
+        parts.append(
+            f"""cands{r} AS MATERIALIZED (
+        SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, a, b) AS rk
+        FROM pr{r} WHERE b IS NOT NULL
+        GROUP BY a, b
+        ORDER BY cnt DESC, a, b LIMIT {4 * batch})"""
+        )
+        for i in range(1, batch + 1):
+            if i == 1:
+                parts.append(
+                    f"sel{r}_1 AS MATERIALIZED (SELECT a, b, cnt FROM cands{r}"
+                    " ORDER BY rk LIMIT 1)"
+                )
+            else:
+                u = f"used{r}_{i - 1}"
+                parts.append(
+                    f"""sel{r}_{i} AS MATERIALIZED (
+        SELECT a, b, cnt FROM cands{r}
+        WHERE a NOT IN (SELECT sym FROM {u})
+          AND b NOT IN (SELECT sym FROM {u})
+          AND a || b NOT IN (SELECT sym FROM {u})
+        ORDER BY rk LIMIT 1)"""
+                )
+            if i < batch:
+                prev = f"SELECT sym FROM used{r}_{i - 1} UNION ALL " if i > 1 else ""
+                parts.append(
+                    f"""used{r}_{i} AS MATERIALIZED (
+        {prev}SELECT a AS sym FROM sel{r}_{i}
+        UNION ALL SELECT b FROM sel{r}_{i}
+        UNION ALL SELECT a || b FROM sel{r}_{i})"""
+                )
+        sel_union = "\n        UNION ALL ".join(
+            f"SELECT {i} AS sel_idx, a, b, cnt FROM sel{r}_{i}"
+            for i in range(1, batch + 1)
+        )
+        parts.append(f"sel{r} AS MATERIALIZED (\n        {sel_union})")
+        parts.append(
+            f"""tk{r} AS MATERIALIZED (
+        SELECT word, pos, merged FROM (
+            SELECT word, pos, merged,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
+            FROM (
+                SELECT p.word, p.pos, p.a || p.b AS merged,
+                       p.pos - ROW_NUMBER() OVER (
+                           PARTITION BY p.word ORDER BY p.pos) AS grp
+                FROM pr{r} p JOIN sel{r} s ON p.a = s.a AND p.b = s.b
+            )
+        ) WHERE rn2 % 2 = 1)"""
+        )
+        parts.append(
+            f"""seqs{r} AS MATERIALIZED (
+        SELECT word, n, list(tok ORDER BY pos) AS toks FROM (
+            SELECT p.word, p.n, p.pos,
+                   CASE WHEN t1.pos IS NOT NULL THEN t1.merged
+                        ELSE p.tok END AS tok
+            FROM px{r} p
+            LEFT JOIN tk{r} t1 ON t1.word = p.word AND t1.pos = p.pos
+            LEFT JOIN tk{r} t0 ON t0.word = p.word AND t0.pos = p.pos - 1
+            WHERE t0.pos IS NULL
+        ) GROUP BY word, n)"""
+        )
+    body = ",\n    ".join(parts)
+    out_union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rnd, sel_idx, a, b, cnt FROM sel{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""WITH {body}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, sel_idx) AS INTEGER)
+               AS merge_rank,
+           a AS lhs, b AS rhs, cnt AS pair_count
+    FROM ({out_union})
+    ORDER BY rnd, sel_idx LIMIT {n_merges}"""
+
+
 @register(
     "text_bpe_train_batched",
-    oracle=None,  # driver-side disjoint selection is not ANSI-replayable;
-    # the gate is the batch=1 ≡ greedy pin (tests/test_properties.py)
-    # bridging it to the oracle-gated text_bpe_train_merges, plus the
-    # deviation measurement in SCALE.md.
+    oracle=_bpe_batched_oracle(BPE_MERGES * 2, 8),
     tags=("text", "iterative", "training"),
     window_defer=True,
     doc=f"Batched BPE merge learning — lifts the greedy trainer's "
@@ -2491,7 +2607,12 @@ def _bpe_train_batched(
     "never match different pairs — see _bpe_train_batched); the only "
     "greedy deviation is stale counts for pairs 2..B of a round, "
     "measured and recorded in SCALE.md. batch=1 is pinned bit-equal "
-    "to the oracle-gated greedy trainer.",
+    "to the oracle-gated greedy trainer, and since round 11 the "
+    "batched trainer itself is HASH-GATED end-to-end: the bounded "
+    "greedy disjoint selection unrolls to per-pick CTEs and the batch "
+    "application replays under the shared run-parity law "
+    "(_bpe_batched_oracle) — the last rows-only row that was "
+    "SQL-replayable, graduated.",
 )
 def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _seqs = _bpe_train_batched(spark, sf_dir, n_merges=BPE_MERGES * 2, batch=8)

@@ -1,39 +1,226 @@
-"""Persisted ANN index artifacts — train once, search many.
+"""Persisted ANN / dedup index artifacts — train once, search many,
+published through a MANIFEST POINTER.
 
 Every inline ANN query (sim_knn_ivf_trained, sim_knn_ivf_mmr, the PQ
 pair) runs its trainer as a plan prefix on EVERY execution. That is the
 one shape a 100 TB deployment cannot pay: there the index is a
 *persisted artifact* — built once by a maintenance job, read by
-thousands of searches. This module writes the trained-IVF index the way
-a vector store lays it out:
+thousands of searches. This module writes trained indexes the way a
+vector store lays them out, and commits every state change the way a
+table format does — by writing ONE new immutable manifest file, never
+by renaming or deleting data a reader might hold:
 
-- ``centroids/``  — k rows (cid, c_q): the routing table, broadcast at
-  search time. Tiny at any corpus scale (k grows with n but stays
-  millions of rows / MBs at 100 TB, still broadcastable).
-- ``postings/``   — the corpus (vec_id, fe, nrm) PARTITIONED BY its
-  trained cell id. Hive partitioning on cid is the physical realization
-  of the IVF inverted lists: a query that probes nprobe cells touches
-  nprobe directories and Spark's partition pruning (static via an
-  IN-list, dynamic via DPP on the probes join) skips every other file
+- ``manifest/vNNNNNNNN.json`` — the committed states. A manifest lists
+  the exact segment directories of its version; it is live only once
+  its ``vNNNNNNNN.committed`` marker exists (creating an empty file is
+  the local-fs stand-in for an object store's atomic PUT / a
+  transaction log's put-if-absent — the Delta/Iceberg commit
+  mechanism). Readers pin the highest committed manifest; a torn
+  publish (json without marker) is invisible garbage, and NOTHING in
+  any publish path renames or removes a file (the round-10
+  ``os.rename`` swap choreography and its crash matrix are gone).
+- ``centroids-vNNNNNNNN/`` / ``postings-vNNNNNNNN*/`` — immutable
+  per-commit segment dirs. The IVF postings are PARTITIONED BY trained
+  cell id: Hive partitioning on cid is the physical realization of the
+  IVF inverted lists — a query that probes nprobe cells touches nprobe
+  directories and Spark's partition pruning skips every other file
   without opening it. At 100 TB this is the difference between a full
   corpus scan per query batch and nprobe/ncells of it.
+- ``postings_stream/ingest_batch=N/`` — streaming-ingest segments
+  (stream_ingest_ivf). Each micro-batch owns ONE directory, written
+  with whole-dir overwrite so a replayed batch heals itself; the
+  batch's ``_SUCCESS`` marker is its commit record. Readers union
+  committed batches with id > the manifest's ``folded_upto`` fence —
+  so compaction retires stream segments by MOVING THE FENCE, never by
+  deleting them, and a batch landing while compaction runs (id above
+  the fence it publishes) stays live: every row exists exactly once in
+  (manifest segments ∪ live stream batches) across any crash point.
+- ``vacuum_index`` — the ONLY place data is deleted: drops dirs no
+  committed current manifest references (superseded segments, folded
+  stream batches, torn writes). Crash-safe because everything it
+  touches is already unreachable through the current manifest. In
+  production it runs with a retention window so pinned readers finish
+  first; the single-maintenance-writer assumption (standard for table
+  formats without a lock service) is documented here once.
 
 Exactness: fe is array<bigint> (fixed-point), c_q array<bigint>, nrm a
 stored double — all three round-trip through parquet bit-exactly, so a
 search over the persisted index hash-matches the inline-trainer path,
-and the SAME DuckDB oracle gates both.
+and the SAME DuckDB oracle gates both. Segment reads always pass the
+manifest-recorded schema explicitly — schema inference never runs, so
+an empty segment (a day with no new vectors) reads back as an empty
+frame instead of failing inference.
 
 Reference parity note: the reference persists only Hive-partitioned
 parquet fact tables (nrg_etl.py:37,72); the index layout here applies
-that same sink discipline to ANN state, which the reference lacks.
+that same sink discipline to ANN state, which the reference lacks, and
+the manifest commit reuses the mechanism snk_snapshot_timetravel
+(operators/formats.py) established for plain-parquet snapshots.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# --- manifest mechanics -------------------------------------------------------
+
+_VER_RE = re.compile(r"^v(\d{8})\.json$")
+_SEG_RE = re.compile(r"-v\d{8}")
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "manifest")
+
+
+def _committed_versions(path: str) -> list[int]:
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = _VER_RE.match(f)
+        if m and os.path.isfile(os.path.join(d, f"v{int(m.group(1)):08d}.committed")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_manifest(path: str) -> dict | None:
+    """The highest COMMITTED manifest, or None for an empty index root.
+    A json without its .committed marker is a torn publish — ignored."""
+    vs = _committed_versions(path)
+    if not vs:
+        return None
+    with open(os.path.join(_manifest_dir(path), f"v{vs[-1]:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _next_version(path: str) -> int:
+    """Next version number. Counts every manifest JSON — committed or
+    torn — so a crashed publish never gets its number reused for
+    different content (its data dirs, named by version, stay uniquely
+    owned and a re-run of the same step overwrites them in place)."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return 1
+    nums = [int(m.group(1)) for f in os.listdir(d) if (m := _VER_RE.match(f))]
+    return max(nums, default=0) + 1
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """Commit a manifest: write its json, fsync, then create the
+    .committed marker. The marker creation is the atomic commit point —
+    no renames, no deletes; a crash before it leaves an invisible torn
+    json whose version number is simply skipped forever after."""
+    ver = manifest["version"]
+    d = _manifest_dir(path)
+    os.makedirs(d, exist_ok=True)
+    j = os.path.join(d, f"v{ver:08d}.json")
+    with open(j, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    with open(os.path.join(d, f"v{ver:08d}.committed"), "w") as fh:
+        fh.flush()
+        os.fsync(fh.fileno())
+
+
+def _seg(name: str, ver: int, suffix: str = "") -> str:
+    return f"{name}-v{ver:08d}{suffix}"
+
+
+def _read_segments(
+    spark: SparkSession, path: str, dirs: list[str], schema_json: str
+) -> DataFrame:
+    """Union the listed segment dirs under the manifest-recorded schema.
+    Explicit schema means (a) no inference job, (b) empty segments (a
+    zero-row write leaves only _SUCCESS) read back as empty frames, and
+    (c) Hive partition columns (cid) take the recorded type directly —
+    no int->long cast bolted on after inference."""
+    schema = StructType.fromJson(json.loads(schema_json))
+    parts = [
+        spark.read.schema(schema).parquet(os.path.join(path, d)) for d in dirs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _committed_stream_batches(path: str, stream: str, above: int) -> list[int]:
+    """ingest_batch ids with a complete (_SUCCESS-marked) directory
+    under ``stream/`` and id > ``above`` (the manifest fence). A torn
+    batch write has no _SUCCESS and is invisible until its replay
+    overwrites the directory."""
+    root = os.path.join(path, stream)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        m = re.match(r"^ingest_batch=(\d+)$", d)
+        if (
+            m
+            and int(m.group(1)) > above
+            and os.path.isfile(os.path.join(root, d, "_SUCCESS"))
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _max_committed_batch(path: str, stream: str) -> int:
+    bs = _committed_stream_batches(path, stream, above=-1)
+    return bs[-1] if bs else -1
+
+
+def vacuum_index(path: str) -> list[str]:
+    """Garbage-collect everything the CURRENT committed manifest cannot
+    reach: superseded/torn segment dirs (versioned names not referenced),
+    stream batches at or below the folded_upto fence, and superseded
+    manifest files. The ONLY function in this module that deletes, and
+    everything it deletes is already unreachable through the current
+    manifest — a crash mid-vacuum just leaves some garbage for the next
+    run. Production deployments add a retention window before calling
+    it so readers pinned to older manifests drain first. Returns the
+    removed paths (for tests/audit)."""
+    import shutil
+
+    m = current_manifest(path)
+    if m is None:
+        return []
+    live: set[str] = set()
+    for v in m.get("segments", {}).values():
+        live.update(v if isinstance(v, list) else [v])
+    fence = m.get("folded_upto", -1)
+    cur = m["version"]
+    removed: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry == "manifest":
+            for f in sorted(os.listdir(full)):
+                mm = re.match(r"^v(\d{8})\.(json|committed)$", f)
+                if mm and int(mm.group(1)) < cur:
+                    os.remove(os.path.join(full, f))
+                    removed.append(os.path.join(full, f))
+        elif entry in m.get("streams", []):
+            for b in sorted(os.listdir(full)):
+                bm = re.match(r"^ingest_batch=(\d+)$", b)
+                if bm and int(bm.group(1)) <= fence:
+                    shutil.rmtree(os.path.join(full, b))
+                    removed.append(os.path.join(full, b))
+            if not os.listdir(full):
+                os.rmdir(full)
+        elif os.path.isdir(full) and _SEG_RE.search(entry) and entry not in live:
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
+
+
+# --- IVF index ----------------------------------------------------------------
+
+_IVF_STREAM = "postings_stream"
 
 
 def write_ivf_index(
@@ -41,78 +228,309 @@ def write_ivf_index(
 ) -> None:
     """Build the trained-IVF index over ``sf_dir``'s embeddings (or an
     explicit ``vectors`` frame — e.g. the base slice of an incremental
-    build) and persist it under ``path`` (centroids/ + cid-partitioned
-    postings/). Overwrites. This is the once-per-corpus maintenance
-    job; searches read the artifact via :func:`read_ivf_index`."""
+    build) and COMMIT it as a new manifest version: fresh immutable
+    centroids-vN/ + cid-partitioned postings-vN/ dirs, then one manifest
+    publish. A rebuild (the centroid-retrain job) fences out every
+    stream segment of the previous epoch by setting folded_upto to the
+    max batch id committed at publish time — their vectors are covered
+    by the rebuilt postings, and unioning them would both duplicate
+    rows and carry cell ids from the OLD centroids. Nothing is deleted:
+    readers pinned to the previous manifest are untouched, and the
+    superseded dirs wait for vacuum_index. Ingest should be quiesced
+    across a rebuild (single-maintenance-writer contract — a batch
+    landing between the fence capture and the publish would land under
+    old centroids yet sit above the fence)."""
     from ..operators.kmeans import ivf_train
     from ..operators.similarity import _vectors
 
-    import shutil
-
     v = vectors if vectors is not None else _vectors(spark, sf_dir).cache()
     cent, fassign = ivf_train(v)
-    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    ver = _next_version(path)
+    cent_dir, post_dir = _seg("centroids", ver), _seg("postings", ver)
+    cent.write.mode("overwrite").parquet(os.path.join(path, cent_dir))
     (
         fassign.write.mode("overwrite")
         .partitionBy("cid")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(os.path.join(path, post_dir))
     )
-    # A rebuild (e.g. the centroid-retrain job after stream growth)
-    # covers the whole corpus — stale stream segments from the previous
-    # epoch would DUPLICATE their vectors through read_ivf_index's
-    # union. Clear them as part of the overwrite.
-    stream_dir = os.path.join(path, "postings_stream")
-    if os.path.isdir(stream_dir):
-        shutil.rmtree(stream_dir)
+    _publish(
+        path,
+        {
+            "version": ver,
+            "kind": "ivf",
+            "segments": {"centroids": cent_dir, "postings": [post_dir]},
+            "schemas": {
+                "centroids": cent.schema.json(),
+                "postings": fassign.schema.json(),
+            },
+            "streams": [_IVF_STREAM],
+            # Fence captured at publish time, not build start: any batch
+            # committed while the trainer ran is superseded by this
+            # full-corpus rebuild.
+            "folded_upto": _max_committed_batch(path, _IVF_STREAM),
+        },
+    )
+    # Full rebuilds are the natural GC point: everything the new
+    # manifest doesn't reference (previous epochs' segments, fenced
+    # stream batches) is unreachable now. Runs strictly AFTER the
+    # publish — a crash before it just leaves garbage for the next run.
+    vacuum_index(path)
 
 
 def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     """Incremental index maintenance — the operation a GROWING corpus
     runs instead of rebuilds: assign ``new_vectors`` (vec_id/fe/nrm)
     under the index's PERSISTED centroids (ivf_assign — the identical
-    exact-BIGINT argmin the trainer used) and APPEND them to the
-    cid-partitioned postings. mode("append") into Hive partitions
-    touches only the cells the new batch lands in — at 100 TB a daily
-    ingest writes a few files into a few inverted-list directories,
-    never rewriting the corpus. Centroids are NOT retrained: the
-    incremental law (search over the upserted index == assignment of
-    the union corpus under the OLD centroids) is what the
-    sim_knn_ivf_upsert oracle states, and the standard IVF maintenance
-    contract (periodic retrain is a separate, rarer job).
+    exact-BIGINT argmin the trainer used) and commit them as ONE new
+    postings segment + manifest version. At 100 TB a daily ingest
+    writes a few files into a few inverted-list cid directories of its
+    own segment, never rewriting the corpus. Centroids are NOT
+    retrained: the incremental law (search over the upserted index ==
+    assignment of the union corpus under the OLD centroids) is what the
+    sim_knn_ivf_upsert oracle states; periodic retrain is
+    maintain_ivf_index's separate, rarer job.
 
-    Replay semantics: a bare append is NOT idempotent — re-running a
-    failed batch duplicates its postings. Production ingest should run
-    through stream_ingest_ivf (checkpoint + per-batch dynamic
-    overwrite, effectively exactly-once) or dedupe on vec_id after a
-    failed job; this function is the single-shot maintenance step."""
+    Replay semantics — better than the round-10 append: the segment dir
+    is named by its manifest version, so a failed run leaves a torn,
+    UNREFERENCED dir and the retry overwrites that same dir before
+    publishing. The upsert is therefore idempotent under retry (the old
+    bare append duplicated rows on replay)."""
     from ..operators.kmeans import ivf_assign
 
-    cent, _ = read_ivf_index(spark, path)
+    m = _require(path, "ivf")
+    cent = read_ivf_centroids(spark, path, m)
+    assigned = ivf_assign(new_vectors, cent)
+    ver = _next_version(path)
+    seg = _seg("postings", ver, "-upsert")
     (
-        ivf_assign(new_vectors, cent)
-        .write.mode("append")
+        assigned.write.mode("overwrite")
         .partitionBy("cid")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(os.path.join(path, seg))
     )
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
+    _publish(path, m2)
+
+
+def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: str):
+    """STREAMING ANN ingest — upsert_ivf_postings as a Structured
+    Streaming sink: each micro-batch of new vectors (vec_id/fe/nrm) is
+    assigned under the index's current-manifest centroids (the same
+    ivf_assign law) and landed in its OWN directory
+    ``postings_stream/ingest_batch=N/`` (cid-partitioned inside) via
+    whole-directory overwrite — a replayed batch (failure between write
+    and checkpoint commit) rewrites exactly its own directory, stale
+    cid subdirs included, the effectively-exactly-once contract; the
+    directory's _SUCCESS marker is the batch's commit record, so
+    readers and compaction never see a torn batch. Searches read
+    manifest segments ∪ committed stream batches above the manifest's
+    folded_upto fence (read_ivf_index) — the vector-store
+    memtable-flush shape: the base segments are bulk commits, stream
+    segments accrue per trigger, and compact_ivf_index periodically
+    folds them in by moving the fence. Returns the started query; drive
+    with trigger(availableNow=True)."""
+    from ..operators.kmeans import ivf_assign
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent = read_ivf_centroids(spark, index_path)
+        (
+            ivf_assign(batch_df, cent)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(
+                os.path.join(index_path, _IVF_STREAM, f"ingest_batch={batch_id}")
+            )
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Fold committed stream segments and accumulated upsert segments
+    into ONE cid-partitioned base segment — the periodic maintenance
+    job that completes the memtable-flush cycle. Value-neutral by
+    construction (the folded frame is exactly what searches already
+    read — pinned in tests/test_ann_index.py); what it buys is file
+    count: a long-running ingest leaves one file per (batch, cid), and
+    per-cell scan cost at 100 TB is listing + open overhead once files
+    outnumber row groups.
+
+    Crash discipline — the manifest makes it one-step: (1) write the
+    folded segment under the next version's name; (2) publish a
+    manifest listing only that segment, with folded_upto advanced to
+    the HIGHEST BATCH THE SNAPSHOT ACTUALLY READ. A crash anywhere
+    leaves the previous manifest intact (readers see the pre-compaction
+    state — bounded staleness, never loss or duplication) and a retry
+    overwrites the same torn dir. Batches landing AFTER the snapshot
+    list have higher ids than the published fence, so they remain live
+    under the new manifest — the round-10 design deleted the whole
+    stream dir and could drop them; here nothing is deleted at all
+    (vacuum_index retires fenced batches later)."""
+    m = _require(path, "ivf")
+    fence = m.get("folded_upto", -1)
+    batches = _committed_stream_batches(path, _IVF_STREAM, above=fence)
+    if not batches and len(m["segments"]["postings"]) == 1:
+        return  # nothing to fold; keep the manifest pointer unchanged
+    _, postings = read_ivf_index(spark, path)
+    ver = _next_version(path)
+    seg = _seg("postings", ver)
+    postings.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, seg)
+    )
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["postings"] = [seg]
+    m2["folded_upto"] = batches[-1] if batches else fence
+    _publish(path, m2)
+
+
+def read_ivf_centroids(
+    spark: SparkSession, path: str, manifest: dict | None = None
+) -> DataFrame:
+    m = manifest or _require(path, "ivf")
+    return _read_segments(
+        spark, path, [m["segments"]["centroids"]], m["schemas"]["centroids"]
+    ).select("cid", "c_q")
+
+
+def read_ivf_index(
+    spark: SparkSession, path: str, include_stream: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted IVF index at its current manifest: (cent:
+    cid/c_q, postings: vec_id/fe/nrm/cid). Postings are the manifest's
+    base segments ∪ committed stream batches above the folded_upto
+    fence (see stream_ingest_ivf) unless ``include_stream=False``.
+    Explicit manifest schemas throughout — cid comes back long with no
+    cast, and empty segments (quiet ingest days) read as empty frames
+    instead of failing schema inference."""
+    m = _require(path, "ivf")
+    cent = read_ivf_centroids(spark, path, m)
+    postings = _read_segments(
+        spark, path, m["segments"]["postings"], m["schemas"]["postings"]
+    ).select("vec_id", "fe", "nrm", "cid")
+    if include_stream:
+        batches = _committed_stream_batches(
+            path, _IVF_STREAM, above=m.get("folded_upto", -1)
+        )
+        if batches:
+            dirs = [
+                os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in batches
+            ]
+            postings = postings.unionByName(
+                _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                    "vec_id", "fe", "nrm", "cid"
+                )
+            )
+    return cent, postings
+
+
+def _require(path: str, kind: str) -> dict:
+    m = current_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no committed {kind} index manifest under {path}")
+    if m.get("kind") != kind:
+        raise ValueError(f"index at {path} is kind={m.get('kind')!r}, want {kind!r}")
+    return m
+
+
+# --- IVF health / retrain wiring ----------------------------------------------
+
+HOT_CELL_RATIO = 3.0  # a cell above 3x the uniform 1/k share is "hot"
+
+
+def ivf_index_balance(spark: SparkSession, path: str) -> DataFrame:
+    """qc_ivf_index_balance over the PERSISTED index (manifest segments
+    ∪ live stream): per-cell postings count and corpus share. At 100 TB
+    this is metadata-weight — partition footprints, not data."""
+    from pyspark.sql.window import Window
+
+    _, postings = read_ivf_index(spark, path)
+    share = (
+        F.floor(
+            F.count(F.lit(1)).cast("double")
+            / F.sum(F.count(F.lit(1))).over(Window.partitionBy()).cast("double")
+            * 10000
+        ).cast("double")
+        / 10000
+    )
+    return postings.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        share.alias("cell_share"),
+    )
+
+
+def maintain_ivf_index(
+    spark: SparkSession, path: str, hot_ratio: float = HOT_CELL_RATIO
+) -> dict:
+    """The automated consumer of the balance audit — closes the loop
+    qc_ivf_index_balance only reports on: read the persisted index's
+    per-cell shares; if the hottest cell exceeds ``hot_ratio`` times
+    the uniform 1/k share (probe-time p99 is set by the LARGEST probed
+    inverted list), RETRAIN the centroids over the index's CURRENT
+    corpus (base segments ∪ upserts ∪ live stream — not the original
+    source table, which misses upserted vectors) and commit the rebuild
+    through write_ivf_index's manifest publish. Versioned segments make
+    the read-while-rewrite safe: the trainer scans the old manifest's
+    dirs while writing fresh ones. Returns
+    {rebuilt, k, max_share, threshold} for the maintenance log."""
+    cent, postings = read_ivf_index(spark, path)
+    k = cent.count()
+    stats = (
+        postings.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    max_share = (stats["mx"] or 0) / max(stats["tot"] or 0, 1)
+    threshold = hot_ratio / max(k, 1)
+    rebuilt = max_share > threshold
+    if rebuilt:
+        corpus = postings.select("vec_id", "fe", "nrm").cache()
+        corpus.count()  # pin the old-manifest scan BEFORE the rebuild's
+        # post-publish vacuum retires those directories
+        write_ivf_index(spark, sf_dir="", path=path, vectors=corpus)
+    return {
+        "rebuilt": rebuilt,
+        "k": k,
+        "max_share": round(max_share, 6),
+        "threshold": round(threshold, 6),
+    }
+
+
+# --- PQ index -----------------------------------------------------------------
+
+_PQ_CODES_STREAM = "codes_stream"
+_PQ_NORMS_STREAM = "norms_stream"
 
 
 def write_pq_index(
     spark: SparkSession, sf_dir: str, path: str, vectors: DataFrame | None = None
 ) -> None:
     """Build the product-quantization index over ``sf_dir``'s embeddings
-    and persist it under ``path`` — the real IVFADC storage shape, where
-    the index IS the compressed corpus:
+    and COMMIT it as a manifest version — the real IVFADC storage shape,
+    where the index IS the compressed corpus:
 
-    - ``codebooks/`` — M*K rows (gid, cid, c_q): the per-subspace
+    - ``codebooks-vN/`` — M*K rows (gid, cid, c_q): the per-subspace
       codebook entries; broadcast-sized at any corpus scale.
-    - ``codes/``     — M rows per vector (gid, vec_id, cid): the 4-bit
-      codes, ~100x smaller than the raw vectors — what the ADC scan
-      reads instead of the corpus.
-    - ``norms/``     — (vec_id, nrm): one stored double per vector, the
-      denominator of cosine-via-IP.
+    - ``codes-vN/``     — M rows per vector (gid, vec_id, cid): the
+      4-bit codes, ~100x smaller than the raw vectors — what the ADC
+      scan reads instead of the corpus.
+    - ``norms-vN/``     — (vec_id, nrm): one stored double per vector,
+      the denominator of cosine-via-IP.
 
     Search reads codes + codebooks + norms; raw vectors are fetched (by
-    vec_id, from the source table) ONLY for shortlist rows."""
+    vec_id, from the source table) ONLY for shortlist rows. A rebuild
+    fences out previous-epoch stream segments exactly like
+    write_ivf_index (their codes carry OLD codebook meanings)."""
     from ..operators.kmeans import lloyd_fit_grouped_quantized
     from ..operators.similarity import (
         PQ_ITERS,
@@ -126,84 +544,130 @@ def write_pq_index(
     _check_pq_dim(len(v.select("fe").first()[0]))
     subs = _subvectors(v, "vec_id", "fe", "sv")
     codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
-    cent.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
-    codes.select("gid", "vec_id", "cid").write.mode("overwrite").parquet(
-        os.path.join(path, "codes")
+    codes = codes.select("gid", "vec_id", "cid")
+    norms = v.select("vec_id", "nrm")
+    ver = _next_version(path)
+    cb_dir = _seg("codebooks", ver)
+    cd_dir = _seg("codes", ver)
+    nm_dir = _seg("norms", ver)
+    cent.write.mode("overwrite").parquet(os.path.join(path, cb_dir))
+    codes.write.mode("overwrite").parquet(os.path.join(path, cd_dir))
+    norms.write.mode("overwrite").parquet(os.path.join(path, nm_dir))
+    fence = max(
+        _max_committed_batch(path, _PQ_CODES_STREAM),
+        _max_committed_batch(path, _PQ_NORMS_STREAM),
     )
-    v.select("vec_id", "nrm").write.mode("overwrite").parquet(
-        os.path.join(path, "norms")
+    _publish(
+        path,
+        {
+            "version": ver,
+            "kind": "pq",
+            "segments": {
+                "codebooks": cb_dir,
+                "codes": [cd_dir],
+                "norms": [nm_dir],
+            },
+            "schemas": {
+                "codebooks": cent.schema.json(),
+                "codes": codes.schema.json(),
+                "norms": norms.schema.json(),
+            },
+            "streams": [_PQ_CODES_STREAM, _PQ_NORMS_STREAM],
+            "folded_upto": fence,
+        },
     )
+    vacuum_index(path)  # rebuild = GC point, same as write_ivf_index
 
 
 def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     """Incremental PQ maintenance: ENCODE ``new_vectors`` (vec_id/fe/
     nrm) under the index's PERSISTED codebooks (pq_assign — the
-    trainer's exact-BIGINT per-subspace argmin) and append their codes
-    + norms. Codebooks are NOT retrained — the incremental law (search
-    over the upserted index == codes of the union corpus under the OLD
-    codebooks) is what sim_knn_pq_upsert's oracle states. At 100 TB the
-    appended codes are ~1% of the appended vectors' bytes: the daily
-    ingest writes compressed-corpus deltas. Same replay caveat as
-    upsert_ivf_postings: a bare append is not idempotent — wrap in a
-    checkpointed foreachBatch (the stream_ingest_ivf pattern) for
-    exactly-once ingest."""
+    trainer's exact-BIGINT per-subspace argmin) and commit their codes
+    + norms as new segments in one manifest version. Codebooks are NOT
+    retrained — the incremental law (search over the upserted index ==
+    codes of the union corpus under the OLD codebooks) is what
+    sim_knn_pq_upsert's oracle states. At 100 TB the appended codes are
+    ~1% of the appended vectors' bytes: the daily ingest writes
+    compressed-corpus deltas. Idempotent under retry for the same
+    reason as upsert_ivf_postings (torn segment dirs are unreferenced
+    until the publish). The batch's embedding width is validated
+    HERE — write_pq_index's guard covers only the base build, and a
+    mis-sized batch would otherwise silently write short/ragged
+    subvector codes (round-10 advice)."""
     from ..operators.kmeans import pq_assign
-    from ..operators.similarity import _subvectors
+    from ..operators.similarity import _check_pq_dim, _subvectors
 
-    cb, _codes, _norms = read_pq_index(spark, path)
+    first = new_vectors.select("fe").first()
+    if first is None:
+        return  # empty batch: nothing to encode, nothing to commit
+    _check_pq_dim(len(first[0]))
+    m = _require(path, "pq")
+    cb = _read_segments(
+        spark, path, [m["segments"]["codebooks"]], m["schemas"]["codebooks"]
+    ).select("gid", "cid", "c_q")
     subs = _subvectors(new_vectors, "vec_id", "fe", "sv")
-    (
-        pq_assign(subs, cb)
-        .select("gid", "vec_id", "cid")
-        .write.mode("append")
-        .parquet(os.path.join(path, "codes"))
-    )
-    new_vectors.select("vec_id", "nrm").write.mode("append").parquet(
-        os.path.join(path, "norms")
-    )
+    codes = pq_assign(subs, cb).select("gid", "vec_id", "cid")
+    norms = new_vectors.select("vec_id", "nrm")
+    ver = _next_version(path)
+    cd_seg = _seg("codes", ver, "-upsert")
+    nm_seg = _seg("norms", ver, "-upsert")
+    codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
+    norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["codes"] = list(m["segments"]["codes"]) + [cd_seg]
+    m2["segments"]["norms"] = list(m["segments"]["norms"]) + [nm_seg]
+    _publish(path, m2)
 
 
-def read_pq_index(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Load a persisted PQ index: (codebooks: gid/cid/c_q, codes:
-    gid/vec_id/cid, norms: vec_id/nrm)."""
-    cb = spark.read.parquet(os.path.join(path, "codebooks")).select(
-        "gid", "cid", "c_q"
-    )
-    codes = spark.read.parquet(os.path.join(path, "codes")).select(
-        "gid", "vec_id", "cid"
-    )
-    norms = spark.read.parquet(os.path.join(path, "norms")).select("vec_id", "nrm")
-    return cb, codes, norms
-
-
-def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: str):
-    """STREAMING ANN ingest — upsert_ivf_postings as a Structured
-    Streaming sink: each micro-batch of new vectors (vec_id/fe/nrm) is
-    assigned under the index's persisted centroids (the same ivf_assign
-    law) and landed in ``postings_stream/`` partitioned by
-    (ingest_batch, cid) via DYNAMIC partition overwrite — a replayed
-    batch (failure between write and checkpoint commit) overwrites its
-    own ingest_batch partitions instead of duplicating them, the
-    effectively-exactly-once contract foreach_batch_parquet_sink
-    established. Searches read base ∪ stream segments transparently
-    (read_ivf_index) — the vector-store memtable-flush shape: the base
-    segment is the bulk build, stream segments accrue per trigger, and
-    a periodic compaction (compact_parquet per cid) folds them in.
-    Returns the started query; drive with trigger(availableNow=True)."""
-    from ..operators.kmeans import ivf_assign
+def stream_ingest_pq(vectors_stream: DataFrame, index_path: str, checkpoint: str):
+    """Streaming PQ ingest — upsert_pq_codes as a Structured Streaming
+    sink, completing the PQ maintenance cycle the IVF index got in
+    round 10: each micro-batch is encoded under the current-manifest
+    codebooks and lands its codes and norms in its OWN
+    ``codes_stream/ingest_batch=N`` + ``norms_stream/ingest_batch=N``
+    directories (whole-dir overwrite = replay-idempotent). A batch is
+    committed only when BOTH directories carry _SUCCESS — codes are
+    written first, so a crash between the two writes leaves the batch
+    invisible until replay completes it. Mis-sized embedding batches
+    fail loudly via the same width guard as upsert_pq_codes. Returns
+    the started query; drive with trigger(availableNow=True)."""
+    from ..operators.kmeans import pq_assign
+    from ..operators.similarity import _check_pq_dim, _subvectors
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cent, _ = read_ivf_index(spark, index_path, include_stream=False)
+        first = batch_df.select("fe").first()
+        if first is None:
+            return
+        _check_pq_dim(len(first[0]))
+        m = _require(index_path, "pq")
+        cb = _read_segments(
+            spark,
+            index_path,
+            [m["segments"]["codebooks"]],
+            m["schemas"]["codebooks"],
+        ).select("gid", "cid", "c_q")
+        subs = _subvectors(batch_df, "vec_id", "fe", "sv")
         (
-            ivf_assign(batch_df, cent)
-            .withColumn("ingest_batch", F.lit(batch_id))
+            pq_assign(subs, cb)
+            .select("gid", "vec_id", "cid")
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch", "cid")
-            .parquet(os.path.join(index_path, "postings_stream"))
+            .parquet(
+                os.path.join(
+                    index_path, _PQ_CODES_STREAM, f"ingest_batch={batch_id}"
+                )
+            )
+        )
+        (
+            batch_df.select("vec_id", "nrm")
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    index_path, _PQ_NORMS_STREAM, f"ingest_batch={batch_id}"
+                )
+            )
         )
 
     return (
@@ -214,95 +678,178 @@ def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: st
     )
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> None:
-    """Fold stream-ingested segments back into the base postings — the
-    periodic maintenance job that completes the memtable-flush cycle:
-    read base ∪ postings_stream, rewrite ``postings/`` in one
-    cid-partitioned pass, drop the stream directory. Value-neutral by
-    construction (the union is exactly what searches already read —
-    pinned in tests/test_ann_index.py); what it buys is file count: a
-    long-running ingest leaves one file per (ingest_batch, cid), and
-    per-cell scan cost at 100 TB is listing + open overhead once files
-    outnumber row groups.
+def _pq_live_batches(path: str, fence: int) -> list[int]:
+    """Batches committed in BOTH pq streams above the fence."""
+    cd = set(_committed_stream_batches(path, _PQ_CODES_STREAM, above=fence))
+    nm = set(_committed_stream_batches(path, _PQ_NORMS_STREAM, above=fence))
+    return sorted(cd & nm)
 
-    Crash discipline (no atomic multi-dir op exists on a plain
-    filesystem — true atomicity is a manifest pointer, the table-format
-    upgrade): (1) the rewrite lands in a temp dir; (2) the stream dir
-    is renamed ASIDE (readers stop unioning it — they see the
-    pre-ingest base snapshot, a bounded STALENESS window, never
-    duplicates); (3) the base swaps in via two renames; (4) cleanup.
-    A crash leaves, at worst, the aside/old dirs on disk — every row
-    still exists exactly once in (final ∪ aside), nothing is ever both
-    in the new base AND still unioned from the stream dir (the
-    duplication the naive delete-stream-last ordering allowed)."""
-    import shutil
 
-    final_dir = os.path.join(path, "postings")
-    tmp_dir = os.path.join(path, "postings_compacting")
-    old_dir = os.path.join(path, "postings_old")
-    stream_dir = os.path.join(path, "postings_stream")
-    aside_dir = os.path.join(path, "postings_stream_folding")
-
-    def _finish_swap() -> None:
-        # tmp is complete and supersedes base ∪ stream: swap it in and
-        # clear every superseded dir. Safe to re-run from any crash
-        # point past tmp completion.
-        if os.path.isdir(final_dir):
-            if os.path.isdir(old_dir):
-                shutil.rmtree(old_dir)
-            os.rename(final_dir, old_dir)
-        os.rename(tmp_dir, final_dir)
-        for d in (old_dir, aside_dir, stream_dir):
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-
-    # Recover a crashed prior run first. A COMPLETE tmp segment
-    # (Spark's _SUCCESS marker) already holds base ∪ stream — finish
-    # its swap rather than recompacting (deleting the aside/stream dirs
-    # without it would lose the folded rows). A partial tmp is garbage.
-    if os.path.isfile(os.path.join(tmp_dir, "_SUCCESS")):
-        _finish_swap()
+def compact_pq_index(spark: SparkSession, path: str) -> None:
+    """Fold committed PQ stream segments + upsert segments into one
+    codes segment and one norms segment — compact_ivf_index's law for
+    the compressed corpus. Same one-step crash discipline: write the
+    folded dirs under the next version, publish a manifest whose fence
+    is the highest batch the snapshot read; batches landing later sit
+    above the fence and stay live; nothing is deleted until vacuum."""
+    m = _require(path, "pq")
+    fence = m.get("folded_upto", -1)
+    batches = _pq_live_batches(path, fence)
+    if (
+        not batches
+        and len(m["segments"]["codes"]) == 1
+        and len(m["segments"]["norms"]) == 1
+    ):
         return
-    if os.path.isdir(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    if os.path.isdir(old_dir):
-        if os.path.isdir(final_dir):
-            shutil.rmtree(old_dir)  # crash after the final swap
-        else:
-            os.rename(old_dir, final_dir)  # crash between the renames
-    if os.path.isdir(aside_dir):
-        # aside is created only AFTER tmp completes; tmp being absent
-        # therefore means the swap finished (final already holds the
-        # folded rows) and only the cleanup crashed — aside is
-        # superseded, never restored (restoring would duplicate).
-        shutil.rmtree(aside_dir)
-
-    _, postings = read_ivf_index(spark, path)
-    postings.write.mode("overwrite").partitionBy("cid").parquet(tmp_dir)
-    if os.path.isdir(stream_dir):
-        os.rename(stream_dir, aside_dir)  # readers stop seeing the stream
-    _finish_swap()  # tmp already contains base ∪ stream
+    cb, codes, norms = read_pq_index(spark, path)
+    ver = _next_version(path)
+    cd_seg, nm_seg = _seg("codes", ver), _seg("norms", ver)
+    codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
+    norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["codes"] = [cd_seg]
+    m2["segments"]["norms"] = [nm_seg]
+    m2["folded_upto"] = batches[-1] if batches else fence
+    _publish(path, m2)
 
 
-def read_ivf_index(
+def read_pq_index(
     spark: SparkSession, path: str, include_stream: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted IVF index: (cent: cid/c_q, postings:
-    vec_id/fe/nrm/cid). cid comes back as a partition column (inferred
-    int) — cast to long so downstream joins match the trainer's type.
-    Stream-ingested segments (postings_stream/, see stream_ingest_ivf)
-    union in transparently unless ``include_stream=False``."""
-    cent = spark.read.parquet(os.path.join(path, "centroids")).select(
-        F.col("cid").cast("long").alias("cid"), "c_q"
-    )
-    postings = spark.read.parquet(os.path.join(path, "postings")).select(
-        "vec_id", "fe", "nrm", F.col("cid").cast("long").alias("cid")
-    )
-    stream_dir = os.path.join(path, "postings_stream")
-    if include_stream and os.path.isdir(stream_dir):
-        postings = postings.unionByName(
-            spark.read.parquet(stream_dir).select(
-                "vec_id", "fe", "nrm", F.col("cid").cast("long").alias("cid")
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load the persisted PQ index at its current manifest: (codebooks:
+    gid/cid/c_q, codes: gid/vec_id/cid, norms: vec_id/nrm), unioning
+    committed stream batches above the folded_upto fence."""
+    m = _require(path, "pq")
+    cb = _read_segments(
+        spark, path, [m["segments"]["codebooks"]], m["schemas"]["codebooks"]
+    ).select("gid", "cid", "c_q")
+    codes = _read_segments(
+        spark, path, m["segments"]["codes"], m["schemas"]["codes"]
+    ).select("gid", "vec_id", "cid")
+    norms = _read_segments(
+        spark, path, m["segments"]["norms"], m["schemas"]["norms"]
+    ).select("vec_id", "nrm")
+    if include_stream:
+        batches = _pq_live_batches(path, m.get("folded_upto", -1))
+        if batches:
+            cd_dirs = [
+                os.path.join(_PQ_CODES_STREAM, f"ingest_batch={b}") for b in batches
+            ]
+            nm_dirs = [
+                os.path.join(_PQ_NORMS_STREAM, f"ingest_batch={b}") for b in batches
+            ]
+            codes = codes.unionByName(
+                _read_segments(spark, path, cd_dirs, m["schemas"]["codes"]).select(
+                    "gid", "vec_id", "cid"
+                )
             )
-        )
-    return cent, postings
+            norms = norms.unionByName(
+                _read_segments(spark, path, nm_dirs, m["schemas"]["norms"]).select(
+                    "vec_id", "nrm"
+                )
+            )
+    return cb, codes, norms
+
+
+# --- MinHash band index ---------------------------------------------------------
+
+def write_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the HISTORICAL corpus's MinHash dedup index and COMMIT it
+    through the same manifest mechanism: signatures-vN/ (doc_id,
+    mh0..mh15) for verification joins and bands-vN/ (partitioned by
+    band_id) for candidate generation. The dedup counterpart of the IVF
+    index: at 100 TB the historical band table is what a daily
+    increment joins against — it must be an artifact, not a per-run
+    recomputation of corpus-wide signatures (one md5 per (doc, shingle)
+    over 100 TB per day is the bill the inline dedup_incremental_lsh
+    pays and this removes). History here = doc_id % INCR_MOD != 0,
+    matching the incremental fixture split."""
+    from ..operators.dedup import INCR_MOD, _band_frame, _signatures
+
+    hist_sig = _signatures(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != 0)
+    bands = _band_frame(hist_sig)
+    ver = _next_version(path)
+    sig_dir, band_dir = _seg("signatures", ver), _seg("bands", ver)
+    hist_sig.write.mode("overwrite").parquet(os.path.join(path, sig_dir))
+    bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        os.path.join(path, band_dir)
+    )
+    _publish(
+        path,
+        {
+            "version": ver,
+            "kind": "minhash",
+            "segments": {"signatures": [sig_dir], "bands": [band_dir]},
+            "schemas": {
+                "signatures": hist_sig.schema.json(),
+                "bands": bands.schema.json(),
+            },
+            "streams": [],
+            "folded_upto": -1,
+        },
+    )
+    vacuum_index(path)  # rebuild = GC point, same as write_ivf_index
+
+
+def upsert_minhash_index(
+    spark: SparkSession, path: str, new_sigs: DataFrame
+) -> None:
+    """Append a verdict batch's signatures + bands as new segments — the
+    daily step after an increment's KEEP verdicts land: today's kept
+    docs become tomorrow's history. One manifest commit, idempotent
+    under retry like the other upserts."""
+    from ..operators.dedup import _band_frame
+
+    m = _require(path, "minhash")
+    bands = _band_frame(new_sigs)
+    ver = _next_version(path)
+    sig_seg = _seg("signatures", ver, "-upsert")
+    band_seg = _seg("bands", ver, "-upsert")
+    new_sigs.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
+    bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        os.path.join(path, band_seg)
+    )
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["signatures"] = list(m["segments"]["signatures"]) + [sig_seg]
+    m2["segments"]["bands"] = list(m["segments"]["bands"]) + [band_seg]
+    _publish(path, m2)
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Fold accumulated signature/band upsert segments into one segment
+    each — band-side file count is what the increment's band join
+    lists, so a long-appended index pays open overhead per (segment,
+    band_id) until compaction. Same one-step publish discipline."""
+    m = _require(path, "minhash")
+    if len(m["segments"]["signatures"]) == 1 and len(m["segments"]["bands"]) == 1:
+        return
+    sigs, bands = read_minhash_index(spark, path)
+    ver = _next_version(path)
+    sig_seg, band_seg = _seg("signatures", ver), _seg("bands", ver)
+    sigs.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
+    bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        os.path.join(path, band_seg)
+    )
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = {"signatures": [sig_seg], "bands": [band_seg]}
+    _publish(path, m2)
+
+
+def read_minhash_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted MinHash index at its current manifest:
+    (signatures: doc_id/mh*, bands: doc_id/band_key/band_id)."""
+    m = _require(path, "minhash")
+    sigs = _read_segments(
+        spark, path, m["segments"]["signatures"], m["schemas"]["signatures"]
+    )
+    bands = _read_segments(
+        spark, path, m["segments"]["bands"], m["schemas"]["bands"]
+    ).select("doc_id", "band_id", "band_key")
+    return sigs, bands

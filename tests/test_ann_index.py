@@ -144,16 +144,25 @@ def test_stream_ingest_ivf_equals_batch_upsert(spark, sf_dir, tmp_path):
     assert len(got) == v.count()
 
     # Compaction folds the stream segments into the base postings
-    # value-neutrally and leaves no stream directory behind.
+    # value-neutrally by ADVANCING THE MANIFEST FENCE — the fenced batch
+    # dirs stay on disk (readers pinned to the old manifest still work)
+    # until vacuum retires them as unreferenced garbage.
     import os
 
-    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import compact_ivf_index
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        vacuum_index,
+    )
 
     compact_ivf_index(spark, path)
-    assert not os.path.isdir(os.path.join(path, "postings_stream"))
     _, compacted = read_ivf_index(spark, path)
     got2 = {(r.vec_id, r.cid) for r in compacted.select("vec_id", "cid").collect()}
     assert got2 == want
+    vacuum_index(path)
+    assert not os.path.isdir(os.path.join(path, "postings_stream"))
+    _, vacuumed = read_ivf_index(spark, path)
+    got3 = {(r.vec_id, r.cid) for r in vacuumed.select("vec_id", "cid").collect()}
+    assert got3 == want
 
 
 def test_persisted_minhash_dedup_matches_inline(spark, sf_dir):
@@ -282,22 +291,31 @@ def test_pq_upsert_equals_rebuild_under_same_codebooks(spark, sf_dir, tmp_path):
     assert norms.count() == v.count()
 
 
-def test_compact_recovers_from_crash_states(spark, sf_dir, tmp_path):
-    """Compaction crash discipline: (a) a complete tmp segment left by
-    a crash is swapped in on the next run — never recompacted from a
-    state that would lose or duplicate the folded stream rows; (b) an
-    aside dir surviving a post-swap crash is superseded garbage and
-    must not resurrect duplicates."""
+def test_compact_crash_matrix_manifest_protocol(spark, sf_dir, tmp_path):
+    """Manifest-pointer crash matrix (round-11 brief): a compaction is
+    (1) write folded segment dir, (2) write manifest json, (3) create
+    .committed marker. Kill between every pair of steps and check the
+    READER invariant at each state: every row exists exactly once, and
+    the visible state is either the full pre-compaction state or the
+    full post-compaction state — never loss, never duplication. Also:
+    a batch landing after the compaction snapshot (higher ingest_batch
+    id than the published fence) stays live — the round-10 design's
+    rmtree could silently delete it (ADVICE r10 medium)."""
+    import json
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
     from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
     from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
         compact_ivf_index,
+        current_manifest,
+        read_ivf_centroids,
         read_ivf_index,
         upsert_ivf_postings,
+        vacuum_index,
         write_ivf_index,
     )
 
@@ -310,21 +328,419 @@ def test_compact_recovers_from_crash_states(spark, sf_dir, tmp_path):
     n_total = v.count()
     _, p0 = read_ivf_index(spark, path)
     want = {(r.vec_id, r.cid) for r in p0.select("vec_id", "cid").collect()}
+    v_before = current_manifest(path)["version"]
 
-    # Crash state (a): tmp fully written (simulate by writing it the way
-    # compaction does), stream still present, swap never ran.
-    tmp = os.path.join(path, "postings_compacting")
-    p0.write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    assert os.path.isfile(os.path.join(tmp, "_SUCCESS"))
-    compact_ivf_index(spark, path)  # must finish the swap, not recompact
-    _, p1 = read_ivf_index(spark, path)
-    got = {(r.vec_id, r.cid) for r in p1.select("vec_id", "cid").collect()}
-    assert got == want and p1.count() == n_total  # exactly once each
+    def state():
+        _, p = read_ivf_index(spark, path)
+        rows = [(r.vec_id, r.cid) for r in p.select("vec_id", "cid").collect()]
+        return set(rows), len(rows)
 
-    # Crash state (b): aside left behind after a completed swap.
-    aside = os.path.join(path, "postings_stream_folding")
-    shutil.copytree(os.path.join(path, "postings"), aside)
+    # Crash (1): torn folded segment — a versioned dir with no manifest.
+    torn = os.path.join(path, f"postings-v{v_before + 1:08d}")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    got, n = state()
+    assert got == want and n == n_total  # old manifest still the truth
+    # Crash (2): manifest json written, marker never created.
+    shutil.rmtree(torn)
+    p0.write.mode("overwrite").partitionBy("cid").parquet(torn)
+    mdir = os.path.join(path, "manifest")
+    m = dict(current_manifest(path))
+    m["version"] = v_before + 1
+    m["segments"] = dict(m["segments"])
+    m["segments"]["postings"] = [f"postings-v{v_before + 1:08d}"]
+    with open(os.path.join(mdir, f"v{v_before + 1:08d}.json"), "w") as fh:
+        json.dump(m, fh)
+    got, n = state()
+    assert got == want and n == n_total  # torn publish is invisible
+    assert current_manifest(path)["version"] == v_before
+    # Retry after crash (2): the version number is skipped, the retry
+    # converges, rows exactly-once.
     compact_ivf_index(spark, path)
+    assert current_manifest(path)["version"] > v_before + 1
+    got, n = state()
+    assert got == want and n == n_total
+
+    # Post-snapshot batch survival (the ADVICE r10 medium scenario):
+    # land a committed stream batch ABOVE the published fence — it must
+    # be readable immediately and must survive the next compact+vacuum.
+    fence = current_manifest(path).get("folded_upto", -1)
+    extra = v.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "fe", "nrm"
+    )
+    cent = read_ivf_centroids(spark, path)
+    (
+        ivf_assign(extra, cent)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "postings_stream", f"ingest_batch={fence + 5}"))
+    )
+    n_extra = extra.count()
+    got, n = state()
+    assert n == n_total + n_extra and len(got) == n
+    compact_ivf_index(spark, path)
+    vacuum_index(path)
+    assert not os.path.isdir(os.path.join(path, "postings_stream"))
+    got, n = state()
+    assert n == n_total + n_extra and len(got) == n
+    # vacuum kept exactly the current manifest's segments + nothing else
+    live = set(current_manifest(path)["segments"]["postings"])
+    on_disk = {
+        d for d in os.listdir(path) if d.startswith("postings") and d != "manifest"
+    }
+    assert on_disk == live
+
+
+def test_stream_ingest_pq_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """PQ maintenance cycle, mirroring the IVF one (round-11 brief):
+    the new slice arriving as two micro-batches through stream_ingest_pq
+    must leave the index code/norm-identical to the batch upsert (old
+    codebooks, union corpus), compaction must be value-neutral, vacuum
+    must retire the folded stream dirs, and the post-ingest search must
+    still clear the PQ recall gate vs brute force."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import (
+        lloyd_fit_grouped_quantized,
+        pq_assign,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        _pq_adc_search,
+        _pq_queries,
+        _subvectors,
+        _vectors,
+    )
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_pq_index,
+        read_pq_index,
+        stream_ingest_pq,
+        vacuum_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    write_pq_index(spark, sf_dir, path, vectors=base)
+
+    stage = str(tmp_path / "stage")
+    new.repartition(2).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ingest_pq(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    _, cb_base = lloyd_fit_grouped_quantized(
+        _subvectors(base, "vec_id", "fe", "sv"), PQ_K, PQ_ITERS
+    )
+    want = {
+        (r.gid, r.vec_id, r.cid)
+        for r in pq_assign(_subvectors(v, "vec_id", "fe", "sv"), cb_base)
+        .select("gid", "vec_id", "cid")
+        .collect()
+    }
+    cb, codes, norms = read_pq_index(spark, path)
+    got = {(r.gid, r.vec_id, r.cid) for r in codes.collect()}
+    assert got == want
+    assert norms.count() == v.count()
+
+    # Recall re-gate after stream ingest: the search over the streamed
+    # index must recover the brute top-10 as well as the inline PQ does
+    # (same floor as tests/test_approx.py's PQ gate).
+    pq_hits = {
+        (r.query_id, r.vec_id)
+        for r in _pq_adc_search(cb, codes, norms, v, _pq_queries(v)).collect()
+    }
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in all_specs()["sim_knn_brute"].builder(spark, sf_dir).collect()
+    }
+    recall = len(brute & pq_hits) / len(brute)
+    assert recall >= 0.6, f"post-stream-ingest PQ recall {recall:.2f}"
+
+    # Compaction is value-neutral; vacuum retires the stream dirs.
+    import os
+
+    compact_pq_index(spark, path)
+    _, codes2, norms2 = read_pq_index(spark, path)
+    assert {(r.gid, r.vec_id, r.cid) for r in codes2.collect()} == want
+    assert norms2.count() == v.count()
+    vacuum_index(path)
+    assert not os.path.isdir(os.path.join(path, "codes_stream"))
+    assert not os.path.isdir(os.path.join(path, "norms_stream"))
+    _, codes3, _ = read_pq_index(spark, path)
+    assert {(r.gid, r.vec_id, r.cid) for r in codes3.collect()} == want
+
+
+def test_pq_upsert_rejects_mis_sized_batch(spark, sf_dir, tmp_path):
+    """Round-10 advice: a batch whose embedding width does not match the
+    trained subspace layout must fail loudly at the upsert boundary, not
+    write ragged codes; an EMPTY batch is a clean no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        read_pq_index,
+        upsert_pq_codes,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_pq_index(spark, sf_dir, path, vectors=v)
+    ver = current_manifest(path)["version"]
+    bad = v.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.slice("fe", 1, 7).alias("fe"),  # wrong width
+        "nrm",
+    )
+    with pytest.raises(ValueError):
+        upsert_pq_codes(spark, path, bad)
+    assert current_manifest(path)["version"] == ver  # nothing committed
+    n_before = read_pq_index(spark, path)[1].count()
+    empty = v.limit(0).select("vec_id", "fe", "nrm")
+    upsert_pq_codes(spark, path, empty)  # no-op, no new version
+    assert current_manifest(path)["version"] == ver
+    assert read_pq_index(spark, path)[1].count() == n_before
+
+
+def test_minhash_upsert_and_compact(spark, sf_dir, tmp_path):
+    """Band-index maintenance (round-11 brief): build the index on part
+    of the history, upsert the rest — reads must equal the one-shot
+    build; compaction folds the segments value-neutrally down to one
+    signature + one band segment, and vacuum retires the rest."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        INCR_MOD,
+        _signatures,
+    )
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_minhash_index,
+        current_manifest,
+        read_minhash_index,
+        upsert_minhash_index,
+        vacuum_index,
+        write_minhash_index,
+    )
+
+    # One-shot reference: the full historical index.
+    ref_path = str(tmp_path / "ref")
+    write_minhash_index(spark, sf_dir, ref_path)
+    ref_sigs, ref_bands = read_minhash_index(spark, ref_path)
+    want_sigs = sorted(map(tuple, ref_sigs.collect()))
+    want_bands = sorted(map(tuple, ref_bands.collect()))
+
+    # Incremental: base = history with doc_id % 3 != 0, upsert the rest.
+    path = str(tmp_path / "idx")
+    hist = _signatures(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != 0).cache()
+    write_minhash_index(spark, sf_dir, path)  # build once to set layout...
+    # ...then rebuild the scenario: base-only index + upsert. Build the
+    # base-only index at a fresh path to keep the law clean.
+    path2 = str(tmp_path / "idx2")
+    import os
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import _band_frame
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _publish,
+        _next_version,
+        _seg,
+    )
+
+    base = hist.filter(F.col("doc_id") % 3 != 0)
+    rest = hist.filter(F.col("doc_id") % 3 == 0)
+    ver = _next_version(path2)
+    sig_dir, band_dir = _seg("signatures", ver), _seg("bands", ver)
+    base.write.mode("overwrite").parquet(os.path.join(path2, sig_dir))
+    _band_frame(base).write.mode("overwrite").partitionBy("band_id").parquet(
+        os.path.join(path2, band_dir)
+    )
+    _publish(
+        path2,
+        {
+            "version": ver,
+            "kind": "minhash",
+            "segments": {"signatures": [sig_dir], "bands": [band_dir]},
+            "schemas": {
+                "signatures": base.schema.json(),
+                "bands": _band_frame(base).schema.json(),
+            },
+            "streams": [],
+            "folded_upto": -1,
+        },
+    )
+    upsert_minhash_index(spark, path2, rest)
+    sigs2, bands2 = read_minhash_index(spark, path2)
+    assert sorted(map(tuple, sigs2.collect())) == want_sigs
+    assert sorted(map(tuple, bands2.collect())) == want_bands
+    m = current_manifest(path2)
+    assert len(m["segments"]["signatures"]) == 2  # base + upsert
+
+    compact_minhash_index(spark, path2)
+    vacuum_index(path2)
+    m2 = current_manifest(path2)
+    assert len(m2["segments"]["signatures"]) == 1
+    assert len(m2["segments"]["bands"]) == 1
+    sigs3, bands3 = read_minhash_index(spark, path2)
+    assert sorted(map(tuple, sigs3.collect())) == want_sigs
+    assert sorted(map(tuple, bands3.collect())) == want_bands
+
+
+def test_maintain_ivf_index_rebuilds_on_hot_cell(spark, sf_dir, tmp_path):
+    """The automated retrain path (round-11 brief): skewed upserts drive
+    one cell past the hot threshold, maintain_ivf_index observes it
+    through the balance audit, rebuilds over the index's CURRENT corpus
+    (base + upserts), and the rebuild both restores balance and does
+    not degrade search recall vs brute force over the union corpus."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_search
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import (
+        N_QUERIES,
+        _dot,
+        _vectors,
+    )
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        maintain_ivf_index,
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v)
+    n_base = v.count()
+    # A healthy index does NOT trigger a rebuild.
+    rep0 = maintain_ivf_index(spark, path)
+    assert not rep0["rebuilt"], rep0
+
+    # Skewed growth: clone one vector ~2x the corpus into fresh ids —
+    # its cell becomes hot.
+    seed = v.filter(F.col("vec_id") == 100).select("fe", "nrm")
+    clones = (
+        spark.range(2 * n_base)
+        .select((F.col("id") + 20_000_000).alias("vec_id"))
+        .crossJoin(F.broadcast(seed))
+    )
+    upsert_ivf_postings(spark, path, clones)
+
+    def recall(topn=5):
+        cent, postings = read_ivf_index(spark, path)
+        q = v.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("fe").alias("qfe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_search(cent, postings, q, topn=topn).collect()
+        }
+        cosine = _dot(F.col("qfe"), F.col("fe")).cast("double") / (
+            F.col("qnrm") * F.col("nrm")
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        brute = (
+            q.crossJoin(postings.select("vec_id", "fe", "nrm"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", cosine.alias("cosine"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topn)
+        )
+        want = {(r.query_id, r.vec_id) for r in brute.collect()}
+        return len(want & got) / len(want)
+
+    recall_before = recall()
+    rep1 = maintain_ivf_index(spark, path)
+    assert rep1["rebuilt"], rep1
+    assert rep1["max_share"] > rep1["threshold"]
+    rep2 = maintain_ivf_index(spark, path)  # post-rebuild audit
+    assert rep2["max_share"] < rep1["max_share"], (rep1, rep2)
+    _, postings = read_ivf_index(spark, path)
+    assert postings.count() == 3 * n_base  # rebuild kept the union corpus
+    recall_after = recall()
+    assert recall_after >= recall_before, (recall_before, recall_after)
+
+
+def test_rebuild_fences_out_stale_stream_segments(spark, sf_dir, tmp_path):
+    """Round-10 advice: a full rebuild must not leave previous-epoch
+    stream segments unioned into reads (their rows are in the rebuilt
+    base AND carry old-centroid cell ids). The manifest fence excludes
+    them at publish; vacuum removes them; rows stay exactly-once."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        stream_ingest_ivf,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    stage = str(tmp_path / "stage")
+    new.write.parquet(stage)
+    q = stream_ingest_ivf(
+        spark.readStream.schema(new.schema).parquet(stage),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    n_total = v.count()
+    _, p = read_ivf_index(spark, path)
+    assert p.count() == n_total
+
+    # Epoch-2 rebuild over the full corpus: old stream segments are
+    # superseded — reads must see the corpus exactly once, not
+    # base ∪ rebuilt ∪ stale-stream.
+    write_ivf_index(spark, sf_dir, path, vectors=v)
     _, p2 = read_ivf_index(spark, path)
-    assert p2.count() == n_total
-    assert not os.path.isdir(aside)
+    rows = [(r.vec_id, r.cid) for r in p2.select("vec_id", "cid").collect()]
+    assert len(rows) == n_total and len(set(rows)) == n_total
+
+
+def test_empty_stream_batches_read_fine(spark, sf_dir, tmp_path):
+    """Round-10 advice: a stream that ingested only EMPTY batches leaves
+    data-less stream directories; reads must not fail schema inference
+    (segments are always read under the manifest-recorded schema)."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        stream_ingest_ivf,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path)
+    n = v.count()
+    empty = v.filter(F.lit(False)).select("vec_id", "fe", "nrm")
+    stage = str(tmp_path / "stage")
+    empty.write.parquet(stage)  # parquet files with zero rows
+    q = stream_ingest_ivf(
+        spark.readStream.schema(empty.schema).parquet(stage),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    _, p = read_ivf_index(spark, path)
+    assert p.count() == n
