@@ -53,7 +53,9 @@ from nrg_etl_airflow_spark_emr_spark.session import get_spark  # noqa: E402
 from nrg_etl_airflow_spark_emr_spark.sources.tables import load_table  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
-COPIES = 10
+# 10 -> sf1; 100 -> sf10 (round-11 regime probe). Keys shift per copy,
+# so any copy count preserves the sf0.1 per-key group sizes.
+COPIES = int(os.environ.get("SPARK_GRAFT_SF_COPIES", "10"))
 
 
 def main() -> None:
@@ -103,12 +105,14 @@ def main() -> None:
         dim = (
             len(base.select("embedding").first()[0]) if name == "embeddings" else 0
         )
-        if name == "embeddings" and COPIES - 1 >= dim:
-            # A rotation by >= dim wraps to an EXACT copy, silently
-            # resurrecting the duplicate-twin artifact (BASELINE.md sf1
-            # Finding 1); more copies than dims needs a different
-            # decorrelation (e.g. per-copy orthogonal transform).
-            sys.exit(f"COPIES={COPIES} needs rotation < dim={dim}")
+        if name == "embeddings" and COPIES - 1 >= 2 * dim:
+            # Rotation wraps at dim; the global-negation second block
+            # (below) doubles the distinct-orthogonal-transform budget to
+            # 2*dim copies. Beyond that a richer per-copy orthogonal
+            # transform (e.g. per-copy sign PATTERN) is needed — refuse
+            # rather than silently resurrect the duplicate-twin artifact
+            # (BASELINE.md sf1 Finding 1).
+            sys.exit(f"COPIES={COPIES} exceeds the 2*dim={2 * dim} transform budget")
         parts = []
         for i in range(COPIES):
             d = base
@@ -119,13 +123,25 @@ def main() -> None:
                     "text", F.regexp_replace("text", r"(\S+)", f"$1q{i}")
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if name == "embeddings" and i > 0:
-                d = d.withColumn(
-                    "embedding",
+                # Copy i's orthogonal transform: circular rotation by
+                # i % dim, globally negated for the second dim-block
+                # (i >= dim). Both preserve norms and within-copy dots
+                # exactly; no two copies share a transform under the
+                # 2*dim budget, so no cross-copy exact twins — and the
+                # negated block sits at cosine -1 from its rotation
+                # twin, invisible to high-cosine dedup.
+                rot = i % dim
+                rolled = (
                     F.concat(
-                        F.slice("embedding", i + 1, dim - i),
-                        F.slice("embedding", 1, i),
-                    ),
+                        F.slice("embedding", rot + 1, dim - rot),
+                        F.slice("embedding", 1, rot),
+                    )
+                    if rot
+                    else F.col("embedding")
                 )
+                if i >= dim:
+                    rolled = F.transform(rolled, lambda x: -x)
+                d = d.withColumn("embedding", rolled)
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
