@@ -851,11 +851,20 @@ def _sql_emb_dedup_vec_cte() -> str:
     "assigned to nearest-centroid cells (sim_knn_ivf's assignment, "
     "centroids broadcast), then exact fixed-point cosine runs on "
     "same-cell pairs only. The candidate join is keyed on cell id — a "
-    "hash shuffle whose cost tracks cell occupancy, not n²; no cartesian "
-    "or nested-loop join in the plan. High-cosine pairs share a nearest "
+    "hash shuffle whose cost tracks cell occupancy; no cartesian or "
+    "nested-loop join in the plan. High-cosine pairs share a nearest "
     "centroid with high probability (production: multi-assign to top-2 "
     "cells for exact-recall routing); dedup_embedding_cosine remains the "
-    "all-pairs recall oracle.",
+    "all-pairs recall oracle. MEASURED REGIME BOUND (round-11 sf10 "
+    "probe, BASELINE.md): the fixture-rule centroid count grows with "
+    "the corpus (one per CENTROID_MOD vectors), so the ASSIGNMENT "
+    "crossJoin is O(n^2/MOD) — 37x wall and 219 GB spill at the second "
+    "10x decade, invariant to shuffle-partition count. This query is "
+    "the fixture-scale recall oracle; the 100 TB dedup path is banded "
+    "SRP candidates (the dedup_simhash_banded discipline on embedding "
+    "sign bits, O(n) assignment) or two-level routing: fixed-k TRAINED "
+    "coarse cells (sim_knn_ivf_trained/persisted — measured spill-free "
+    "2.8x/decade) with per-cell sub-bucketing to re-bound pair mass.",
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _cell_assignment, _dot, _vectors

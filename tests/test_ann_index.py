@@ -744,3 +744,71 @@ def test_empty_stream_batches_read_fine(spark, sf_dir, tmp_path):
     q.awaitTermination()
     _, p = read_ivf_index(spark, path)
     assert p.count() == n
+
+
+def test_ivf_lifecycle_composition_exactly_once(spark, sf_dir, tmp_path):
+    """Interleaved lifecycle chain the individual tests don't compose:
+    build -> stream batch -> BATCH UPSERT (must carry the stream fence
+    through its manifest copy) -> stream batch -> compact -> stream
+    batch -> rebuild -> vacuum. After every step the reader sees each
+    expected vector exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_centroids,
+        read_ivf_index,
+        upsert_ivf_postings,
+        vacuum_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    slices = [v.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    def land_stream_batch(batch_df, batch_id):
+        cent = read_ivf_centroids(spark, path)
+        (
+            ivf_assign(batch_df.select("vec_id", "fe", "nrm"), cent)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(path, "postings_stream", f"ingest_batch={batch_id}"))
+        )
+
+    def check(n_expected):
+        _, p = read_ivf_index(spark, path)
+        rows = [(r.vec_id, r.cid) for r in p.select("vec_id", "cid").collect()]
+        assert len(rows) == n_expected, (len(rows), n_expected)
+        assert len(set(r[0] for r in rows)) == n_expected
+
+    n = [s.count() for s in slices]
+    write_ivf_index(spark, sf_dir, path, vectors=slices[0])
+    check(n[0])
+    land_stream_batch(slices[1], 0)
+    check(n[0] + n[1])
+    upsert_ivf_postings(spark, path, slices[2].select("vec_id", "fe", "nrm"))
+    check(n[0] + n[1] + n[2])  # fence carried: stream batch still live
+    assert current_manifest(path).get("folded_upto", -1) == -1
+    land_stream_batch(slices[3], 1)
+    check(sum(n))
+    compact_ivf_index(spark, path)
+    check(sum(n))
+    assert current_manifest(path)["folded_upto"] == 1
+    assert len(current_manifest(path)["segments"]["postings"]) == 1
+    # A fresh post-compaction batch (new ids) rides above the fence.
+    extra = slices[1].select((F.col("vec_id") + 30_000_000).alias("vec_id"), "fe", "nrm")
+    land_stream_batch(extra, 2)
+    check(sum(n) + n[1])
+    # Rebuild over the ORIGINAL corpus: fences out batch 2 as stale.
+    write_ivf_index(spark, sf_dir, path, vectors=v)
+    check(sum(n))
+    assert current_manifest(path)["folded_upto"] >= 2
+    vacuum_index(path)
+    check(sum(n))
+    assert not os.path.isdir(os.path.join(path, "postings_stream"))
