@@ -175,36 +175,49 @@ def _max_committed_batch(path: str, stream: str) -> int:
     return bs[-1] if bs else -1
 
 
-def vacuum_index(path: str) -> list[str]:
-    """Garbage-collect everything the CURRENT committed manifest cannot
-    reach: superseded/torn segment dirs (versioned names not referenced),
-    stream batches at or below the folded_upto fence, and superseded
+def vacuum_index(path: str, keep_versions: int = 1) -> list[str]:
+    """Garbage-collect everything the last ``keep_versions`` committed
+    manifests cannot reach: superseded/torn segment dirs (versioned
+    names no retained manifest references), stream batches at or below
+    the OLDEST retained manifest's folded_upto fence, and older
     manifest files. The ONLY function in this module that deletes, and
-    everything it deletes is already unreachable through the current
+    everything it deletes is already unreachable through every retained
     manifest — a crash mid-vacuum just leaves some garbage for the next
-    run. Production deployments add a retention window before calling
-    it so readers pinned to older manifests drain first. Returns the
+    run. ``keep_versions`` IS the retention window: readers pinned to
+    any retained version keep working through a vacuum (pinned-reader
+    test in tests/test_ann_index.py); size it to the longest-running
+    query, exactly the table-format retention contract. Returns the
     removed paths (for tests/audit)."""
     import shutil
 
-    m = current_manifest(path)
-    if m is None:
+    vs = _committed_versions(path)
+    if not vs:
         return []
+    kept_vers = vs[-max(keep_versions, 1):]
+    kept = []
+    for ver in kept_vers:
+        with open(os.path.join(_manifest_dir(path), f"v{ver:08d}.json")) as fh:
+            kept.append(json.load(fh))
     live: set[str] = set()
-    for v in m.get("segments", {}).values():
-        live.update(v if isinstance(v, list) else [v])
-    fence = m.get("folded_upto", -1)
-    cur = m["version"]
+    streams: set[str] = set()
+    for m in kept:
+        for v in m.get("segments", {}).values():
+            live.update(v if isinstance(v, list) else [v])
+        streams.update(m.get("streams", []))
+    # A batch is removable only when EVERY retained manifest has folded
+    # (fenced) it — i.e. below the oldest retained fence.
+    fence = min(m.get("folded_upto", -1) for m in kept)
+    oldest = kept_vers[0]
     removed: list[str] = []
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
         if entry == "manifest":
             for f in sorted(os.listdir(full)):
                 mm = re.match(r"^v(\d{8})\.(json|committed)$", f)
-                if mm and int(mm.group(1)) < cur:
+                if mm and int(mm.group(1)) < oldest:
                     os.remove(os.path.join(full, f))
                     removed.append(os.path.join(full, f))
-        elif entry in m.get("streams", []):
+        elif entry in streams:
             for b in sorted(os.listdir(full)):
                 bm = re.match(r"^ingest_batch=(\d+)$", b)
                 if bm and int(bm.group(1)) <= fence:

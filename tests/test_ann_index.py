@@ -812,3 +812,58 @@ def test_ivf_lifecycle_composition_exactly_once(spark, sf_dir, tmp_path):
     vacuum_index(path)
     check(sum(n))
     assert not os.path.isdir(os.path.join(path, "postings_stream"))
+
+
+def test_vacuum_retention_window_keeps_pinned_reader_alive(spark, sf_dir, tmp_path):
+    """vacuum_index(keep_versions=K) is the retention contract: a reader
+    pinned to any retained manifest version survives compaction +
+    vacuum; dropping the window to 1 then retires the old version's
+    dirs. This is the table-format guarantee the docstring promised —
+    now pinned instead of documented."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_index,
+        upsert_ivf_postings,
+        vacuum_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 != 0))
+    upsert_ivf_postings(
+        spark, path, v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    )
+    n_total = v.count()
+    v_upsert = current_manifest(path)["version"]
+    # Pin a reader to the pre-compaction manifest (lazy plan over its dirs).
+    _, pinned = read_ivf_index(spark, path)
+    compact_ivf_index(spark, path)
+    assert current_manifest(path)["version"] > v_upsert
+
+    removed = vacuum_index(path, keep_versions=2)
+    # The upsert-era segments are retained; the pinned plan still runs.
+    assert pinned.count() == n_total
+    seg_dirs = {
+        d for d in os.listdir(path) if d.startswith("postings") and "stream" not in d
+    }
+    assert len(seg_dirs) == 3  # base + upsert (retained) + compacted
+    # Oldest retained manifest's json must survive too.
+    assert os.path.isfile(
+        os.path.join(path, "manifest", f"v{v_upsert:08d}.json")
+    )
+
+    removed2 = vacuum_index(path, keep_versions=1)
+    assert removed2, "second vacuum should retire the upsert-era version"
+    seg_dirs = {
+        d for d in os.listdir(path) if d.startswith("postings") and "stream" not in d
+    }
+    assert len(seg_dirs) == 1  # only the compacted segment remains
+    _, cur = read_ivf_index(spark, path)
+    assert cur.count() == n_total
