@@ -860,11 +860,11 @@ def _sql_emb_dedup_vec_cte() -> str:
     "the corpus (one per CENTROID_MOD vectors), so the ASSIGNMENT "
     "crossJoin is O(n^2/MOD) — 37x wall and 219 GB spill at the second "
     "10x decade, invariant to shuffle-partition count. This query is "
-    "the fixture-scale recall oracle; the 100 TB dedup path is banded "
-    "SRP candidates (the dedup_simhash_banded discipline on embedding "
-    "sign bits, O(n) assignment) or two-level routing: fixed-k TRAINED "
-    "coarse cells (sim_knn_ivf_trained/persisted — measured spill-free "
-    "2.8x/decade) with per-cell sub-bucketing to re-bound pair mass.",
+    "the fixture-scale recall oracle; the 100 TB dedup path is "
+    "IMPLEMENTED as dedup_embedding_twolevel (two-level trained "
+    "routing: granularity multiplies, assignment cost adds — measured "
+    "at sf10 in BASELINE.md), with banded SRP candidates "
+    "(sim_cosine_lsh_pairs' discipline) the sketch-side alternative.",
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _cell_assignment, _dot, _vectors
@@ -891,6 +891,150 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "drop_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level trained routing (the 100 TB fix for dedup_embedding_ivf's
+# measured sf10 boundary — BASELINE.md round-11 regime probe, finding 1)
+# ---------------------------------------------------------------------------
+
+
+def _twolevel_oracle(k1: int, k2: int, iters: int) -> str:
+    """ANSI replay of BOTH routing levels: the SAME trainer generator
+    (_pq_trainer_parts — proven cross-engine-exact by sim_knn_pq and
+    sim_knn_ivf_trained) runs once with a single constant group (coarse
+    level, prefix l1) and once with gid = the coarse cell (per-cell
+    sub-quantizer), then same-(coarse, sub) candidates take the exact
+    cosine filter."""
+    from .similarity import _SQL_VEC_CTE, _pq_trainer_parts
+
+    parts = [
+        "subs1 AS (SELECT CAST(0 AS BIGINT) AS gid, vec_id, fe AS sv FROM vecs)",
+    ]
+    parts.extend(
+        _pq_trainer_parts(k1, iters, train_src="subs1", prefix="l1", subs_src="subs1")
+    )
+    parts.append(
+        """subs AS (
+        SELECT c.cid AS gid, s.vec_id, s.sv
+        FROM l1codes c JOIN subs1 s ON s.vec_id = c.vec_id)"""
+    )
+    parts.extend(_pq_trainer_parts(k2, iters))
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body}
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+           list_dot_product(va.fe, vb.fe) / (va.nrm * vb.nrm) AS cosine
+    FROM codes a
+    JOIN codes b ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id
+    WHERE list_dot_product(va.fe, vb.fe) / (va.nrm * vb.nrm) >= {EMB_DUP_THRESHOLD}
+    """
+
+
+def embedding_dedup_twolevel(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: int,
+    k2: int,
+    iters: int,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level trained-routing embedding near-dup — the parameterized
+    core behind dedup_embedding_twolevel, exposed so the scale-regime
+    probe can size (k1, k2) to the corpus (scripts/bench_regime.py runs
+    it at sf10 with sqrt-sized levels; the registered query pins the
+    fixture sizes for the oracle gate).
+
+    Level 1 trains k1 coarse cells over the whole corpus; level 2 trains
+    k2 sub-cells INSIDE each coarse cell (the same grouped quantized-
+    Lloyd law, gid = coarse cell). Candidates are same-(cell, sub-cell)
+    pairs; exact fixed-point cosine filters them. The structural fix
+    over single-level cells: granularity MULTIPLIES (k1*k2 buckets)
+    while assignment cost ADDS (n*(k1+k2) distance evaluations), so
+    bounded-occupancy buckets need k1 = k2 = sqrt(n/c) — O(n^1.5)
+    assignment work instead of the fixture-rule single level's
+    O(n^2/c), with every stage a keyed hash join (centroid sides
+    broadcast, k rows)."""
+    from .kmeans import lloyd_fit_grouped_quantized
+    from .similarity import _dot, _vectors
+
+    v = (vectors if vectors is not None else _vectors(spark, sf_dir)).cache()
+    subs1 = v.select(
+        F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
+    )
+    codes1, _c1 = lloyd_fit_grouped_quantized(subs1, k1, iters)
+    # Cache the level-2 input: the grouped trainer re-reads its subs
+    # frame every iteration, and without the pin each re-read would
+    # replay the ENTIRE level-1 trainer as a plan prefix.
+    subs2 = (
+        codes1.select(F.col("cid").alias("gid"), "vec_id")
+        .join(v.select("vec_id", F.col("fe").alias("sv")), "vec_id")
+        .cache()
+    )
+    codes2, _c2 = lloyd_fit_grouped_quantized(subs2, k2, iters)
+    assigned = codes2.select(
+        F.col("gid").alias("c1"), F.col("cid").alias("c2"), "vec_id"
+    ).join(v.select("vec_id", "fe", "nrm"), "vec_id").cache()
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"), "c1", "c2",
+        F.col("fe").alias("fa"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("drop_id"), "c1", "c2",
+        F.col("fe").alias("fb"), F.col("nrm").alias("nb"),
+    )
+    cosine = _dot(F.col("fa"), F.col("fb")).cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["c1", "c2"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select("keep_id", "drop_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+
+
+def _twolevel_fixture_params() -> tuple[int, int, int]:
+    from .kmeans import IVF_TRAIN_ITERS, K_DEFAULT
+
+    return K_DEFAULT, K_DEFAULT, IVF_TRAIN_ITERS
+
+
+_TL_K1, _TL_K2, _TL_ITERS = _twolevel_fixture_params()
+
+
+@register(
+    "dedup_embedding_twolevel",
+    oracle=_twolevel_oracle(_TL_K1, _TL_K2, _TL_ITERS),
+    tags=("dedup", "similarity", "iterative"),
+    doc=f"Embedding near-dup with TWO-LEVEL trained routing — the "
+    "implemented remedy for dedup_embedding_ivf's measured sf10 "
+    "boundary (BASELINE.md round-11 regime probe: the single-level "
+    "fixture-rule assignment is O(n^2/MOD) — 37x wall, 219 GB spill "
+    "at the second decade). Level 1: quantized-Lloyd k1 coarse cells "
+    "over the corpus (the sim_knn_ivf_trained law). Level 2: the SAME "
+    "grouped trainer with gid = coarse cell trains k2 sub-cells inside "
+    "each cell (the PQ codebook law, lloyd_fit_grouped_quantized). "
+    "Candidates = same-(cell, sub-cell) pairs; exact fixed-point "
+    "cosine >= threshold filters them, lower vec_id kept. Both levels "
+    "are oracle-replayed end-to-end by the shared trainer unroll "
+    f"(_pq_trainer_parts, k1={_TL_K1}, k2={_TL_K2}, iters={_TL_ITERS})"
+    " — the iterative routing is hash-gated, not argued. THE SCALE "
+    "LAW: granularity multiplies (k1*k2 buckets re-bound same-bucket "
+    "pair mass) while assignment cost adds (n*(k1+k2) exact-BIGINT "
+    "distances, centroids broadcast) — sizing k1 = k2 = sqrt(n/c) "
+    "holds bucket occupancy at c with O(n*sqrt(n/c)) assignment work, "
+    "vs the single level's impossible trade (fixed k leaves n^2/k "
+    "pair mass; k ~ n/c makes assignment n^2/c). Measured at sf10 "
+    "with sqrt-sized levels in BASELINE.md; at 100 TB the levels "
+    "persist like sim_knn_ivf_persisted's artifacts (coarse = the "
+    "same IVF centroid table, sub-cells = one more broadcastable "
+    "parquet), so routing is two broadcast joins against a daily "
+    "increment, never a retrain per run.",
+)
+def dedup_embedding_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dedup_twolevel(spark, sf_dir, _TL_K1, _TL_K2, _TL_ITERS)
 
 
 @register(

@@ -706,20 +706,30 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_col: str) -> DataF
     ).select(F.col("s.gid").alias("gid"), id_col, F.col("s.v").alias(out_col))
 
 
-def _pq_trainer_parts(k: int, iters: int, train_src: str = "subs") -> list[str]:
+def _pq_trainer_parts(
+    k: int,
+    iters: int,
+    train_src: str = "subs",
+    prefix: str = "",
+    subs_src: str = "subs",
+) -> list[str]:
     """CTE parts replaying lloyd_fit_grouped_quantized over an existing
     ``subs(gid, vec_id, sv)`` CTE: deterministic init, ``iters`` rounds
     of (exact-BIGINT assign, floor-integer update), and the final
     ``codes(gid, vec_id, cid)`` under ``cent{iters}``. Shared by the
     whole-vector PQ oracle (sim_knn_pq), the residual-PQ oracle
-    (sim_knn_ivfpq), and the incremental oracle (sim_knn_pq_upsert) —
-    gid is just another grouping key, so the unroll is per-iteration
-    only, never per-subspace. ``train_src``: the CTE the TRAINER reads;
-    the final ``codes`` always cover the full ``subs`` (with a base
-    subset as train_src that states the incremental law: old codebooks,
-    union corpus)."""
+    (sim_knn_ivfpq), the incremental oracle (sim_knn_pq_upsert), and
+    both levels of the two-level dedup router
+    (dedup_embedding_twolevel) — gid is just another grouping key, so
+    the unroll is per-iteration only, never per-subspace. ``train_src``:
+    the CTE the TRAINER reads; the final ``codes`` always cover the full
+    ``subs_src`` (with a base subset as train_src that states the
+    incremental law: old codebooks, union corpus). ``prefix`` renames
+    every emitted CTE (``{prefix}cent0`` … ``{prefix}codes``) so two
+    trainer instances can share one WITH clause (the two-level oracle
+    runs the same generator once per routing level)."""
     parts = [
-        f"""cent0 AS (
+        f"""{prefix}cent0 AS (
         SELECT gid,
                CAST(ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vec_id) - 1
                     AS BIGINT) AS cid,
@@ -729,15 +739,15 @@ def _pq_trainer_parts(k: int, iters: int, train_src: str = "subs") -> list[str]:
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""a{i} AS (
+            f"""{prefix}a{i} AS (
         SELECT s.gid, s.vec_id, s.sv, c.cid
-        FROM {train_src} s JOIN cent{i - 1} c ON c.gid = s.gid
+        FROM {train_src} s JOIN {prefix}cent{i - 1} c ON c.gid = s.gid
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY s.gid, s.vec_id
             ORDER BY {_sql_d2("s.sv", "c.c_q")}, c.cid) = 1)"""
         )
         parts.append(
-            f"""m{i} AS (
+            f"""{prefix}m{i} AS (
         SELECT gid, cell, dim,
                CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS m
         FROM (
@@ -747,20 +757,20 @@ def _pq_trainer_parts(k: int, iters: int, train_src: str = "subs") -> list[str]:
                 SELECT gid, cid AS cell,
                        CAST(generate_subscripts(sv, 1) AS BIGINT) AS dim,
                        unnest(sv) AS qv
-                FROM a{i}
+                FROM {prefix}a{i}
             ) ex
             GROUP BY gid, cell, dim
         ) agg)"""
         )
         parts.append(
-            f"cent{i} AS (SELECT gid, cell AS cid, list(m ORDER BY dim) AS c_q"
-            f" FROM m{i} GROUP BY gid, cell)"
+            f"{prefix}cent{i} AS (SELECT gid, cell AS cid, list(m ORDER BY dim) AS c_q"
+            f" FROM {prefix}m{i} GROUP BY gid, cell)"
         )
-    cent = f"cent{iters}"
+    cent = f"{prefix}cent{iters}"
     parts.append(
-        f"""codes AS (
+        f"""{prefix}codes AS (
         SELECT s.gid, s.vec_id, c.cid
-        FROM subs s JOIN {cent} c ON c.gid = s.gid
+        FROM {subs_src} s JOIN {cent} c ON c.gid = s.gid
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY s.gid, s.vec_id
             ORDER BY {_sql_d2("s.sv", "c.c_q")}, c.cid) = 1)"""

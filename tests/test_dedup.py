@@ -53,3 +53,68 @@ def test_incremental_lsh_agrees_with_full_recompute(spark, sf_dir):
     assert eligible == set(dropped), (
         eligible - set(dropped), set(dropped) - eligible
     )
+
+
+def test_twolevel_output_contained_in_allpairs(spark, sf_dir):
+    """Soundness of the two-level router: every pair it emits is a true
+    qualifying pair — present in the all-pairs recall oracle
+    (dedup_embedding_cosine) with the identical exact cosine. (The
+    router may MISS borderline pairs; it must never invent one.)"""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    tl = {
+        (r.keep_id, r.drop_id): r.cosine
+        for r in specs["dedup_embedding_twolevel"].builder(spark, sf_dir).collect()
+    }
+    assert tl, "fixture output is empty"
+    ap = {
+        (r.keep_id, r.drop_id): r.cosine
+        for r in specs["dedup_embedding_cosine"].builder(spark, sf_dir).collect()
+    }
+    assert set(tl) <= set(ap), set(tl) - set(ap)
+    for pair, cos in tl.items():
+        assert cos == ap[pair], (pair, cos, ap[pair])
+
+
+def test_twolevel_catches_planted_near_dups(spark, sf_dir):
+    """Recall at the regime dedup exists for: a TRUE near-dup (cosine
+    ~ 1) shares both routing levels with its original — an identical-
+    up-to-1ulp vector has the same argmin at every level unless the
+    original sits exactly on a cell boundary. Plant a perturbed copy
+    (fe[0] + 1, one fixed-point ulp) of EVERY corpus vector and require
+    the router to pair each copy with its original. This is the
+    guarantee the fixture's background pairs (cosine 0.4-0.51, no true
+    dups) cannot exercise: borderline-similarity recall is tunable
+    (k1/k2/multi-assign), near-dup recall is the contract."""
+    import pyspark.sql.functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        embedding_dedup_twolevel,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _dot, _vectors
+
+    OFF = 10_000_000
+    base = _vectors(spark, sf_dir).select("vec_id", "fe", "nrm")
+    pert_fe = F.concat(
+        F.array(F.element_at("fe", 1) + 1), F.slice("fe", 2, 1_000_000)
+    )
+    pert = base.select(
+        (F.col("vec_id") + OFF).alias("vec_id"), pert_fe.alias("fe")
+    )
+    pert = pert.select(
+        "vec_id", "fe", F.sqrt(_dot(F.col("fe"), F.col("fe")).cast("double")).alias("nrm")
+    )
+    corpus = base.unionByName(pert)
+    found = {
+        (r.keep_id, r.drop_id): r.cosine
+        for r in embedding_dedup_twolevel(
+            spark, sf_dir, k1=5, k2=5, iters=2, vectors=corpus
+        ).collect()
+    }
+    base_ids = [r.vec_id for r in base.select("vec_id").collect()]
+    planted = {(i, i + OFF) for i in base_ids}
+    missing = planted - set(found)
+    assert not missing, f"{len(missing)} planted near-dups missed: {sorted(missing)[:5]}"
+    for pair in planted:
+        assert found[pair] > 0.999, (pair, found[pair])

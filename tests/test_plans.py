@@ -866,3 +866,27 @@ def test_udtf_is_arrow_path_not_row_path(spark, sf_dir):
     plan = _plan(spark, sf_dir, "f17_udtf_word_offsets")
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_twolevel_dedup_pair_join_keyed_no_cartesian(spark, sf_dir):
+    """dedup_embedding_twolevel exists to kill the single-level router's
+    O(n^2/MOD) assignment (the round-11 sf10 finding), so its plan must
+    show the fix: the candidate self-join keyed on BOTH routing levels
+    (c1, c2) — a hash/merge join whose cost tracks bucket occupancy —
+    and every nested loop a broadcast-build centroid pass (the k-row
+    trainer sides; the level-1 single-group gid=0 equi-join constant-
+    folds to one), never a corpus x corpus loop."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_twolevel")
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("BuildRight" in l for l in bnlj), (
+        "nested loops must be broadcast-build centroid passes only"
+    )
+    pair_join = [
+        line
+        for line in plan.splitlines()
+        if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+        and "[c1" in line
+        and "c2" in line
+    ]
+    assert pair_join, "candidate join must key on (c1, c2)"
