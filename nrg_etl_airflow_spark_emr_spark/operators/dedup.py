@@ -944,9 +944,9 @@ def embedding_dedup_twolevel(
 ) -> DataFrame:
     """Two-level trained-routing embedding near-dup — the parameterized
     core behind dedup_embedding_twolevel, exposed so the scale-regime
-    probe can size (k1, k2) to the corpus (scripts/bench_regime.py runs
-    it at sf10 with sqrt-sized levels; the registered query pins the
-    fixture sizes for the oracle gate).
+    probe can size (k1, k2) to the corpus (scripts/probe_twolevel.py
+    runs it at sf10 with sqrt-sized levels; the registered query pins
+    the fixture sizes for the oracle gate).
 
     Level 1 trains k1 coarse cells over the whole corpus; level 2 trains
     k2 sub-cells INSIDE each coarse cell (the same grouped quantized-

@@ -120,8 +120,8 @@ def main() -> None:
         "k_per_level": ks,
         "occupancy": args.occupancy,
         "trusted_statistic": "min",
-        **{f"canary_{k}": v for k, v in canary.items()},
-        **{f"canary_{k}_end": v for k, v in canary_end.items()},
+        **canary,
+        **{f"{k}_end": v for k, v in canary_end.items()},
         "queries": res,
     }
     with open(args.out, "w") as fh:
