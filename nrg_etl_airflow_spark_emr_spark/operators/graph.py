@@ -219,13 +219,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src,dst) parity spaces — the union cannot introduce duplicates.
     bi = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # eager=False everywhere: truncation still happens (downstream plans
-    # reference the checkpoint RDD, not the full lineage) but the blocks
-    # materialize inside the final action instead of one eager driver job
-    # per checkpoint — measured ~30% off wall-clock at sf0.1 with
-    # bit-identical output. Fault-tolerance is unchanged: localCheckpoint
-    # blocks are executor-stored (non-reliable) whether eager or not.
-    graph = bi.join(deg, "src").localCheckpoint(eager=False)
+    # The graph frame is the LOCAL analog of the bucketed-by-src table the
+    # 100 TB layout prescribes. The degree join is HINTED shuffle-merge so
+    # its output comes out hash-partitioned AND sorted by src for free (the
+    # join needs that layout anyway), and cache() preserves both properties
+    # — InMemoryRelation keeps outputPartitioning/outputOrdering, while
+    # localCheckpoint's LogicalRDD drops them (measured, Spark 4.1). Every
+    # iteration's sort-merge join then reads the edge side straight from
+    # the in-memory scan with NO per-round exchange and NO per-round sort;
+    # only the node-sized rank side shuffles. The per-iteration re-sort of
+    # the full edge list was the round-11 sf10 spill source (41 GB mem /
+    # 3.6 GB disk); this layout measured ZERO spill and 0.86x wall at sf10
+    # at a 1.09x cost at sf0.1 — the three-way layout A/B (old checkpoint /
+    # repartition+sort+cache / merge-hinted cache) is recorded in
+    # BASELINE.md, repro scripts/ab_pagerank_layout.py.
+    graph = bi.join(deg.hint("merge"), "src").cache()
     # Every node appears as src in bi (each edge is mirrored), so deg is
     # already one row per node — no extra distinct scan for rank init.
     ranks = deg.select(

@@ -890,3 +890,41 @@ def test_twolevel_dedup_pair_join_keyed_no_cartesian(spark, sf_dir):
         and "c2" in line
     ]
     assert pair_join, "candidate join must key on (c1, c2)"
+
+
+def test_pagerank_iteration_join_reuses_cached_sort_order(spark, sf_dir):
+    """graph_pagerank's sf10 spill source was the per-iteration re-sort
+    of the full edge frame inside each round's sort-merge join (41 GB
+    over ~20 stages — BASELINE.md round-11 regime probe, finding 2).
+    The fix stores the graph as a merge-hinted-join output under
+    cache(), whose InMemoryRelation preserves hash-partitioning AND
+    sort order by src — so every iteration's SMJ must read the edge
+    side STRAIGHT from the in-memory scan: no Sort, no Exchange between
+    the join and the scan. Broadcast is disabled for the check because
+    at fixture scale the node-sized rank side broadcasts and the SMJ
+    path (the shape that matters at scale) never plans."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["graph_pagerank"].builder(spark, sf_dir)
+        df.count()  # materialize the cache so the scan shows in-plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.catalog.clearCache()
+    lines = plan.splitlines()
+    smj = [i for i, l in enumerate(lines) if "SortMergeJoin" in l and "[node#" in l]
+    assert smj, "iteration join must plan as SMJ with broadcast disabled"
+    for i in smj:
+        # Walk the left branch down to the edge-side scan: nothing but a
+        # pushed filter may sit between the join and the cached scan.
+        between = []
+        for l in lines[i + 1 :]:
+            if "InMemoryTableScan" in l:
+                break
+            between.append(l)
+        assert between, "left branch must end in the cached graph scan"
+        assert not any("Sort " in l or "Exchange" in l for l in between), (
+            "per-iteration sort/exchange on the edge side regressed:\n"
+            + "\n".join(between)
+        )
