@@ -763,14 +763,26 @@ _BAND_OFFSETS = [sum(_BAND_WIDTHS[:j]) for j in range(SIMHASH_BANDS)]
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """,
     tags=("dedup", "sketch"),
-    doc=f"SimHash near-dup pairs via prefix banding — the 100 TB shape of "
+    doc=f"SimHash near-dup pairs via prefix banding — the banded shape of "
     f"dedup_simhash_pairs. The {SIMHASH_BITS}-bit sketch splits into "
     f"{SIMHASH_BANDS} disjoint bands (pigeonhole: Hamming ≤ {HAMMING_MAX} "
     "⇒ at least one band identical), candidates hash-join on (band_id, "
     "band_value), exact Hamming filters candidates. No nested-loop/"
     "cartesian anywhere: the only wide operation is a shuffle keyed on "
-    "band values, so cost tracks true collision counts, not n². Recall "
-    "is exact, so the oracle is the all-pairs SQL.",
+    "band values. Recall is exact, so the oracle is the all-pairs SQL. "
+    "MEASURED REGIME BOUND (round-11 sf10 probe, BASELINE.md): with "
+    f"the sketch width FIXED at {SIMHASH_BITS} bits, each band carries "
+    f"only ~{SIMHASH_BITS // SIMHASH_BANDS}-{SIMHASH_BITS // SIMHASH_BANDS + 1} "
+    "bits, so uncorrelated-pair collisions are "
+    "B*n^2/2^w — the single-level fixed-granularity law again (50x "
+    "wall at the second decade, compute-bound, no spill). Exact-recall "
+    "Hamming banding needs the sketch width to GROW with the corpus "
+    "(w per band ~ log2(n/c), total bits = bands * w; hash60 supports "
+    "up to 60), which changes the Hamming threshold's meaning — a "
+    "corpus-sized parameterization, pinned here at the fixture width "
+    "for the oracle. For corpus-growing dedup at a FIXED similarity "
+    "contract, route through dedup_minhash_lsh (4.3x/decade, zero "
+    "spill, same probe) or dedup_embedding_twolevel's two-level law.",
 )
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache() is a semantic barrier, not just a speedup: _simhashes is a

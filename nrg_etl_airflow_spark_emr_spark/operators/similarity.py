@@ -328,7 +328,15 @@ _SQL_ASSIGN_CTE = f"""
     f"probe their {NPROBE} closest cells, exact cosine re-ranks inside. "
     "Fixture centroids are the vec_id%100==0 vectors (KMeans at scale). "
     "100 TB layout: bucket vectors by cid so a query touches nprobe "
-    "buckets; centroids broadcast; no all-pairs shuffle.",
+    "buckets; centroids broadcast; no all-pairs shuffle. MEASURED "
+    "REGIME BOUND (round-11 sf10 probe, BASELINE.md): the fixture-rule "
+    "centroid count grows with the corpus, so the assignment crossJoin "
+    "is O(n^2/MOD) — 249 s and 218 GB spill at the second 10x decade, "
+    "the same single-level law dedup_embedding_ivf hit. This query is "
+    "the fixture-scale recall oracle; the scale path ALREADY EXISTS as "
+    "its fixed-k twins — sim_knn_ivf_trained (4.8 s, 1.46x/decade, "
+    "zero spill in the SAME probe session) and sim_knn_ivf_persisted "
+    "(trainer amortized to a maintenance job entirely).",
 )
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).cache()
