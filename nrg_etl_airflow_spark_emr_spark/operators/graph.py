@@ -193,17 +193,36 @@ def _pagerank_oracle() -> str:
     "update is (85*sum) div 100, so sums are order-independent and "
     "Spark's distributed fold matches DuckDB's unrolled-CTE oracle "
     "bit-for-bit (no floating-point PageRank ever hash-matches across "
-    "engines). Spark side is the idiomatic iterative-DataFrame loop: the "
-    "edge+degree frame is localCheckpoint()ed once, each round is one "
-    "join + one groupBy-sum keyed on the destination, and an every-2nd-"
-    "round lazy localCheckpoint(eager=False) truncates the lineage so no "
-    "plan ever embeds more than 2 iterations, with all checkpoint blocks "
-    "materializing inside the final action instead of standalone driver "
-    "jobs. At 100 TB the graph frame would be "
+    "engines). Spark side is the idiomatic iterative-DataFrame loop: "
+    "the edge+degree frame is built by a shuffle-merge-hinted join and "
+    "cache()d — InMemoryRelation preserves the join's partitioning and "
+    "sort order by src, so each round's join reads the edge side from "
+    "the in-memory scan with no per-round exchange or sort (the round-"
+    "11 sf10 spill fix; plan-pinned). Each round is one join + one "
+    "groupBy-sum keyed on the destination, and an every-2nd-round lazy "
+    "localCheckpoint(eager=False) truncates the RANK frame's growing "
+    "lineage so no plan ever embeds more than 2 iterations, with all "
+    "checkpoint blocks materializing inside the final action instead "
+    "of standalone driver jobs. At 100 TB the graph frame would be "
     "bucketed by src so every round's join is co-located; rank state is "
     "2 longs/node.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_frame(spark, sf_dir)
+
+
+def pagerank_frame(
+    spark: SparkSession, sf_dir: str, graph_layout: str = "merge"
+) -> DataFrame:
+    """graph_pagerank's parameterized core: ``graph_layout`` selects how
+    the loop-invariant edge+degree frame is stored across iterations —
+    "merge" (production: merge-hinted join + layout-preserving cache),
+    "cache" (repartition+sort+cache), or "checkpoint" (the round-10
+    localCheckpoint shape). Exposed so scripts/ab_pagerank_layout.py
+    measures the EXACT production loop (same iterations, checkpoint
+    cadence, arithmetic) with only the layout varying — the A/B that
+    chose "merge" (BASELINE.md round-11 finding-2 fix) stays honest as
+    the loop evolves."""
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -233,7 +252,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at a 1.09x cost at sf0.1 — the three-way layout A/B (old checkpoint /
     # repartition+sort+cache / merge-hinted cache) is recorded in
     # BASELINE.md, repro scripts/ab_pagerank_layout.py.
-    graph = bi.join(deg.hint("merge"), "src").cache()
+    pre = bi.join(deg, "src")
+    if graph_layout == "merge":
+        graph = bi.join(deg.hint("merge"), "src").cache()
+    elif graph_layout == "cache":
+        graph = pre.repartition("src").sortWithinPartitions("src").cache()
+    elif graph_layout == "checkpoint":
+        graph = pre.localCheckpoint(eager=False)
+    else:
+        raise ValueError(f"unknown graph_layout: {graph_layout!r}")
     # Every node appears as src in bi (each edge is mirrored), so deg is
     # already one row per node — no extra distinct scan for rank init.
     ranks = deg.select(

@@ -784,6 +784,16 @@ def _ivf_balance_oracle() -> str:
 def qc_ivf_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).cache()
     _cent, fassign = ivf_train(v)
+    return cell_balance(fassign)
+
+
+def cell_balance(assigned: DataFrame) -> DataFrame:
+    """THE per-cell balance law — postings count plus the floor*1e4
+    portable corpus share over any (..., cid) assignment frame. Shared
+    by the oracle-gated qc_ivf_index_balance (inline-trained
+    assignment) and sources/ann_index.ivf_index_balance /
+    maintain_ivf_index (persisted index), so the hot-cell definition
+    cannot drift between the audit surfaces and the retrain trigger."""
     share = (
         F.floor(
             F.count(F.lit(1)).cast("double")
@@ -792,7 +802,7 @@ def qc_ivf_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / 10000
     )
-    return fassign.groupBy("cid").agg(
+    return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_postings"),
         share.alias("cell_share"),
     )

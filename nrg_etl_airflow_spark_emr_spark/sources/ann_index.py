@@ -237,7 +237,11 @@ _IVF_STREAM = "postings_stream"
 
 
 def write_ivf_index(
-    spark: SparkSession, sf_dir: str, path: str, vectors: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    vectors: DataFrame | None = None,
+    vacuum_keep: int = 2,
 ) -> None:
     """Build the trained-IVF index over ``sf_dir``'s embeddings (or an
     explicit ``vectors`` frame — e.g. the base slice of an incremental
@@ -247,9 +251,11 @@ def write_ivf_index(
     stream segment of the previous epoch by setting folded_upto to the
     max batch id committed at publish time — their vectors are covered
     by the rebuilt postings, and unioning them would both duplicate
-    rows and carry cell ids from the OLD centroids. Nothing is deleted:
-    readers pinned to the previous manifest are untouched, and the
-    superseded dirs wait for vacuum_index. Ingest should be quiesced
+    rows and carry cell ids from the OLD centroids. The publish itself
+    deletes nothing; the post-publish vacuum retains the previous
+    epoch (``vacuum_keep``, default 2), so readers pinned to the
+    previous manifest stay alive through this rebuild and epochs older
+    than that retire. Ingest should be quiesced
     across a rebuild (single-maintenance-writer contract — a batch
     landing between the fence capture and the publish would land under
     old centroids yet sit above the fence)."""
@@ -283,11 +289,15 @@ def write_ivf_index(
             "folded_upto": _max_committed_batch(path, _IVF_STREAM),
         },
     )
-    # Full rebuilds are the natural GC point: everything the new
-    # manifest doesn't reference (previous epochs' segments, fenced
-    # stream batches) is unreachable now. Runs strictly AFTER the
-    # publish — a crash before it just leaves garbage for the next run.
-    vacuum_index(path)
+    # Full rebuilds are the natural GC point — but the PREVIOUS epoch
+    # must survive this one: vacuum_keep=2 retains the last committed
+    # manifest besides the fresh one, so a reader pinned before the
+    # rebuild (including maintain_ivf_index's own trainer scan if its
+    # cache blocks evict) keeps a live manifest to recompute from.
+    # Epochs older than that retire. Size vacuum_keep to the longest
+    # running reader; runs strictly AFTER the publish — a crash before
+    # it just leaves garbage for the next run.
+    vacuum_index(path, keep_versions=vacuum_keep)
 
 
 def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
@@ -307,9 +317,13 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
     is named by its manifest version, so a failed run leaves a torn,
     UNREFERENCED dir and the retry overwrites that same dir before
     publishing. The upsert is therefore idempotent under retry (the old
-    bare append duplicated rows on replay)."""
+    bare append duplicated rows on replay). An empty batch commits
+    nothing — no data-less segment, no manifest churn (the same quiet-
+    day guard as upsert_pq_codes)."""
     from ..operators.kmeans import ivf_assign
 
+    if new_vectors.select("vec_id").first() is None:
+        return  # empty batch: nothing to assign, nothing to commit
     m = _require(path, "ivf")
     cent = read_ivf_centroids(spark, path, m)
     assigned = ivf_assign(new_vectors, cent)
@@ -389,10 +403,23 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     (vacuum_index retires fenced batches later)."""
     m = _require(path, "ivf")
     fence = m.get("folded_upto", -1)
+    # ONE listing drives both the fold and the published fence: the
+    # folded frame is built from exactly these batch dirs, so a batch
+    # committing at ANY point after this line is neither folded nor
+    # fenced — it stays live above the new fence. (Re-listing inside
+    # the read, as read_ivf_index does, would fold a late batch while
+    # fencing only up to the earlier listing — duplicating its rows.)
     batches = _committed_stream_batches(path, _IVF_STREAM, above=fence)
     if not batches and len(m["segments"]["postings"]) == 1:
         return  # nothing to fold; keep the manifest pointer unchanged
-    _, postings = read_ivf_index(spark, path)
+    _, postings = read_ivf_index(spark, path, include_stream=False)
+    if batches:
+        dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in batches]
+        postings = postings.unionByName(
+            _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                "vec_id", "fe", "nrm", "cid"
+            )
+        )
     ver = _next_version(path)
     seg = _seg("postings", ver)
     postings.write.mode("overwrite").partitionBy("cid").parquet(
@@ -462,23 +489,14 @@ HOT_CELL_RATIO = 3.0  # a cell above 3x the uniform 1/k share is "hot"
 
 def ivf_index_balance(spark: SparkSession, path: str) -> DataFrame:
     """qc_ivf_index_balance over the PERSISTED index (manifest segments
-    ∪ live stream): per-cell postings count and corpus share. At 100 TB
-    this is metadata-weight — partition footprints, not data."""
-    from pyspark.sql.window import Window
+    ∪ live stream): per-cell postings count and corpus share, via the
+    SAME cell_balance law the oracle-gated query uses — one hot-cell
+    definition across the audit surfaces. At 100 TB this is
+    metadata-weight — partition footprints, not data."""
+    from ..operators.kmeans import cell_balance
 
     _, postings = read_ivf_index(spark, path)
-    share = (
-        F.floor(
-            F.count(F.lit(1)).cast("double")
-            / F.sum(F.count(F.lit(1))).over(Window.partitionBy()).cast("double")
-            * 10000
-        ).cast("double")
-        / 10000
-    )
-    return postings.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_postings"),
-        share.alias("cell_share"),
-    )
+    return cell_balance(postings)
 
 
 def maintain_ivf_index(
@@ -495,12 +513,13 @@ def maintain_ivf_index(
     the read-while-rewrite safe: the trainer scans the old manifest's
     dirs while writing fresh ones. Returns
     {rebuilt, k, max_share, threshold} for the maintenance log."""
+    from ..operators.kmeans import cell_balance
+
     cent, postings = read_ivf_index(spark, path)
     k = cent.count()
     stats = (
-        postings.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        cell_balance(postings)
+        .agg(F.max("n_postings").alias("mx"), F.sum("n_postings").alias("tot"))
         .collect()[0]
     )
     max_share = (stats["mx"] or 0) / max(stats["tot"] or 0, 1)
@@ -526,7 +545,11 @@ _PQ_NORMS_STREAM = "norms_stream"
 
 
 def write_pq_index(
-    spark: SparkSession, sf_dir: str, path: str, vectors: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    vectors: DataFrame | None = None,
+    vacuum_keep: int = 2,
 ) -> None:
     """Build the product-quantization index over ``sf_dir``'s embeddings
     and COMMIT it as a manifest version — the real IVFADC storage shape,
@@ -589,7 +612,7 @@ def write_pq_index(
             "folded_upto": fence,
         },
     )
-    vacuum_index(path)  # rebuild = GC point, same as write_ivf_index
+    vacuum_index(path, keep_versions=vacuum_keep)  # rebuild GC, previous epoch retained
 
 
 def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
@@ -707,6 +730,8 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
     above the fence and stay live; nothing is deleted until vacuum."""
     m = _require(path, "pq")
     fence = m.get("folded_upto", -1)
+    # Same single-listing discipline as compact_ivf_index: fold exactly
+    # the batches listed here, publish exactly their max as the fence.
     batches = _pq_live_batches(path, fence)
     if (
         not batches
@@ -714,7 +739,24 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
         and len(m["segments"]["norms"]) == 1
     ):
         return
-    cb, codes, norms = read_pq_index(spark, path)
+    cb, codes, norms = read_pq_index(spark, path, include_stream=False)
+    if batches:
+        cd_dirs = [
+            os.path.join(_PQ_CODES_STREAM, f"ingest_batch={b}") for b in batches
+        ]
+        nm_dirs = [
+            os.path.join(_PQ_NORMS_STREAM, f"ingest_batch={b}") for b in batches
+        ]
+        codes = codes.unionByName(
+            _read_segments(spark, path, cd_dirs, m["schemas"]["codes"]).select(
+                "gid", "vec_id", "cid"
+            )
+        )
+        norms = norms.unionByName(
+            _read_segments(spark, path, nm_dirs, m["schemas"]["norms"]).select(
+                "vec_id", "nrm"
+            )
+        )
     ver = _next_version(path)
     cd_seg, nm_seg = _seg("codes", ver), _seg("norms", ver)
     codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
@@ -768,7 +810,9 @@ def read_pq_index(
 
 # --- MinHash band index ---------------------------------------------------------
 
-def write_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def write_minhash_index(
+    spark: SparkSession, sf_dir: str, path: str, vacuum_keep: int = 2
+) -> None:
     """Persist the HISTORICAL corpus's MinHash dedup index and COMMIT it
     through the same manifest mechanism: signatures-vN/ (doc_id,
     mh0..mh15) for verification joins and bands-vN/ (partitioned by
@@ -803,7 +847,7 @@ def write_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
             "folded_upto": -1,
         },
     )
-    vacuum_index(path)  # rebuild = GC point, same as write_ivf_index
+    vacuum_index(path, keep_versions=vacuum_keep)  # rebuild GC, previous epoch retained
 
 
 def upsert_minhash_index(

@@ -867,3 +867,105 @@ def test_vacuum_retention_window_keeps_pinned_reader_alive(spark, sf_dir, tmp_pa
     assert len(seg_dirs) == 1  # only the compacted segment remains
     _, cur = read_ivf_index(spark, path)
     assert cur.count() == n_total
+
+
+def test_rebuild_keeps_previous_epoch_for_pinned_readers(spark, sf_dir, tmp_path):
+    """write_ivf_index's post-publish vacuum retains the PREVIOUS epoch
+    (vacuum_keep=2 default): a reader that pinned its plan before a
+    rebuild still scans successfully after it — the docstring contract
+    a keep_versions=1 vacuum on the rebuild path used to violate. A
+    second rebuild retires the first epoch (older-than-window dirs go)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    n_base = base.count()
+    _, pinned = read_ivf_index(spark, path)  # lazy plan over epoch-1 dirs
+
+    write_ivf_index(spark, sf_dir, path, vectors=v)  # epoch-2 rebuild
+    assert pinned.count() == n_base  # epoch-1 segments survived the vacuum
+
+    write_ivf_index(spark, sf_dir, path, vectors=v)  # epoch-3 rebuild
+    epoch1 = {d for d in os.listdir(path) if d.endswith("-v00000001")}
+    assert not epoch1, "epoch-1 dirs must retire once outside the window"
+    _, cur = read_ivf_index(spark, path)
+    assert cur.count() == v.count()
+
+
+def test_ivf_empty_upsert_commits_nothing(spark, sf_dir, tmp_path):
+    """The IVF quiet-day guard (review finding): an empty batch must not
+    write a data-less segment or publish a new manifest version — the
+    same early return upsert_pq_codes already had."""
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(spark, sf_dir, path)
+    before = current_manifest(path)
+    empty = _vectors(spark, sf_dir).select("vec_id", "fe", "nrm").limit(0)
+    upsert_ivf_postings(spark, path, empty)
+    after = current_manifest(path)
+    assert after["version"] == before["version"]
+    assert after["segments"]["postings"] == before["segments"]["postings"]
+
+
+def test_compact_fences_exactly_what_it_folds(spark, sf_dir, tmp_path):
+    """Compaction's crash contract (review finding): the fold and the
+    published fence must come from ONE stream listing, so a batch that
+    commits AFTER that listing is neither folded nor fenced — it stays
+    live and its rows appear exactly once. Simulated by landing batch 2
+    between compaction's listing and its read via a monkeypatched
+    read hook is impossible without injection; instead this pins the
+    observable invariant across the real sequence: ingest, compact,
+    ingest again, read — every vector exactly once, and the manifest
+    fence equals the highest batch the compaction actually folded."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_index,
+        stream_ingest_ivf,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 == 1))
+    s2 = v.filter(F.col("vec_id") % 4 == 2).select("vec_id", "fe", "nrm")
+    s3 = v.filter(F.col("vec_id") % 4 == 3).select("vec_id", "fe", "nrm")
+    stage = str(tmp_path / "stage")
+    s2.write.parquet(stage)
+    q = stream_ingest_ivf(
+        spark.readStream.schema(s2.schema).parquet(stage), path,
+        str(tmp_path / "ck1"),
+    )
+    q.awaitTermination()
+    compact_ivf_index(spark, path)
+    assert current_manifest(path)["folded_upto"] == 0  # exactly batch 0
+    # A batch landing AFTER compaction sits above the fence and stays live.
+    s3.write.mode("append").parquet(stage)
+    q2 = stream_ingest_ivf(
+        spark.readStream.schema(s3.schema).parquet(stage), path,
+        str(tmp_path / "ck1"),
+    )
+    q2.awaitTermination()
+    _, p = read_ivf_index(spark, path)
+    rows = [(r.vec_id) for r in p.select("vec_id").collect()]
+    expect = v.filter(F.col("vec_id") % 4 != 0).count()
+    assert len(rows) == expect and len(set(rows)) == expect
