@@ -60,13 +60,33 @@ def audit(df: DataFrame) -> PlanAudit:
     return audit_plan_string(plan)
 
 
+def _distinct_shuffles(plan: str) -> int:
+    """Count DISTINCT data-shuffle exchanges. Cached subtrees re-print
+    their whole stored plan once per InMemoryTableScan reference, so a
+    raw line count over-states a cache-using query (graph_pagerank's
+    edge frame appears once per iteration); exchanges carry a stable
+    ``plan_id``, so dedup by it and fall back to line counting only for
+    lines without one (tests/test_plans.py's _shuffle_ids discipline)."""
+    kinds = (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "Exchange RoundRobinPartitioning",
+    )
+    ids: set[str] = set()
+    bare = 0
+    for line in plan.splitlines():
+        if any(k in line for k in kinds):
+            m = re.search(r"plan_id=(\d+)", line)
+            if m:
+                ids.add(m.group(1))
+            else:
+                bare += 1
+    return len(ids) + bare
+
+
 def audit_plan_string(plan: str) -> PlanAudit:
     return PlanAudit(
-        shuffles=(
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange RoundRobinPartitioning")
-        ),
+        shuffles=_distinct_shuffles(plan),
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),
         sort_merge_joins=plan.count("SortMergeJoin"),
         shuffled_hash_joins=plan.count("ShuffledHashJoin"),
