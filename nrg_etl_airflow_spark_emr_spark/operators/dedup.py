@@ -990,6 +990,16 @@ def embedding_dedup_twolevel(
     assigned = codes2.select(
         F.col("gid").alias("c1"), F.col("cid").alias("c2"), "vec_id"
     ).join(v.select("vec_id", "fe", "nrm"), "vec_id").cache()
+    # Materialize the final assignment, then release every upstream pin
+    # (v, subs2, both trainer centroid caches): the returned pair join
+    # reads only `assigned`, so a long-lived session invoking this
+    # repeatedly accumulates one small (id, cell, vector) frame per
+    # call, not four. `assigned` itself stays cached — it feeds both
+    # sides of the self-join below; callers running many invocations
+    # should clearCache() between them (the probe scripts do).
+    assigned.count()
+    for pinned in (v, subs2, _c1, _c2):
+        pinned.unpersist()
     a = assigned.select(
         F.col("vec_id").alias("keep_id"), "c1", "c2",
         F.col("fe").alias("fa"), F.col("nrm").alias("na"),

@@ -175,6 +175,27 @@ def _max_committed_batch(path: str, stream: str) -> int:
     return bs[-1] if bs else -1
 
 
+def _contiguous_prefix(batches: list[int], fence: int) -> list[int]:
+    """The longest gap-free run of committed batch ids starting at
+    ``fence + 1``. Compaction folds (and fences) ONLY this prefix: the
+    published fence then never jumps a hole, so a batch id that commits
+    late — a second stream with a fresh checkpoint restarting ids, or a
+    straggler landing out of order, both outside the single-writer
+    contract but cheap to survive — can never be fenced without having
+    been folded (fence > gap would fold-skip it permanently; fence at
+    the prefix end leaves it live until a later compaction reads it).
+    Folding past a gap was silent row loss; this makes it structurally
+    impossible."""
+    out: list[int] = []
+    nxt = fence + 1
+    for b in batches:
+        if b != nxt:
+            break
+        out.append(b)
+        nxt += 1
+    return out
+
+
 def vacuum_index(path: str, keep_versions: int = 1) -> list[str]:
     """Garbage-collect everything the last ``keep_versions`` committed
     manifests cannot reach: superseded/torn segment dirs (versioned
@@ -319,7 +340,11 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
     publishing. The upsert is therefore idempotent under retry (the old
     bare append duplicated rows on replay). An empty batch commits
     nothing — no data-less segment, no manifest churn (the same quiet-
-    day guard as upsert_pq_codes)."""
+    day guard as upsert_pq_codes). NOTE the guard's ``first()`` is a
+    driver job that evaluates ``new_vectors``'s lineage once more than
+    the write does — pass a cached or file-backed frame (every caller
+    here does: stream micro-batches and test fixtures are file-backed)
+    or pay a double computation of the increment."""
     from ..operators.kmeans import ivf_assign
 
     if new_vectors.select("vec_id").first() is None:
@@ -409,7 +434,13 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     # fenced — it stays live above the new fence. (Re-listing inside
     # the read, as read_ivf_index does, would fold a late batch while
     # fencing only up to the earlier listing — duplicating its rows.)
-    batches = _committed_stream_batches(path, _IVF_STREAM, above=fence)
+    # Only the CONTIGUOUS prefix folds: a gap in the committed ids
+    # (late/out-of-order commit) stops the fold before it, so the
+    # published fence can never strand a gap batch (row loss); the gap
+    # and everything behind it stay live and fold once it commits.
+    batches = _contiguous_prefix(
+        _committed_stream_batches(path, _IVF_STREAM, above=fence), fence
+    )
     if not batches and len(m["segments"]["postings"]) == 1:
         return  # nothing to fold; keep the manifest pointer unchanged
     _, postings = read_ivf_index(spark, path, include_stream=False)
@@ -730,9 +761,11 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
     above the fence and stay live; nothing is deleted until vacuum."""
     m = _require(path, "pq")
     fence = m.get("folded_upto", -1)
-    # Same single-listing discipline as compact_ivf_index: fold exactly
-    # the batches listed here, publish exactly their max as the fence.
-    batches = _pq_live_batches(path, fence)
+    # Same single-listing + contiguous-prefix discipline as
+    # compact_ivf_index: fold exactly the gap-free run above the fence,
+    # publish exactly its max as the fence — a late-committing gap
+    # batch can never be fenced unfolded.
+    batches = _contiguous_prefix(_pq_live_batches(path, fence), fence)
     if (
         not batches
         and len(m["segments"]["codes"]) == 1

@@ -365,6 +365,9 @@ def test_compact_crash_matrix_manifest_protocol(spark, sf_dir, tmp_path):
     # Post-snapshot batch survival (the ADVICE r10 medium scenario):
     # land a committed stream batch ABOVE the published fence — it must
     # be readable immediately and must survive the next compact+vacuum.
+    # fence+1 so it is the contiguous next id and the compact below
+    # retires it; the GAP-id case (fence+k, k>1) has its own test
+    # (test_compact_never_fences_a_gap_batch).
     fence = current_manifest(path).get("folded_upto", -1)
     extra = v.filter(F.col("vec_id") % 4 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "fe", "nrm"
@@ -374,7 +377,7 @@ def test_compact_crash_matrix_manifest_protocol(spark, sf_dir, tmp_path):
         ivf_assign(extra, cent)
         .write.mode("overwrite")
         .partitionBy("cid")
-        .parquet(os.path.join(path, "postings_stream", f"ingest_batch={fence + 5}"))
+        .parquet(os.path.join(path, "postings_stream", f"ingest_batch={fence + 1}"))
     )
     n_extra = extra.count()
     got, n = state()
@@ -969,3 +972,69 @@ def test_compact_fences_exactly_what_it_folds(spark, sf_dir, tmp_path):
     rows = [(r.vec_id) for r in p.select("vec_id").collect()]
     expect = v.filter(F.col("vec_id") % 4 != 0).count()
     assert len(rows) == expect and len(set(rows)) == expect
+
+
+def test_compact_never_fences_a_gap_batch(spark, sf_dir, tmp_path):
+    """Fence-contiguity contract (ADVICE r11): compaction folds only the
+    gap-free run of batch ids above the fence, so a committed id with a
+    missing predecessor (a late/out-of-order commit outside the single-
+    writer contract) can NEVER end up below the published fence without
+    having been folded — the old max-id fence would have stranded it as
+    silent row loss. Sequence: batches {0, 2} committed (1 missing) →
+    compact folds only {0}, fence 0, batch 2 stays live and readable →
+    batch 1 lands late → compact folds {1, 2}, fence 2 — every vector
+    exactly once at every step."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_centroids,
+        read_ivf_index,
+        vacuum_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 == 0))
+    cent = read_ivf_centroids(spark, path)
+
+    def land(batch_id: int, mod: int) -> None:
+        nv = v.filter(F.col("vec_id") % 4 == mod).select("vec_id", "fe", "nrm")
+        (
+            ivf_assign(nv, cent)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(path, "postings_stream", f"ingest_batch={batch_id}"))
+        )
+
+    def seen() -> list[int]:
+        _, p = read_ivf_index(spark, path)
+        return [r.vec_id for r in p.select("vec_id").collect()]
+
+    n_all = v.count()
+    land(0, 1)
+    land(2, 3)  # batch 1 not yet committed — a gap
+    rows = seen()
+    expect = v.filter(F.col("vec_id") % 4 != 2).count()
+    assert len(rows) == expect and len(set(rows)) == expect
+    compact_ivf_index(spark, path)
+    m = current_manifest(path)
+    assert m["folded_upto"] == 0  # fence stops BEFORE the gap
+    rows = seen()  # batch 2 still live above the fence — nothing lost
+    assert len(rows) == expect and len(set(rows)) == expect
+    assert os.path.isdir(os.path.join(path, "postings_stream", "ingest_batch=2"))
+    land(1, 2)  # the gap batch commits late
+    rows = seen()
+    assert len(rows) == n_all and len(set(rows)) == n_all
+    compact_ivf_index(spark, path)
+    assert current_manifest(path)["folded_upto"] == 2
+    vacuum_index(path)
+    assert not os.path.isdir(os.path.join(path, "postings_stream"))
+    rows = seen()
+    assert len(rows) == n_all and len(set(rows)) == n_all
