@@ -946,6 +946,100 @@ def _twolevel_oracle(k1: int, k2: int, iters: int) -> str:
     """
 
 
+def twolevel_train(
+    v: DataFrame, k1: int, k2: int, iters: int
+) -> tuple[DataFrame, DataFrame, DataFrame, tuple[DataFrame, ...]]:
+    """Train BOTH routing levels over a cached vector frame ``v``
+    (vec_id/fe/nrm) — the shared trainer behind the inline query
+    (dedup_embedding_twolevel) and the persisted artifact
+    (sources/ann_index.write_twolevel_index). Returns
+    ``(cent1, cent2, assigned, pins)``:
+
+    - cent1: gid(=0)/cid/c_q — the coarse centroids (cached);
+    - cent2: gid(=coarse cid)/cid/c_q — per-cell sub-centroids (cached);
+    - assigned: c1/c2/vec_id/fe/nrm — the corpus under the FINAL
+      centroids of both levels (cached, NOT yet materialized);
+    - pins: every cached frame the caller must unpersist once its last
+      consumer has materialized (v and subs2; cent1/cent2/assigned are
+      returned, so their lifetime is the caller's).
+
+    Assignment under the returned centroids is route_twolevel — the
+    trainer's own final-assign law (pq_assign twice), so persisted
+    centroids reproduce ``assigned`` bit-for-bit (pinned in
+    tests/test_ann_index.py)."""
+    from .kmeans import lloyd_fit_grouped_quantized
+
+    subs1 = v.select(
+        F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
+    )
+    codes1, cent1 = lloyd_fit_grouped_quantized(subs1, k1, iters)
+    # Cache the level-2 input: the grouped trainer re-reads its subs
+    # frame every iteration, and without the pin each re-read would
+    # replay the ENTIRE level-1 trainer as a plan prefix.
+    subs2 = (
+        codes1.select(F.col("cid").alias("gid"), "vec_id")
+        .join(v.select("vec_id", F.col("fe").alias("sv")), "vec_id")
+        .cache()
+    )
+    codes2, cent2 = lloyd_fit_grouped_quantized(subs2, k2, iters)
+    assigned = (
+        codes2.select(F.col("gid").alias("c1"), F.col("cid").alias("c2"), "vec_id")
+        .join(v.select("vec_id", "fe", "nrm"), "vec_id")
+        .cache()
+    )
+    return cent1, cent2, assigned, (v, subs2)
+
+
+def route_twolevel(
+    new_vectors: DataFrame, cent1: DataFrame, cent2: DataFrame
+) -> DataFrame:
+    """Assign vectors (vec_id/fe/nrm) under ALREADY-TRAINED two-level
+    centroids — the search-time/increment-time routing: two broadcast
+    hash joins (pq_assign at each level, exact BIGINT argmin, ties to
+    the lowest cid — the trainer's own final-assign arithmetic), never
+    a retrain. Returns c1/c2/vec_id/fe/nrm. At 100 TB this is the
+    daily-increment path BASELINE.md's two-level fix note promises:
+    both centroid tables are bounded (k1 + k1*k2 rows), so routing a
+    batch costs n*(k1+k2) distance evaluations and zero shuffles beyond
+    the two map-side aggregations."""
+    from .kmeans import pq_assign
+
+    subs1 = new_vectors.select(
+        F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
+    )
+    a1 = pq_assign(subs1, cent1)
+    subs2 = a1.select(F.col("cid").alias("gid"), "vec_id").join(
+        new_vectors.select("vec_id", F.col("fe").alias("sv")), "vec_id"
+    )
+    a2 = pq_assign(subs2, cent2)
+    return a2.select(
+        F.col("gid").alias("c1"), F.col("cid").alias("c2"), "vec_id"
+    ).join(new_vectors.select("vec_id", "fe", "nrm"), "vec_id")
+
+
+def twolevel_pairs(assigned: DataFrame) -> DataFrame:
+    """Same-(cell, sub-cell) candidate pairs over a routed corpus
+    (c1/c2/vec_id/fe/nrm), exact fixed-point cosine filter — the
+    shared search stage of the inline and persisted two-level dedup."""
+    from .similarity import _dot
+
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"), "c1", "c2",
+        F.col("fe").alias("fa"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("drop_id"), "c1", "c2",
+        F.col("fe").alias("fb"), F.col("nrm").alias("nb"),
+    )
+    cosine = _dot(F.col("fa"), F.col("fb")).cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["c1", "c2"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select("keep_id", "drop_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+
+
 def embedding_dedup_twolevel(
     spark: SparkSession,
     sf_dir: str,
@@ -970,26 +1064,10 @@ def embedding_dedup_twolevel(
     assignment work instead of the fixture-rule single level's
     O(n^2/c), with every stage a keyed hash join (centroid sides
     broadcast, k rows)."""
-    from .kmeans import lloyd_fit_grouped_quantized
-    from .similarity import _dot, _vectors
+    from .similarity import _vectors
 
     v = (vectors if vectors is not None else _vectors(spark, sf_dir)).cache()
-    subs1 = v.select(
-        F.lit(0).cast("long").alias("gid"), "vec_id", F.col("fe").alias("sv")
-    )
-    codes1, _c1 = lloyd_fit_grouped_quantized(subs1, k1, iters)
-    # Cache the level-2 input: the grouped trainer re-reads its subs
-    # frame every iteration, and without the pin each re-read would
-    # replay the ENTIRE level-1 trainer as a plan prefix.
-    subs2 = (
-        codes1.select(F.col("cid").alias("gid"), "vec_id")
-        .join(v.select("vec_id", F.col("fe").alias("sv")), "vec_id")
-        .cache()
-    )
-    codes2, _c2 = lloyd_fit_grouped_quantized(subs2, k2, iters)
-    assigned = codes2.select(
-        F.col("gid").alias("c1"), F.col("cid").alias("c2"), "vec_id"
-    ).join(v.select("vec_id", "fe", "nrm"), "vec_id").cache()
+    cent1, cent2, assigned, pins = twolevel_train(v, k1, k2, iters)
     # Materialize the final assignment, then release every upstream pin
     # (v, subs2, both trainer centroid caches): the returned pair join
     # reads only `assigned`, so a long-lived session invoking this
@@ -998,23 +1076,9 @@ def embedding_dedup_twolevel(
     # sides of the self-join below; callers running many invocations
     # should clearCache() between them (the probe scripts do).
     assigned.count()
-    for pinned in (v, subs2, _c1, _c2):
+    for pinned in (*pins, cent1, cent2):
         pinned.unpersist()
-    a = assigned.select(
-        F.col("vec_id").alias("keep_id"), "c1", "c2",
-        F.col("fe").alias("fa"), F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("drop_id"), "c1", "c2",
-        F.col("fe").alias("fb"), F.col("nrm").alias("nb"),
-    )
-    cosine = _dot(F.col("fa"), F.col("fb")).cast("double") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["c1", "c2"])
-        .filter(F.col("keep_id") < F.col("drop_id"))
-        .select("keep_id", "drop_id", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
-    )
+    return twolevel_pairs(assigned)
 
 
 def _twolevel_fixture_params() -> tuple[int, int, int]:
@@ -1057,6 +1121,39 @@ _TL_K1, _TL_K2, _TL_ITERS = _twolevel_fixture_params()
 )
 def dedup_embedding_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_twolevel(spark, sf_dir, _TL_K1, _TL_K2, _TL_ITERS)
+
+
+@register(
+    "dedup_embedding_twolevel_persisted",
+    oracle=_twolevel_oracle(_TL_K1, _TL_K2, _TL_ITERS),
+    tags=("dedup", "similarity", "index", "sink"),
+    window_defer=True,
+    doc="Two-level trained dedup routing FROM A PERSISTED INDEX — the "
+    "train-once/search-many completion of dedup_embedding_twolevel "
+    "(whose inline twin retrains BOTH levels per run). The builder "
+    "first commits the router artifact through the manifest pointer "
+    "(sources/ann_index.write_twolevel_index: coarse centroids + "
+    "per-cell sub-centroids as broadcastable parquet routing tables, "
+    "the routed corpus partitioned by coarse cell), then the returned "
+    "SEARCH plan is the same-(c1, c2) pair join over two parquet "
+    "scans — ZERO trainer stages (plan-pinned: no Generate/posexplode, "
+    "tests/test_ann_index.py). fe (array<bigint>) and nrm (double) "
+    "round-trip parquet bit-exactly, so the persisted search hash-"
+    "matches the inline path under the IDENTICAL two-level trainer "
+    "oracle. At 100 TB the build is a once-per-corpus maintenance job "
+    "and a daily increment routes via upsert_twolevel_postings — two "
+    "broadcast joins against bounded centroid tables, never a retrain "
+    "(the amortization BASELINE.md's two-level fix note promised; "
+    "build-vs-search split measured there).",
+)
+def dedup_embedding_twolevel_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ann_index import read_twolevel_index, write_twolevel_index
+    from .formats import _roundtrip_dir
+
+    path = _roundtrip_dir(spark, "tlidx", sf_dir)
+    write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS)
+    _c1, _c2, assigned = read_twolevel_index(spark, path)
+    return twolevel_pairs(assigned)
 
 
 @register(

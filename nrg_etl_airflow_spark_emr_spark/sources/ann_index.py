@@ -569,6 +569,132 @@ def maintain_ivf_index(
     }
 
 
+# --- Two-level dedup router ----------------------------------------------------
+
+
+def write_twolevel_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k1: int,
+    k2: int,
+    iters: int,
+    vectors: DataFrame | None = None,
+    vacuum_keep: int = 2,
+) -> None:
+    """Build the TWO-LEVEL trained dedup router as a persisted artifact
+    and commit it through the manifest pointer — the train-once shape
+    BASELINE.md's two-level fix note promises ('at deployment the
+    levels are persisted artifacts… the trainer term is paid once').
+    Three immutable segments per version: the coarse centroids
+    (l1cent, k1 rows), the per-cell sub-centroids (l2cent, ≤k1*k2
+    rows — one more broadcastable parquet), and the routed corpus
+    postings PARTITIONED BY the coarse cell c1 (bounded dir count:
+    k1 ~ sqrt(n/c) directories, each holding its sub-cell column —
+    partitioning by (c1, c2) would create ~n/c dirs, a small-files
+    explosion at corpus scale). Same IVF rebuild discipline: publish
+    deletes nothing, the post-publish vacuum retains the previous
+    epoch for pinned readers (``vacuum_keep``)."""
+    from ..operators.dedup import twolevel_train
+    from ..operators.similarity import _vectors
+
+    v = (vectors if vectors is not None else _vectors(spark, sf_dir)).cache()
+    cent1, cent2, assigned, pins = twolevel_train(v, k1, k2, iters)
+    ver = _next_version(path)
+    c1_dir, c2_dir = _seg("l1cent", ver), _seg("l2cent", ver)
+    post_dir = _seg("postings", ver)
+    posted = assigned.select("vec_id", "fe", "nrm", "c2", "c1")
+    cent1.write.mode("overwrite").parquet(os.path.join(path, c1_dir))
+    cent2.write.mode("overwrite").parquet(os.path.join(path, c2_dir))
+    posted.write.mode("overwrite").partitionBy("c1").parquet(
+        os.path.join(path, post_dir)
+    )
+    _publish(
+        path,
+        {
+            "version": ver,
+            "kind": "twolevel",
+            "segments": {
+                "l1cent": c1_dir,
+                "l2cent": c2_dir,
+                "postings": [post_dir],
+            },
+            "schemas": {
+                "l1cent": cent1.schema.json(),
+                "l2cent": cent2.schema.json(),
+                "postings": posted.schema.json(),
+            },
+            "params": {"k1": k1, "k2": k2, "iters": iters},
+        },
+    )
+    for pinned in (*pins, cent1, cent2, assigned):
+        pinned.unpersist()
+    vacuum_index(path, keep_versions=vacuum_keep)
+
+
+def read_twolevel_centroids(
+    spark: SparkSession, path: str, manifest: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(cent1: gid(=0)/cid/c_q, cent2: gid(=coarse cid)/cid/c_q) at the
+    current committed manifest — the two broadcastable routing tables."""
+    m = manifest or _require(path, "twolevel")
+    cent1 = _read_segments(
+        spark, path, [m["segments"]["l1cent"]], m["schemas"]["l1cent"]
+    ).select("gid", "cid", "c_q")
+    cent2 = _read_segments(
+        spark, path, [m["segments"]["l2cent"]], m["schemas"]["l2cent"]
+    ).select("gid", "cid", "c_q")
+    return cent1, cent2
+
+
+def read_twolevel_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load the persisted two-level router at its current manifest:
+    (cent1, cent2, postings: c1/c2/vec_id/fe/nrm). Manifest-recorded
+    schemas throughout — no inference, partition column c1 comes back
+    long with no cast."""
+    m = _require(path, "twolevel")
+    cent1, cent2 = read_twolevel_centroids(spark, path, m)
+    postings = _read_segments(
+        spark, path, m["segments"]["postings"], m["schemas"]["postings"]
+    ).select("c1", "c2", "vec_id", "fe", "nrm")
+    return cent1, cent2, postings
+
+
+def upsert_twolevel_postings(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> None:
+    """Route an increment (vec_id/fe/nrm) under the PERSISTED two-level
+    centroids (route_twolevel — the trainer's own final-assign law, two
+    broadcast joins) and commit it as one new postings segment — the
+    daily-ingest path where the trainer term is never paid again. Same
+    idempotent-retry semantics as upsert_ivf_postings: the segment dir
+    is named by its manifest version, a failed run's torn dir is
+    unreferenced and overwritten by the retry; an empty batch commits
+    nothing. Pass a cached or file-backed frame (the empty-batch guard
+    evaluates the lineage once more than the write does)."""
+    from ..operators.dedup import route_twolevel
+
+    if new_vectors.select("vec_id").first() is None:
+        return
+    m = _require(path, "twolevel")
+    cent1, cent2 = read_twolevel_centroids(spark, path, m)
+    routed = route_twolevel(new_vectors, cent1, cent2).select(
+        "vec_id", "fe", "nrm", "c2", "c1"
+    )
+    ver = _next_version(path)
+    seg = _seg("postings", ver, "-upsert")
+    routed.write.mode("overwrite").partitionBy("c1").parquet(
+        os.path.join(path, seg)
+    )
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
+    _publish(path, m2)
+
+
 # --- PQ index -----------------------------------------------------------------
 
 _PQ_CODES_STREAM = "codes_stream"

@@ -1038,3 +1038,84 @@ def test_compact_never_fences_a_gap_batch(spark, sf_dir, tmp_path):
     assert not os.path.isdir(os.path.join(path, "postings_stream"))
     rows = seen()
     assert len(rows) == n_all and len(set(rows)) == n_all
+
+
+def test_persisted_twolevel_matches_inline(spark, sf_dir):
+    got = _rows(SPECS["dedup_embedding_twolevel_persisted"].builder(spark, sf_dir))
+    want = _rows(SPECS["dedup_embedding_twolevel"].builder(spark, sf_dir))
+    assert got == want
+
+
+def test_persisted_twolevel_search_plan_has_no_trainer(spark, sf_dir):
+    """The whole point of persisting the router: the search plan starts
+    from parquet scans of the committed postings — zero Generate
+    (posexplode) stages, which only the quantized-Lloyd centroid-update
+    rounds produce."""
+    df = SPECS["dedup_embedding_twolevel_persisted"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "trainer leaked into the search plan"
+    assert "Scan parquet" in plan
+
+
+def test_twolevel_upsert_equals_rebuild_under_same_centroids(spark, sf_dir, tmp_path):
+    """The incremental law for the two-level router: build on the base
+    slice, route the new slice under the PERSISTED centroids — the
+    postings must equal routing the UNION corpus under those same
+    centroids in one shot (which also pins route_twolevel ≡ the
+    trainer's own final assignment), covering every vector exactly
+    once."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+        route_twolevel,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_twolevel_index,
+        upsert_twolevel_postings,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm").cache()
+    write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS, vectors=base)
+    upsert_twolevel_postings(spark, path, new)
+    cent1, cent2, postings = read_twolevel_index(spark, path)
+    want = {
+        (r.vec_id, r.c1, r.c2)
+        for r in route_twolevel(v, cent1, cent2)
+        .select("vec_id", "c1", "c2")
+        .collect()
+    }
+    got = {
+        (r.vec_id, r.c1, r.c2)
+        for r in postings.select("vec_id", "c1", "c2").collect()
+    }
+    assert got == want
+    assert len(got) == v.count()
+
+
+def test_twolevel_empty_upsert_commits_nothing(spark, sf_dir, tmp_path):
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        upsert_twolevel_postings,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS)
+    before = current_manifest(path)["version"]
+    empty = _vectors(spark, sf_dir).select("vec_id", "fe", "nrm").limit(0)
+    upsert_twolevel_postings(spark, path, empty)
+    assert current_manifest(path)["version"] == before
