@@ -24,6 +24,7 @@ from ..functions.hashing import (
     P61,
     digest_pair,
     hash60,
+    seeded_hash60,
     shingles_from_words,
     sql_hash60,
     sql_combined_hash,
@@ -820,6 +821,178 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         # A pair within threshold can collide on several bands; distinct is
         # exact because hamming is a function of (d1, d2).
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Width-parameterized simhash (round 12 — closes dedup_simhash_banded's
+# classified 50x regime bound: exact-recall banding needs sketch width to
+# grow with log(n), BASELINE.md round-11 probe)
+# ---------------------------------------------------------------------------
+
+# The sketch is WIDE_WORDS independent 60-bit simhash words (hash60 is the
+# repo's full per-hash width; word w uses the seed-w hash family), read as
+# one WIDE_BITS-bit sketch. Banding derives from the COLLISION BUDGET, not
+# from the old fixed width: uncorrelated pairs collide on a band with
+# probability 2^-band_bits, so candidate volume is B * n^2 / 2^band_bits and
+# bounded-per-doc candidates need band_bits >= log2(B * n / c). 20-bit bands
+# hold the budget to c collisions/doc past n ~ c * 2^20 / B corpus docs —
+# three decades beyond the 32-bit row's ~5-bit bands. Exact recall keeps
+# bands = h + 1 (pigeonhole), so the total width is (h+1) * band_bits = 120.
+WIDE_WORD_BITS = 60
+WIDE_HAMMING_MAX = 5
+WIDE_BANDS = WIDE_HAMMING_MAX + 1  # pigeonhole: exact recall at Hamming <= h
+WIDE_BAND_BITS = 20  # the collision-budget knob: log2(B*n/c) headroom
+WIDE_BITS = WIDE_BANDS * WIDE_BAND_BITS
+WIDE_WORDS = WIDE_BITS // WIDE_WORD_BITS
+_WIDE_BANDS_PER_WORD = WIDE_WORD_BITS // WIDE_BAND_BITS
+assert WIDE_BITS % WIDE_WORD_BITS == 0 and WIDE_WORD_BITS % WIDE_BAND_BITS == 0
+
+
+def _sql_simhash_wide_cte() -> str:
+    from ..functions.hashing import sql_seeded_hash60, sql_word_shingles
+
+    hsel = ", ".join(
+        f"{sql_seeded_hash60(w, 'token')} AS h{w}" for w in range(WIDE_WORDS)
+    )
+    bit_sums, folds = [], []
+    for w in range(WIDE_WORDS):
+        bit_sums.extend(
+            f"SUM(CASE WHEN (h{w} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{w}_{j}"
+            for j in range(WIDE_WORD_BITS)
+        )
+        folds.append(
+            " + ".join(
+                f"CASE WHEN b{w}_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+                for j in range(WIDE_WORD_BITS)
+            )
+            + f" AS w{w}"
+        )
+    return f"""
+    wsh0 AS (
+        SELECT doc_id, {sql_word_shingles(3)} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    wtok AS (SELECT doc_id, unnest(shingles) AS token FROM wsh0),
+    wth AS (SELECT doc_id, {hsel} FROM wtok),
+    wbits AS (SELECT doc_id, {", ".join(bit_sums)} FROM wth GROUP BY doc_id),
+    widesh AS (SELECT doc_id, {", ".join(folds)} FROM wbits)
+    """
+
+
+def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE_BITS-bit simhash as WIDE_WORDS per-doc 60-bit words
+    (columns w0..w{k}), each word the zero-shuffle array fold of
+    _simhashes over its own seeded hash family — one shingle pass, all
+    words computed row-locally from the same shingles array, still no
+    exploded intermediate and no groupBy exchange."""
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(WIDE_WORD_BITS)])
+    sh = _doc_shingles(spark, sf_dir, require_shingles=True)
+
+    def fold_word(w: int) -> F.Column:
+        hs = F.transform("shingles", lambda s: seeded_hash60(w, s))
+        counts = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0), WIDE_WORD_BITS),
+            lambda acc, h: F.zip_with(
+                acc,
+                powers,
+                lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                powers,
+                lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return sh.select(
+        "doc_id", *[fold_word(w).alias(f"w{w}") for w in range(WIDE_WORDS)]
+    )
+
+
+def _wide_hamming(a: str, b: str) -> F.Column:
+    return sum(
+        F.bit_count(F.col(f"{a}.w{w}").bitwiseXOR(F.col(f"{b}.w{w}")))
+        for w in range(WIDE_WORDS)
+    )
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=f"""
+    WITH {_sql_simhash_wide_cte()}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST({" + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(WIDE_WORDS))}
+               AS INTEGER) AS hamming
+    FROM widesh a JOIN widesh b ON a.doc_id < b.doc_id
+    WHERE {" + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(WIDE_WORDS))}
+          <= {WIDE_HAMMING_MAX}
+    """,
+    tags=("dedup", "sketch"),
+    window_defer=True,
+    doc=f"WIDTH-PARAMETERIZED simhash banding — the scale-safe variant "
+    "closing dedup_simhash_banded's classified regime bound (round-11 "
+    "sf10 probe: fixed 32-bit sketches give B*n^2/2^5-ish uncorrelated "
+    f"band collisions — 50x wall at the second decade). Sketch = "
+    f"{WIDE_WORDS} independent seeded 60-bit simhash words read as one "
+    f"{WIDE_BITS}-bit sketch; bands are sized FROM THE COLLISION "
+    f"BUDGET: band_bits = {WIDE_BAND_BITS} puts uncorrelated-pair "
+    f"candidate volume at {WIDE_BANDS}*n^2/2^{WIDE_BAND_BITS} — "
+    "bounded per-doc candidates three decades past the 32-bit row — "
+    f"while bands = h+1 = {WIDE_BANDS} keeps pigeonhole-exact recall, "
+    "so the all-pairs SQL is still the oracle. THE RESTATED THRESHOLD: "
+    f"Hamming <= {WIDE_HAMMING_MAX} of {WIDE_BITS} bits is a TIGHTER "
+    "similarity contract than the same count of 32 (E[hamming] = "
+    "w*theta/pi, so h/w is the angle bound — ~7.5 degrees here vs ~28); "
+    "that trade is structural: at fixed h, exact-recall banding scales "
+    "by widening bands (w = (h+1)*log2((h+1)*n/c)), which tightens "
+    "h/w — the growth law the 32-bit docstring states, now "
+    "implemented. Fixture pins: wide pairs are a subset of both the "
+    "32-bit pairs and the dedup_minhash_lsh verdicts "
+    "(tests/test_dedup.py). Same plan shape as the banded row: "
+    "zero-shuffle sketch fold, posexplode to (band_id, band_val), one "
+    "equi-join keyed on the band value, exact Hamming filter, distinct.",
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache(): same semantic barrier as dedup_simhash_banded — without it
+    # CollapseProject inlines the word folds into every band expression
+    # and both join sides.
+    sh = _simhash_wide(spark, sf_dir).cache()
+    band_vals = F.array(
+        *[
+            F.shiftright(
+                f"w{i // _WIDE_BANDS_PER_WORD}",
+                WIDE_BAND_BITS * (i % _WIDE_BANDS_PER_WORD),
+            ).bitwiseAND(F.lit((1 << WIDE_BAND_BITS) - 1))
+            for i in range(WIDE_BANDS)
+        ]
+    )
+    bands = sh.select(
+        "doc_id",
+        *[f"w{w}" for w in range(WIDE_WORDS)],
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            _wide_hamming("a", "b").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= WIDE_HAMMING_MAX)
         .distinct()
     )
 

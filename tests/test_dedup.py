@@ -118,3 +118,72 @@ def test_twolevel_catches_planted_near_dups(spark, sf_dir):
     assert not missing, f"{len(missing)} planted near-dups missed: {sorted(missing)[:5]}"
     for pair in planted:
         assert found[pair] > 0.999, (pair, found[pair])
+
+
+def test_simhash_wide_is_tighter_subset_of_banded(spark, sf_dir):
+    """The restated-threshold contract: Hamming <= 5 of 120 bits is a
+    strictly tighter similarity bound than <= 5 of 32, so every wide
+    pair must also be a 32-bit pair (and the wide set must be non-empty
+    on the fixture — the planted near-dups survive the tighter bound)."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    wide = specs["dedup_simhash_wide"].builder(spark, sf_dir).select("d1", "d2")
+    narrow = specs["dedup_simhash_banded"].builder(spark, sf_dir).select("d1", "d2")
+    assert wide.count() > 0
+    assert wide.join(narrow, ["d1", "d2"], "left_anti").count() == 0
+
+
+def test_simhash_wide_agrees_with_minhash_verdicts(spark, sf_dir):
+    """Recall cross-check against the independent MinHash LSH verdicts
+    (VERDICT r11 item 2): nearly every pair the wide sketch confirms at
+    its tight Hamming bound is also a dedup_minhash_lsh near-dup
+    verdict on the planted-near-dup fixture. NOT an exact subset: the
+    two families measure different similarities — simhash is a
+    weighted-cosine over shingle FREQUENCIES, minhash estimates SET
+    Jaccard — so a doc pair dominated by repeated shingles can sit
+    inside the angular bound yet below the Jaccard threshold (one such
+    pair exists at sf0.001). Agreement >= 80% pins that the families
+    coincide except at that semantic margin."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    wide = specs["dedup_simhash_wide"].builder(spark, sf_dir).select("d1", "d2")
+    mh = specs["dedup_minhash_lsh"].builder(spark, sf_dir).select("d1", "d2")
+    n_wide = wide.count()
+    n_agree = wide.join(mh, ["d1", "d2"], "left_semi").count()
+    assert n_wide > 0 and n_agree / n_wide >= 0.8
+
+
+def test_simhash_wide_band_values_fit_band_width(spark, sf_dir):
+    """Every extracted band value must fit in WIDE_BAND_BITS bits (a
+    mis-sized shift/mask would silently merge or split buckets — recall
+    still exact by pigeonhole, but the collision budget broken)."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        WIDE_BAND_BITS,
+        WIDE_BANDS,
+        _WIDE_BANDS_PER_WORD,
+        _simhash_wide,
+    )
+
+    sh = _simhash_wide(spark, sf_dir)
+    band_vals = F.array(
+        *[
+            F.shiftright(
+                f"w{i // _WIDE_BANDS_PER_WORD}",
+                WIDE_BAND_BITS * (i % _WIDE_BANDS_PER_WORD),
+            ).bitwiseAND(F.lit((1 << WIDE_BAND_BITS) - 1))
+            for i in range(WIDE_BANDS)
+        ]
+    )
+    row = sh.select(
+        F.posexplode(band_vals).alias("band_id", "band_val")
+    ).agg(
+        F.min("band_val").alias("lo"),
+        F.max("band_val").alias("hi"),
+        F.count_distinct("band_id").alias("nb"),
+    ).collect()[0]
+    assert row.lo >= 0 and row.hi < (1 << WIDE_BAND_BITS)
+    assert row.nb == WIDE_BANDS

@@ -928,3 +928,15 @@ def test_pagerank_iteration_join_reuses_cached_sort_order(spark, sf_dir):
             "per-iteration sort/exchange on the edge side regressed:\n"
             + "\n".join(between)
         )
+
+
+def test_simhash_wide_has_no_nested_loop_and_caches_sketch(spark, sf_dir):
+    """Same two pins as the 32-bit banded row, for the width-
+    parameterized variant: candidates join hash-keyed on band values
+    (never BNLJ/cartesian), and both self-join sides read the cached
+    multi-word sketch frame instead of re-inlining the word folds."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, sf_dir, "dedup_simhash_wide")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
