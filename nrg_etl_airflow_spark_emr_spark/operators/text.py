@@ -2653,3 +2653,110 @@ def text_bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bpe_artifacts(spark, sf_dir, path)  # the once-per-corpus train
     vocab = spark.read.parquet(os.path.join(path, "vocab"))
     return _bpe_encode_with_vocab(spark, sf_dir, vocab)
+
+
+# ---------------------------------------------------------------------------
+# C4-style within-corpus line dedup (round 12 — the one standard LLM-corpus
+# preprocessing stage the catalog lacked: repeated-span/boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 8  # fixture "line" = 8-word segment (the corpus has no newlines)
+# Position encoding for the global keep-first rule: one BIGINT per
+# occurrence, ordered like (doc_id, pos). Exact while pos < 1e9 and
+# doc_id < ~9.2e9 — far past any corpus this engine targets per-table.
+_LINE_ENC = 1_000_000_000
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, CAST(floor((ord - 1) / {LINE_WORDS}) AS BIGINT) AS pos,
+               string_agg(word, ' ' ORDER BY ord) AS line
+        FROM w GROUP BY doc_id, floor((ord - 1) / {LINE_WORDS})
+    ),
+    enc AS (
+        SELECT doc_id, pos, line, md5(line) AS lh,
+               doc_id * {_LINE_ENC} + pos AS e
+        FROM lines
+    ),
+    firsts AS (SELECT lh, MIN(e) AS fe FROM enc GROUP BY lh)
+    SELECT doc_id,
+           COALESCE(string_agg(line, ' ' ORDER BY pos)
+                        FILTER (WHERE e = fe), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE e = fe) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE e <> fe) AS BIGINT) AS n_dropped
+    FROM enc JOIN firsts USING (lh)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+    window_defer=True,
+    doc="C4-style repeated-span dedup WITHIN documents, corpus-wide — "
+    "the preprocessing stage that strips boilerplate/duplicated spans "
+    "while keeping documents intact (C4 discards all but one of any "
+    f"span occurring more than once in the dataset). A 'line' is a "
+    f"fixed {LINE_WORDS}-word segment (the fixture corpus has no "
+    "newlines; on real text swap the segmenter for split-on-newline — "
+    "the pipeline after it is unchanged). Fully relational, the shape "
+    "VERDICT r11 prescribed: row-local segmentation (no explode until "
+    "the segment frame), posexplode to (doc_id, pos, line), a "
+    "16-byte-digest groupBy finds each line's globally FIRST "
+    "occurrence (min (doc_id, pos), encoded as one BIGINT), every "
+    "later occurrence drops, and per-doc sort_array(collect_list) "
+    "reassembles surviving lines in original order. The shuffles "
+    "carry md5 digests and line segments once each — never the "
+    "document bodies twice — and the final aggregate is one exchange "
+    "keyed on doc_id. Unique lines keep trivially (they ARE their "
+    "group's minimum), so the single keep rule has no threshold "
+    "parameter to tune. Empty-after-dedup documents stay in the "
+    "output with clean_text = '' (corpus accounting needs the row).",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(spread(t(spark, sf_dir, "documents").select("doc_id", "text")))
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """The relational core of text_line_dedup over any (doc_id, text)
+    frame — exposed so the crafted-boilerplate pin (tests/test_text*)
+    can drive it on a corpus with known repeated segments."""
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(LINE_WORDS)).cast("int")
+    segs = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * LINE_WORDS + 1, LINE_WORDS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        "doc_id", F.posexplode(segs).alias("pos", "line")
+    ).select(
+        "doc_id",
+        "pos",
+        "line",
+        F.md5("line").alias("lh"),
+        (F.col("doc_id") * F.lit(_LINE_ENC) + F.col("pos")).alias("e"),
+    )
+    firsts = ex.groupBy("lh").agg(F.min("e").alias("fe"))
+    flagged = ex.join(firsts, "lh").select(
+        "doc_id", "pos", "line", (F.col("e") == F.col("fe")).alias("keep")
+    )
+    kept_lines = F.transform(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("pos", "line", "keep"))),
+            lambda s: s["keep"],
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(kept_lines, " ").alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )

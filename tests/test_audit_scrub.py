@@ -352,3 +352,36 @@ def test_embedding_audit_reports_on_fully_null_feed(spark, tmp_path_factory):
     assert sorted(orows) == sorted(
         tuple(r) for r in spec.builder(spark, str(root)).collect()
     )
+
+
+def test_line_dedup_crafted_boilerplate_corpus(spark):
+    """text_line_dedup's keep-first law on a crafted corpus (VERDICT
+    r11 item 5): a boilerplate segment shared by three docs survives
+    only in the lowest (doc_id, pos); a doc that was ALL boilerplate
+    stays in the output with empty clean_text; unique docs pass
+    through untouched; a within-doc repeat keeps its first occurrence.
+    Segments are aligned 8-word windows (LINE_WORDS)."""
+    from nrg_etl_airflow_spark_emr_spark.operators.text import line_dedup
+
+    boil = "click here to accept cookies and continue reading"
+    rep = "repeated span inside one single document body here"
+    rows = [
+        (10, boil + " alpha beta gamma delta epsilon zeta eta theta"),
+        (20, boil + " one two three four five six seven eight"),
+        (30, boil),
+        (40, "totally unique words in this very document friend"),
+        (50, rep + " " + rep),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert len(got) == 5  # every doc still present, even if emptied
+    assert got[10].clean_text == rows[0][1]  # first occurrence keeps all
+    assert (got[10].n_kept, got[10].n_dropped) == (2, 0)
+    assert got[20].clean_text == "one two three four five six seven eight"
+    assert (got[20].n_kept, got[20].n_dropped) == (1, 1)
+    assert got[30].clean_text == "" and got[30].n_kept == 0
+    assert got[30].n_dropped == 1
+    assert got[40].clean_text == rows[3][1]
+    assert (got[40].n_kept, got[40].n_dropped) == (1, 0)
+    assert got[50].clean_text == rep  # within-doc repeat: first kept
+    assert (got[50].n_kept, got[50].n_dropped) == (1, 1)
