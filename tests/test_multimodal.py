@@ -55,15 +55,52 @@ def test_catalog_queries_emit_only_scalar_columns(spark, sf_dir):
     assert not offenders, offenders
 
 
-def test_decode_meta_deterministic(spark, sf_dir):
-    rows = {r.doc_id: (r.width, r.height, r.n_channels)
-            for r in SPECS["mm_decode_meta"].builder(spark, sf_dir).collect()}
+def test_decode_meta_cross_codec(spark, sf_dir):
+    """mm_decode_meta's round-12 cross-codec semantics: every document's
+    pixel law renders to BOTH containers and decodes back pixel-equal;
+    metadata follows the parity law; pixel_sum matches a local NumPy
+    recomputation of the sampled clamped codepoints."""
+    import numpy as np
+
+    rows = {
+        r.doc_id: r
+        for r in SPECS["mm_decode_meta"].builder(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE length(text) >= 1"
+    ).fetchall()
+    assert set(rows) == {d for d, _ in texts}
+    for doc_id, text in texts:
+        r = rows[doc_id]
+        assert (r.width, r.height) == (8, 8)
+        assert r.n_channels == (1 if doc_id % 2 == 0 else 3)
+        assert r.cross_equal
+        n = len(text)
+        codes = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+        idx = (np.arange(64) * n) // 64
+        assert r.pixel_sum == int(np.minimum(codes[idx], 255).sum())
+
+
+def test_fake_decode_dispatch_on_text_payloads(spark, sf_dir):
+    """The non-image fallback keeps its cover now that the catalog row
+    decodes real renders: text bytes dispatch to the deterministic fake
+    through the original decode_image_batches kernel."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+        .limit(50)
+    )
+    typed = docs.mapInPandas(mm.decode_image_batches, schema=mm.DECODED_SCHEMA)
+    rows = {r.doc_id: (r.width, r.height, r.n_channels) for r in typed.collect()}
     con = duckdb.connect()
     texts = con.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     for doc_id, text in texts:
-        assert rows[doc_id] == mm.fake_decode_image(text.encode("utf-8"))
+        if doc_id in rows:
+            assert rows[doc_id] == mm.fake_decode_image(text.encode("utf-8"))
 
 
 def test_decode_rejects_unknown_format():
