@@ -1119,3 +1119,111 @@ def test_twolevel_empty_upsert_commits_nothing(spark, sf_dir, tmp_path):
     empty = _vectors(spark, sf_dir).select("vec_id", "fe", "nrm").limit(0)
     upsert_twolevel_postings(spark, path, empty)
     assert current_manifest(path)["version"] == before
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.sampled_from(["upsert", "stream", "compact", "vacuum", "rebuild"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(_OPS)
+@settings(max_examples=5, deadline=None)
+def test_manifest_schedule_property(spark, sf_dir, ops):
+    """Randomized-interleaving property for the manifest layer (VERDICT
+    r11 item 6 — the crash matrix covers kill-POINTS sequentially; this
+    covers operation SCHEDULES): for every generated maintenance
+    schedule over one index, (a) a reader pinned immediately before
+    each operation still collects its exact pre-operation snapshot
+    AFTER the operation completes — bounded staleness, never loss or
+    duplication (the table-format snapshot-isolation contract, within
+    the retention window: each pinned read finishes before the next
+    operation, and every publish path retains the previous epoch);
+    (b) a fresh read after each operation sees every ingested vector
+    exactly once; (c) committed manifest versions never go backward.
+    Data ops draw disjoint corpus slices; stream batches land as
+    committed ingest dirs at the next contiguous id (the artifact
+    stream_ingest_ivf produces)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _max_committed_batch,
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_centroids,
+        read_ivf_index,
+        upsert_ivf_postings,
+        vacuum_index,
+        write_ivf_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="tl_sched_")
+    try:
+        v = _vectors(spark, sf_dir).cache()
+        slices = [
+            v.filter(F.col("vec_id") % 4 == i).select("vec_id", "fe", "nrm").cache()
+            for i in range(4)
+        ]
+        write_ivf_index(spark, sf_dir, path, vectors=slices[0])
+        expected = {r.vec_id for r in slices[0].select("vec_id").collect()}
+        next_slice = 1
+
+        def snapshot() -> list[int]:
+            _, p = read_ivf_index(spark, path)
+            return [r.vec_id for r in p.select("vec_id").collect()]
+
+        ver = current_manifest(path)["version"]
+        for op in ops:
+            before = set(expected)
+            pinned_cent, pinned_post = read_ivf_index(spark, path)  # pin pre-op
+            if op in ("upsert", "stream") and next_slice < len(slices):
+                sl = slices[next_slice]
+                next_slice += 1
+                if op == "upsert":
+                    upsert_ivf_postings(spark, path, sl)
+                else:
+                    nb = _max_committed_batch(path, "postings_stream") + 1
+                    cent = read_ivf_centroids(spark, path)
+                    (
+                        ivf_assign(sl, cent)
+                        .write.mode("overwrite")
+                        .partitionBy("cid")
+                        .parquet(
+                            os.path.join(path, "postings_stream", f"ingest_batch={nb}")
+                        )
+                    )
+                expected |= {r.vec_id for r in sl.select("vec_id").collect()}
+            elif op == "compact":
+                compact_ivf_index(spark, path)
+            elif op == "vacuum":
+                vacuum_index(path)
+            elif op == "rebuild":
+                _, corpus = read_ivf_index(spark, path)
+                corpus = corpus.select("vec_id", "fe", "nrm").cache()
+                corpus.count()
+                write_ivf_index(spark, sf_dir="", path=path, vectors=corpus)
+            # (a) the pinned reader's snapshot survives the operation
+            pinned_rows = [r.vec_id for r in pinned_post.select("vec_id").collect()]
+            assert len(pinned_rows) == len(before)
+            assert set(pinned_rows) == before
+            # (b) fresh read: exactly-once over everything ingested
+            rows = snapshot()
+            assert len(rows) == len(expected)
+            assert set(rows) == expected
+            # (c) committed version is monotone
+            v2 = current_manifest(path)["version"]
+            assert v2 >= ver
+            ver = v2
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        spark.catalog.clearCache()
