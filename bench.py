@@ -97,6 +97,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
 from nrg_etl_airflow_spark_emr_spark.session import get_spark
 
+# Spark-native session-quality canary (round 12). The numpy canary above
+# measures the HOST from a subprocess; the round-11 anchor session showed
+# it can move 3.4x while JVM throughput is unchanged (BASELINE.md anchor
+# note), so bench validity needs a canary INSIDE the bench JVM. Workload:
+# sum(bit_count(xxhash64(id))) over spark.range — fixed, seeded, fully
+# whole-stage-codegen, no I/O — once on 1 partition (single-core JVM
+# throughput) and once on 32 (machine-wide). Row counts sized to ~0.3s
+# each on a quiet host; checksums asserted so a changed plan can never
+# silently time a different job.
+_SPARK_CANARY_1P_ROWS = 40_000_000
+_SPARK_CANARY_32P_ROWS = 640_000_000
+_SPARK_CANARY_1P_SUM = 1_279_979_751
+_SPARK_CANARY_32P_SUM = 20_479_905_076
+
+
+def run_spark_canary(spark) -> dict[str, float]:
+    """Time the fixed in-JVM canary job at 1 and 32 partitions. Quiet
+    band on this host: ~0.28-0.40s each (BASELINE.md "Host
+    calibration" — the split rule reads THIS canary first; the numpy
+    pair remains as ambient-host telemetry). Returns
+    {spark_canary_1p, spark_canary_32p}, or a spark_canary_err key —
+    never raises, same omission rule as run_canary."""
+    from pyspark.sql import functions as F
+
+    def run(n: int, parts: int) -> int:
+        df = (
+            spark.range(0, n, 1, parts)
+            .select(F.bit_count(F.xxhash64("id")).alias("h"))
+            .agg(F.sum("h").alias("s"))
+        )
+        return df.collect()[0]["s"]
+
+    try:
+        run(1_000_000, 1)  # untimed warm-up: pays codegen once
+        t0 = time.perf_counter()
+        c1 = run(_SPARK_CANARY_1P_ROWS, 1)
+        t1 = time.perf_counter()
+        t2 = time.perf_counter()
+        c32 = run(_SPARK_CANARY_32P_ROWS, 32)
+        t3 = time.perf_counter()
+        if c1 != _SPARK_CANARY_1P_SUM or c32 != _SPARK_CANARY_32P_SUM:
+            return {"spark_canary_err": f"checksum mismatch {c1}/{c32}"}
+        return {
+            "spark_canary_1p": round(t1 - t0, 4),
+            "spark_canary_32p": round(t3 - t2, 4),
+        }
+    except Exception as e:  # canary must never sink the bench itself
+        return {"spark_canary_err": str(e)[:200]}
+
 
 def make_spill_probe(spark):
     """Per-query shuffle-spill capture from the live AppStatusStore.
@@ -164,6 +213,7 @@ def main() -> None:
     canary = run_canary()  # before the Spark session exists
 
     spark = get_spark(app_name="engine-bench")
+    canary.update(run_spark_canary(spark))  # in-JVM session quality, start
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
@@ -220,6 +270,9 @@ def main() -> None:
     # start one, measures the host with no resident bench JVM — otherwise
     # the JVM's own GC/background threads inflate canary_32t_end and a
     # quiet run reads as "load arrived mid-run" (review finding).
+    # In-JVM end canary BEFORE the session stops (it needs the session);
+    # the numpy end canary still runs after stop, host-only as before.
+    canary.update({f"{k}_end": v for k, v in run_spark_canary(spark).items()})
     spark.stop()
     canary.update({f"{k}_end": v for k, v in run_canary().items()})
     full = {

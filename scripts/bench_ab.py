@@ -35,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench import run_canary  # noqa: E402
+from bench import run_canary, run_spark_canary  # noqa: E402
 
 
 def main() -> None:
@@ -56,6 +56,7 @@ def main() -> None:
         sys.exit(f"unknown queries: {unknown}")
 
     spark = get_spark(app_name="bench-ab")
+    canary.update(run_spark_canary(spark))  # in-JVM session quality, start
     for q in args.queries:  # warm-up
         spark.catalog.clearCache()
         specs[q].builder(spark, args.sf).write.format("noop").mode("overwrite").save()
@@ -67,6 +68,9 @@ def main() -> None:
             t0 = time.perf_counter()
             specs[q].builder(spark, args.sf).write.format("noop").mode("overwrite").save()
             reps[q].append(round(time.perf_counter() - t0, 3))
+    spark_canary_end = {
+        f"{k}_end": v for k, v in run_spark_canary(spark).items()
+    }
     spark.stop()
 
     print(
@@ -80,6 +84,7 @@ def main() -> None:
                 # readers (BASELINE.md) never reach for the median.
                 "trusted_statistic": "min",
                 **canary,
+                **spark_canary_end,
                 **{f"{k}_end": v for k, v in run_canary().items()},
                 "queries": {
                     q: {
