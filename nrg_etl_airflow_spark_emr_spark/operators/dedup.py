@@ -781,9 +781,11 @@ _BAND_OFFSETS = [sum(_BAND_WIDTHS[:j]) for j in range(SIMHASH_BANDS)]
     "(w per band ~ log2(n/c), total bits = bands * w; hash60 supports "
     "up to 60), which changes the Hamming threshold's meaning — a "
     "corpus-sized parameterization, pinned here at the fixture width "
-    "for the oracle. For corpus-growing dedup at a FIXED similarity "
-    "contract, route through dedup_minhash_lsh (4.3x/decade, zero "
-    "spill, same probe) or dedup_embedding_twolevel's two-level law.",
+    "for the oracle — IMPLEMENTED in round 12 as dedup_simhash_wide "
+    "(120-bit sketch, 20-bit collision-budget bands). For corpus-"
+    "growing dedup at a FIXED similarity contract, route through "
+    "dedup_minhash_lsh (4.3x/decade, zero spill, same probe) or "
+    "dedup_embedding_twolevel's two-level law.",
 )
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache() is a semantic barrier, not just a speedup: _simhashes is a
