@@ -695,6 +695,71 @@ def upsert_twolevel_postings(
     _publish(path, m2)
 
 
+def twolevel_index_balance(spark: SparkSession, path: str) -> DataFrame:
+    """Per-BUCKET balance of the persisted router — the same
+    cell_balance law as the IVF audit, over the composite (c1, c2)
+    bucket id (what bounds same-bucket pair mass, the quantity the
+    two-level scale law holds at occupancy c). Metadata-weight at any
+    corpus scale."""
+    from ..operators.kmeans import cell_balance
+
+    _c1, _c2, postings = read_twolevel_index(spark, path)
+    m = _require(path, "twolevel")
+    k2 = int(m["params"]["k2"])
+    buckets = postings.select(
+        (F.col("c1") * F.lit(k2 + 1) + F.col("c2")).alias("cid")
+    )
+    return cell_balance(buckets)
+
+
+def maintain_twolevel_index(
+    spark: SparkSession, path: str, hot_ratio: float = HOT_CELL_RATIO
+) -> dict:
+    """Audit→retrain loop for the router, symmetric with
+    maintain_ivf_index: if the hottest (c1, c2) bucket exceeds
+    ``hot_ratio`` times the uniform share (pair-generation p99 is set
+    by the LARGEST bucket's occupancy — quadratic in it), retrain BOTH
+    levels over the index's CURRENT corpus (base + upserts — not the
+    original source table) and republish through the manifest. Returns
+    {rebuilt, n_buckets, max_share, threshold}."""
+    from ..operators.kmeans import cell_balance
+
+    m = _require(path, "twolevel")
+    _c1, _c2, postings = read_twolevel_index(spark, path)
+    k2 = int(m["params"]["k2"])
+    buckets = postings.select(
+        (F.col("c1") * F.lit(k2 + 1) + F.col("c2")).alias("cid")
+    )
+    bal = cell_balance(buckets)
+    stats = bal.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.max("n_postings").alias("mx"),
+        F.sum("n_postings").alias("tot"),
+    ).collect()[0]
+    n_buckets = stats["nb"] or 0
+    max_share = (stats["mx"] or 0) / max(stats["tot"] or 0, 1)
+    threshold = hot_ratio / max(n_buckets, 1)
+    rebuilt = max_share > threshold
+    if rebuilt:
+        corpus = postings.select("vec_id", "fe", "nrm").cache()
+        corpus.count()  # pin the old-manifest scan before its vacuum
+        write_twolevel_index(
+            spark,
+            sf_dir="",
+            path=path,
+            k1=int(m["params"]["k1"]),
+            k2=k2,
+            iters=int(m["params"]["iters"]),
+            vectors=corpus,
+        )
+    return {
+        "rebuilt": rebuilt,
+        "n_buckets": n_buckets,
+        "max_share": round(max_share, 6),
+        "threshold": round(threshold, 6),
+    }
+
+
 # --- PQ index -----------------------------------------------------------------
 
 _PQ_CODES_STREAM = "codes_stream"

@@ -1227,3 +1227,65 @@ def test_manifest_schedule_property(spark, sf_dir, ops):
     finally:
         shutil.rmtree(path, ignore_errors=True)
         spark.catalog.clearCache()
+
+
+def test_maintain_twolevel_index_rebuilds_on_hot_bucket(spark, sf_dir, tmp_path):
+    """Audit→retrain for the persisted router, symmetric with the IVF
+    loop: skewed upserts drive one (c1, c2) bucket hot (same-bucket
+    pair mass is quadratic in its occupancy), maintain_twolevel_index
+    observes it through the shared cell_balance law over composite
+    bucket ids, rebuilds BOTH levels over the index's current corpus,
+    and the post-rebuild audit reads less concentrated. The pair set
+    over the rebuilt index still covers every exact-duplicate clone
+    pair's keep verdict (the rebuild cannot lose near-dup coverage of
+    the hot mass — it re-buckets it)."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        maintain_twolevel_index,
+        read_twolevel_index,
+        twolevel_index_balance,
+        upsert_twolevel_postings,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    v = _vectors(spark, sf_dir).cache()
+    n_base = v.count()
+    write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS)
+    rep0 = maintain_twolevel_index(spark, path)
+    assert not rep0["rebuilt"], rep0
+
+    seed = v.filter(F.col("vec_id") == 100).select("fe", "nrm")
+    clones = (
+        spark.range(2 * n_base)
+        .select((F.col("id") + 20_000_000).alias("vec_id"))
+        .crossJoin(F.broadcast(seed))
+        .cache()
+    )
+    upsert_twolevel_postings(spark, path, clones)
+    bal = twolevel_index_balance(spark, path)
+    assert bal.agg(F.sum("n_postings")).collect()[0][0] == 3 * n_base
+
+    rep1 = maintain_twolevel_index(spark, path)
+    assert rep1["rebuilt"], rep1
+    assert rep1["max_share"] > rep1["threshold"]
+    rep2 = maintain_twolevel_index(spark, path)
+    assert rep2["max_share"] < rep1["max_share"], (rep1, rep2)
+    _c1, _c2, postings = read_twolevel_index(spark, path)
+    assert postings.count() == 3 * n_base  # rebuild kept the union corpus
+    # All clones share one embedding: after the rebuild they must still
+    # land in ONE bucket together (identical vectors cannot split).
+    clone_buckets = (
+        postings.filter(F.col("vec_id") >= 20_000_000)
+        .select("c1", "c2")
+        .distinct()
+        .count()
+    )
+    assert clone_buckets == 1
