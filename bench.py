@@ -130,7 +130,13 @@ def run_spark_canary(spark) -> dict[str, float]:
         return df.collect()[0]["s"]
 
     try:
-        run(1_000_000, 1)  # untimed warm-up: pays codegen once
+        # Untimed warm-ups at BOTH shapes: the 1-partition pass pays
+        # codegen; the 32-partition pass pays scheduler/thread-pool
+        # spin-up, which otherwise inflates the first session's
+        # spark_canary_32p ~2x (measured 0.75-0.92s vs 0.34-0.42s at
+        # session end with identical code).
+        run(1_000_000, 1)
+        run(64_000_000, 32)
         t0 = time.perf_counter()
         c1 = run(_SPARK_CANARY_1P_ROWS, 1)
         t1 = time.perf_counter()
