@@ -1315,11 +1315,16 @@ def dedup_embedding_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_ann_index.py). fe (array<bigint>) and nrm (double) "
     "round-trip parquet bit-exactly, so the persisted search hash-"
     "matches the inline path under the IDENTICAL two-level trainer "
-    "oracle. At 100 TB the build is a once-per-corpus maintenance job "
-    "and a daily increment routes via upsert_twolevel_postings — two "
-    "broadcast joins against bounded centroid tables, never a retrain "
-    "(the amortization BASELINE.md's two-level fix note promised; "
-    "build-vs-search split measured there).",
+    "oracle. LIKE ITS INLINE TWIN, the registered row pins the FIXTURE "
+    "level sizes (k1=k2=5) for the oracle gate, so same-bucket pair "
+    "mass is n^2/25 — quadratic past bench scale BY CONSTRUCTION; the "
+    "deployment path is the parameterized write_twolevel_index with "
+    "sqrt-sized levels, measured at sf10 with zero spill in "
+    "BASELINE.md's maintenance table (build 33.9s once, search 4.7s, "
+    "increment 4.1s). At 100 TB the build is a once-per-corpus "
+    "maintenance job and a daily increment routes via "
+    "upsert_twolevel_postings — two broadcast joins against bounded "
+    "centroid tables, never a retrain.",
 )
 def dedup_embedding_twolevel_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.ann_index import read_twolevel_index, write_twolevel_index

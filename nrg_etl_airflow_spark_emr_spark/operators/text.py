@@ -2723,8 +2723,29 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def line_dedup(docs: DataFrame) -> DataFrame:
     """The relational core of text_line_dedup over any (doc_id, text)
     frame — exposed so the crafted-boilerplate pin (tests/test_text*)
-    can drive it on a corpus with known repeated segments."""
+    can drive it on a corpus with known repeated segments.
+
+    Carries a derived-exactness guard (the _long_d2_guard discipline):
+    the keep-first rule encodes (doc_id, pos) as doc_id*1e9 + pos in
+    one BIGINT, exact only while pos < 1e9 and doc_id <= ~9.2e9. The
+    bound aggregate rides inside the returned plan and assert_true
+    raises on a corpus that exceeds it — never a silently wrong
+    minimum."""
     words = F.split(F.col("text"), " ")
+    n_lines_bound = F.ceil(F.size(words) / F.lit(LINE_WORDS))
+    guard_safe = (F.max(n_lines_bound) < F.lit(_LINE_ENC)) & (
+        F.max("doc_id") <= F.lit((2**63 - 1) // _LINE_ENC - 1)
+    )
+    guard = docs.agg(
+        F.assert_true(
+            F.coalesce(guard_safe, F.lit(True)),  # empty corpus → safe
+            F.lit(
+                "line_dedup: (doc_id, pos) exceeds the BIGINT encoding "
+                "bound (pos < 1e9, doc_id <= 9.2e9); widen _LINE_ENC "
+                "or switch the keep-first min to a struct"
+            ),
+        ).alias("enc_ok")
+    )
     n_lines = F.ceil(F.size(words) / F.lit(LINE_WORDS)).cast("int")
     segs = F.when(
         F.size(words) > 0,
@@ -2755,8 +2776,14 @@ def line_dedup(docs: DataFrame) -> DataFrame:
         ),
         lambda s: s["line"],
     )
-    return flagged.groupBy("doc_id").agg(
-        F.array_join(kept_lines, " ").alias("clean_text"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(kept_lines, " ").alias("clean_text"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("enc_ok").isNull())
+        .drop("enc_ok")
     )
