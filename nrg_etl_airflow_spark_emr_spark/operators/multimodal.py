@@ -100,17 +100,39 @@ def _histogram16(payload: bytes) -> list[int]:
 
 @register(
     "mm_byte_histogram",
-    oracle=None,  # python-kernel op; exactness is pinned by unit tests
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, ord(c) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents)
+    ),
+    agg AS (
+        SELECT doc_id,
+               {", ".join(f"CAST(SUM(CASE WHEN b // 16 = {k} THEN 1 ELSE 0 END) AS BIGINT) AS h{k}" for k in range(N_HIST_BINS))}
+        FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           concat_ws(',', {", ".join(f"COALESCE(h{k}, 0)" for k in range(N_HIST_BINS))})
+               AS hist_csv
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
     tags=("multimodal", "udf"),
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas with an explicit StructType output schema — the real "
-    "plumbing a decode/featurize stage uses at scale. Rows-only driver "
-    "check; tests/test_multimodal.py pins exact values against a local "
-    "recomputation. The catalog surface flattens the histogram array to "
-    "a CSV string so every output column is scalar (the verify driver's "
-    "canonicalizer cannot sort/hash array cells — the f8/a6 round-1 "
-    "lesson); the typed-array frame remains available via "
-    "byte_histogram_batches.",
+    "plumbing a decode/featurize stage uses at scale. HASH-GATED as of "
+    "round 12 (rows-only through r11): the 16-bin high-nibble byte "
+    "histogram the NumPy kernel computes is relationally replayable — "
+    "DuckDB chars → codepoints → nibble bins — EXACT on this corpus "
+    "because the fixture is pure ASCII (octet_length == length "
+    "verified), where codepoint == UTF-8 byte; the same single-byte "
+    "regime the phash image oracle already leans on. A multi-byte "
+    "corpus would diverge (the kernel bins BYTES, ord bins "
+    "CODEPOINTS) — the kernel is the production semantics. The "
+    "catalog surface flattens the histogram array to a CSV string so "
+    "every output column is scalar (the verify driver's canonicalizer "
+    "cannot sort/hash array cells — the f8/a6 round-1 lesson); the "
+    "typed-array frame remains available via byte_histogram_batches.",
 )
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
@@ -583,23 +605,109 @@ def audio_meta_batches(
         )
 
 
+_AUDIO_META_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bit_depth int, "
+    "n_samples long, duration_s double, sample_sum long"
+)
+
+
+def audio_cross_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc to a REAL RIFF/WAVE PCM payload (one 16-bit
+    sample per character from the clamped-codepoint law, rate by doc_id
+    parity), decode it back through the real chunk-walk decoder, and
+    emit the decoded metadata plus the EXACT integer sample sum — every
+    column predictable in SQL from the sample law. Samples sit on the
+    16-bit quantization grid, so encode→decode is lossless and the sum
+    is exact (|sum| <= 32768 * len(text), far inside float64's integer
+    range)."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "sample_rate", "n_channels", "bit_depth",
+                "n_samples", "duration_s", "sample_sum",
+            )
+        }
+        for d, s in zip(pdf["doc_id"], pdf["text"]):
+            codes = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+            s16 = (np.minimum(codes, 255) - 64) * 256
+            rate = 8000 if int(d) % 2 == 0 else 16000
+            wav = encode_wav((s16 / 32768.0)[:, None], rate, 16)
+            sr, nc, bd, ns, dec = decode_wav(wav)
+            out["doc_id"].append(int(d))
+            out["sample_rate"].append(sr)
+            out["n_channels"].append(nc)
+            out["bit_depth"].append(bd)
+            out["n_samples"].append(ns)
+            out["duration_s"].append(ns / sr)
+            out["sample_sum"].append(
+                int(np.round(dec * 32768.0).astype(np.int64).sum())
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                "bit_depth": pd.Series(out["bit_depth"], dtype="int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "duration_s": pd.Series(out["duration_s"], dtype="float64"),
+                "sample_sum": pd.Series(out["sample_sum"], dtype="int64"),
+            }
+        )
+
+
 @register(
     "mm_audio_meta",
-    oracle=None,  # python-kernel op; codec pinned by unit tests
+    oracle="""
+    WITH wch AS (
+        SELECT doc_id, ord(c) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents WHERE length(text) >= 1)
+    ),
+    wagg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((LEAST(b, 255) - 64) * 256) AS BIGINT) AS ssum
+        FROM wch GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END
+               AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bit_depth,
+           n AS n_samples,
+           CAST(n AS DOUBLE)
+               / (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+               AS duration_s,
+           ssum AS sample_sum
+    FROM wagg
+    """,
     tags=("multimodal", "udf"),
-    doc="Audio decode stage: binary payload → typed (sample_rate, "
-    "channels, bit_depth, n_samples, duration, rms) via mapInPandas. The "
-    "decoder is REAL for RIFF/WAVE PCM (pure NumPy chunk walk, 8/16/32-"
-    "bit, any channel count, word-aligned chunk skipping), dispatched on "
-    "magic bytes; non-audio payloads fall through to a deterministic "
-    "fake so the query stays total. tests/test_multimodal.py roundtrips "
-    "encode_wav↔decode_wav across depths/channel counts.",
+    window_defer=True,
+    doc="Audio decode stage, HASH-GATED end-to-end (rows-only through "
+    "r11; the mm_decode_meta cross-check discipline applied to the WAV "
+    "codec): every document renders to a REAL RIFF/WAVE PCM payload — "
+    "one 16-bit sample per character from the clamped-codepoint law, "
+    "8 kHz for even doc_ids / 16 kHz for odd, through the from-spec "
+    "encoder — then decodes back through the real chunk-walk decoder "
+    "(fmt parse, word-aligned chunk skipping). The query emits the "
+    "decoded metadata plus the EXACT integer sample sum; the oracle "
+    "predicts every column relationally from the sample law (samples "
+    "sit on the quantization grid, so the round-trip is lossless and "
+    "the sum exact — no float-aggregation caveat), making a single "
+    "flipped bit in either WAV codec a value-hash break. ASCII regime "
+    "note: ord() bins codepoints == UTF-8 bytes on this corpus (the "
+    "mm_byte_histogram note). The non-audio fake fallback and the "
+    "8/32-bit + multi-channel decode paths keep their unit-test cover "
+    "(tests/test_multimodal.py).",
 )
 def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 1).select(
+        "doc_id", "text"
     )
-    return docs.mapInPandas(audio_meta_batches, schema=AUDIO_SCHEMA)
+    return docs.mapInPandas(audio_cross_batches, schema=_AUDIO_META_SCHEMA)
 
 
 # --- Frame sampling (video-shaped payloads) ---------------------------------
@@ -774,23 +882,104 @@ def frame_sample_batches(
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # python-kernel fan-out; exactness pinned by unit tests
+    oracle=f"""
+    WITH fd AS (
+        SELECT doc_id, text, length(text) AS n,
+               1 + length(text) % 8 AS t
+        FROM documents WHERE length(text) >= 1
+    ),
+    fidx AS (
+        SELECT doc_id, n, t,
+               unnest(range(CASE WHEN t <= {N_FRAMES} THEN t
+                            ELSE {N_FRAMES} END)) AS i
+        FROM fd
+    ),
+    fpick AS (
+        SELECT doc_id, n, t, CAST(i AS INTEGER) AS frame_idx,
+               CASE WHEN t <= {N_FRAMES} THEN i
+                    ELSE i * t // {N_FRAMES} END AS src
+        FROM fidx
+    )
+    SELECT p.doc_id,
+           p.frame_idx,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(192 * LEAST(ord(substr(d.text,
+                    CAST(p.src * p.n // p.t AS INTEGER) + 1, 1)), 255)
+               AS BIGINT) AS pixel_sum
+    FROM fpick p JOIN fd d ON p.doc_id = d.doc_id
+    """,
     tags=("multimodal", "udf"),
-    doc="Frame sampling: one binary video fans out to N typed frame rows "
-    "through mapInPandas (row-generating kernel — the multimodal "
-    "analogue of explode). The sampler is REAL for RIFF/AVI payloads "
-    "(pure NumPy container codec: hdrl/movi/idx1 chunk walk, "
-    "uncompressed BI_RGB DIB frames, uniform temporal pick, each sampled "
-    "frame re-encoded as a standalone PNG), dispatched on magic bytes; "
-    "the text fixture falls through to a deterministic slicer so the "
-    "query stays total. encode_avi↔decode_avi roundtrips pinned in "
-    "tests/test_multimodal.py.",
+    window_defer=True,
+    doc="Frame sampling, HASH-GATED end-to-end (rows-only through r11; "
+    "the cross-check discipline applied to the video container): every "
+    "document renders to a REAL multi-frame RIFF/AVI — frame count "
+    "1..8 from the text length, each 8x8 RGB frame uniformly filled "
+    "with one clamped codepoint (the frame-value law), through the "
+    "from-spec encoder — then the REAL keyframe sampler runs "
+    "(decode_avi chunk walk, floor(i*total/N) uniform temporal pick, "
+    "per-frame PNG re-encode) and each sampled PNG decodes back to its "
+    "dimensions and EXACT pixel sum. The oracle replays the sampling "
+    "law AND the frame-value law relationally, so one flipped bit in "
+    "encode_avi/decode_avi/encode_png/decode_png OR one wrong pick in "
+    "the sampler breaks the value hash. One binary video still fans "
+    "out to N typed rows through mapInPandas (the multimodal analogue "
+    "of explode); the non-video slicer fallback and the raw-frame-"
+    "bytes surface (frame_sample_batches) keep unit-test cover.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 1).select(
+        "doc_id", "text"
     )
-    return docs.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
+    return docs.mapInPandas(frame_cross_batches, schema=_FRAME_CROSS_SCHEMA)
+
+
+_FRAME_CROSS_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "n_channels int, pixel_sum long"
+)
+
+
+def frame_cross_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc to a REAL multi-frame AVI (frame count 1..8 from
+    the text length, each 8x8 RGB frame uniformly filled with one
+    clamped codepoint of the text — the frame-value law), run the REAL
+    keyframe sampler (decode_avi → uniform picks → per-frame PNG
+    re-encode), decode each sampled PNG back, and emit its dimensions
+    and EXACT pixel sum (64 pixels * 3 channels * the law's value) —
+    every column predictable in SQL from the law, which is what makes
+    the video path hash-gatable."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, ws, hs, cs, sums = [], [], [], [], [], []
+        for d, s in zip(pdf["doc_id"], pdf["text"]):
+            n = len(s)
+            total = 1 + n % 8
+            codes = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+            vals = [min(int(codes[f * n // total]), 255) for f in range(total)]
+            frames = np.stack(
+                [np.full((8, 8, 3), v, dtype=np.uint8) for v in vals]
+            )
+            for i, png in enumerate(dispatch_sample_frames(encode_avi(frames))):
+                w, h, c, px = decode_png(png)
+                ids.append(int(d))
+                idxs.append(i)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                sums.append(int(px.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_channels": pd.Series(cs, dtype="int32"),
+                "pixel_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
 
 
 # --- Perceptual-hash near-dup (aHash + banded Hamming) ----------------------

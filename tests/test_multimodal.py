@@ -258,21 +258,62 @@ def test_decode_meta_real_images_through_spark(spark):
     assert rows[3] == mm.fake_decode_image(txt)
 
 
-def test_frame_sample_matches_python(spark, sf_dir):
+def test_frame_sample_fake_path_matches_python(spark, sf_dir):
+    """The non-video slicer fallback keeps its cover now that the
+    catalog row samples real AVI renders: text bytes dispatch to the
+    deterministic slicer through the original frame_sample_batches
+    kernel."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+        .limit(50)
+    )
     got: dict[tuple[int, int], bytes] = {}
-    for r in SPECS["mm_frame_sample"].builder(spark, sf_dir).collect():
+    for r in docs.mapInPandas(mm.frame_sample_batches, schema=mm.FRAME_SCHEMA).collect():
         got[(r.doc_id, r.frame_idx)] = bytes(r.frame)
     con = duckdb.connect()
     texts = con.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
-    n_expected = 0
+    seen_docs = {d for d, _ in got}
     for doc_id, text in texts:
+        if doc_id not in seen_docs:
+            continue
         frames = mm.sample_frames(text.encode("utf-8"))
-        n_expected += len(frames)
         for i, fr in enumerate(frames):
             assert got[(doc_id, i)] == fr
-    assert len(got) == n_expected
+        assert {k for k in got if k[0] == doc_id} == {
+            (doc_id, i) for i in range(len(frames))
+        }
+
+
+def test_frame_sample_cross_codec(spark, sf_dir):
+    """mm_frame_sample's round-12 cross-check semantics: the sampled
+    frames' decoded pixel sums match a local replay of the frame-value
+    and sampling laws through the same codecs."""
+    rows = {
+        (r.doc_id, r.frame_idx): (r.width, r.height, r.n_channels, r.pixel_sum)
+        for r in SPECS["mm_frame_sample"].builder(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE length(text) >= 1"
+    ).fetchall()
+    n_expected = 0
+    for doc_id, text in texts:
+        n = len(text)
+        total = 1 + n % 8
+        picks = (
+            list(range(total))
+            if total <= mm.N_FRAMES
+            else sorted({i * total // mm.N_FRAMES for i in range(mm.N_FRAMES)})
+        )
+        n_expected += len(picks)
+        for i, src in enumerate(picks):
+            c = min(ord(text[src * n // total]), 255)
+            assert rows[(doc_id, i)] == (8, 8, 3, 192 * c)
+    assert len(rows) == n_expected
 
 
 @pytest.mark.parametrize("bit_depth", [8, 16, 32])
