@@ -462,19 +462,8 @@ def resize_batches(
         )
 
 
-@register(
-    "mm_resize",
-    oracle=None,  # stubbed codec; plumbing pinned by unit tests
-    tags=("multimodal", "udf"),
-    doc="Resize stage: binary in → binary out via mapInPandas. Real "
-    "nearest-neighbor resampling + PNG re-encode for PNG/BMP payloads "
-    "(pure NumPy codecs); deterministic fake for the text fixture bytes.",
-)
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return docs.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+# mm_resize is registered at the end of this module: its oracle and
+# render kernel build on the phash pixel-law section below.
 
 
 # --- Audio (WAV/RIFF PCM) ---------------------------------------------------
@@ -1359,3 +1348,98 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return docs.mapInPandas(cross_codec_batches, schema=_DECODE_META_SCHEMA)
+
+
+# --- Cross-codec resize gate (round 12) ----------------------------------------
+
+_RESIZE_SCHEMA = (
+    "doc_id long, target_w int, target_h int, n_channels int, pixel_sum long"
+)
+_RESIZE_TARGETS = ((4, 4), (16, 16))  # one downsample, one upsample
+# Nearest-neighbor source indices for the 4x4 downsample of an 8x8 image:
+# y = arange(4)*8//4 = {0,2,4,6}, same for x → sampled flat positions k.
+_K4 = [y * 8 + x for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)]
+
+
+def resize_cross_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc's pixel law into its parity container (PNG even /
+    BMP odd — both real encoders), run the REAL nearest-neighbor resize
+    (decode → index-resample → PNG re-encode) at one downsample and one
+    upsample target, decode each result, and emit its dimensions,
+    channels, and EXACT pixel sum — all predictable in SQL from the
+    pixel law plus the nearest-neighbor index law."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, tws, ths, cs, sums = [], [], [], [], []
+        for d, s in zip(pdf["doc_id"], pdf["text"]):
+            img = render_phash_image(s, int(d))
+            for tw, th in _RESIZE_TARGETS:
+                out = dispatch_resize_image(img, tw, th)
+                w2, h2, c2, px = decode_png(out)
+                ids.append(int(d))
+                tws.append(w2)  # decoded, not requested: gates the size
+                ths.append(h2)
+                cs.append(c2)
+                sums.append(int(px.astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "target_w": pd.Series(tws, dtype="int32"),
+                "target_h": pd.Series(ths, dtype="int32"),
+                "n_channels": pd.Series(cs, dtype="int32"),
+                "pixel_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+def _resize_oracle() -> str:
+    def pix(k: int) -> str:
+        return f"LEAST(ord(substr(text, ({k} * n) // 64 + 1, 1)), 255)"
+
+    s4 = " + ".join(pix(k) for k in _K4)
+    s64 = " + ".join(pix(k) for k in range(PHASH_POS))
+    return f"""
+    WITH rd AS (
+        SELECT doc_id, text, length(text) AS n,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+        FROM documents WHERE length(text) >= 1
+    ),
+    rs AS (SELECT doc_id, ch, {s4} AS s4, {s64} AS s64 FROM rd)
+    SELECT doc_id, CAST(4 AS INTEGER) AS target_w,
+           CAST(4 AS INTEGER) AS target_h,
+           CAST(ch AS INTEGER) AS n_channels,
+           CAST(ch * s4 AS BIGINT) AS pixel_sum
+    FROM rs
+    UNION ALL
+    SELECT doc_id, CAST(16 AS INTEGER), CAST(16 AS INTEGER),
+           CAST(ch AS INTEGER), CAST(ch * 4 * s64 AS BIGINT)
+    FROM rs
+    """
+
+
+@register(
+    "mm_resize",
+    oracle=_resize_oracle(),
+    tags=("multimodal", "udf"),
+    window_defer=True,
+    doc="Resize stage, HASH-GATED end-to-end (rows-only through r11 — "
+    "the last gateable mm row): every document's pixel law renders "
+    "into its parity container (grayscale PNG even / 24-bit BMP odd), "
+    "then the REAL nearest-neighbor resize runs at a 4x4 downsample "
+    "AND a 16x16 upsample (decode → index-resample → PNG re-encode), "
+    "and each result decodes back to its dimensions, channel count, "
+    "and EXACT pixel sum. The oracle replays BOTH laws relationally — "
+    "the pixel law (clamped sampled codepoints) and the nearest-"
+    "neighbor index law (4x4 samples flat positions {0,2,4,6}x2; "
+    "16x16 counts every source pixel exactly 4 times) — so a flipped "
+    "bit in either decoder, the resampler, or the re-encoder breaks "
+    "the value hash, for both container parities at once. The "
+    "non-image fake fallback and the binary-out surface "
+    "(resize_batches) keep unit-test cover.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 1).select(
+        "doc_id", "text"
+    )
+    return docs.mapInPandas(resize_cross_batches, schema=_RESIZE_SCHEMA)

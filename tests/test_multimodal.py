@@ -198,16 +198,53 @@ def test_bmp_roundtrip_24bit():
     assert mm.decode_image(payload) == (5, 6, 3)
 
 
-def test_resize_matches_python(spark, sf_dir):
-    rows = {r.doc_id: (r.n_bytes, bytes(r.resized))
-            for r in SPECS["mm_resize"].builder(spark, sf_dir).collect()}
+def test_resize_fake_path_matches_python(spark, sf_dir):
+    """The non-image fake fallback keeps its cover now that the catalog
+    row resizes real renders: text bytes dispatch to the deterministic
+    fake through the original resize_batches kernel."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+        .limit(50)
+    )
+    rows = {
+        r.doc_id: (r.n_bytes, bytes(r.resized))
+        for r in docs.mapInPandas(mm.resize_batches, schema=mm.RESIZED_SCHEMA).collect()
+    }
     con = duckdb.connect()
     texts = con.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     for doc_id, text in texts:
+        if doc_id not in rows:
+            continue
         expect = mm.fake_resize_image(text.encode("utf-8"), 64, 64)
         assert rows[doc_id] == (len(expect), expect)
+
+
+def test_resize_cross_codec(spark, sf_dir):
+    """mm_resize's round-12 cross-check semantics: decoded dimensions
+    and pixel sums of both targets match a local replay of the pixel
+    and nearest-neighbor laws."""
+    import numpy as np
+
+    rows = {
+        (r.doc_id, r.target_w): (r.target_h, r.n_channels, r.pixel_sum)
+        for r in SPECS["mm_resize"].builder(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE length(text) >= 1"
+    ).fetchall()
+    assert len(rows) == 2 * len(texts)
+    for doc_id, text in texts:
+        n = len(text)
+        pix = [min(ord(text[(k * n) // 64]), 255) for k in range(64)]
+        ch = 1 if doc_id % 2 == 0 else 3
+        s4 = sum(pix[y * 8 + x] for y in (0, 2, 4, 6) for x in (0, 2, 4, 6))
+        assert rows[(doc_id, 4)] == (4, ch, ch * s4)
+        assert rows[(doc_id, 16)] == (16, ch, ch * 4 * sum(pix))
 
 
 def test_resize_rejects_unknown_format():
