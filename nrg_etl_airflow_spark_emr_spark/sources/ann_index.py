@@ -571,6 +571,8 @@ def maintain_ivf_index(
 
 # --- Two-level dedup router ----------------------------------------------------
 
+_TL_STREAM = "postings_stream"
+
 
 def write_twolevel_index(
     spark: SparkSession,
@@ -625,6 +627,11 @@ def write_twolevel_index(
                 "postings": posted.schema.json(),
             },
             "params": {"k1": k1, "k2": k2, "iters": iters},
+            "streams": [_TL_STREAM],
+            # Same rebuild fence as write_ivf_index: stream batches
+            # committed before this publish carry OLD centroid routing
+            # and are covered by the full-corpus rebuild.
+            "folded_upto": _max_committed_batch(path, _TL_STREAM),
         },
     )
     for pinned in (*pins, cent1, cent2, assigned):
@@ -648,18 +655,99 @@ def read_twolevel_centroids(
 
 
 def read_twolevel_index(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_stream: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Load the persisted two-level router at its current manifest:
-    (cent1, cent2, postings: c1/c2/vec_id/fe/nrm). Manifest-recorded
-    schemas throughout — no inference, partition column c1 comes back
-    long with no cast."""
+    (cent1, cent2, postings: c1/c2/vec_id/fe/nrm). Postings are the
+    manifest's base segments ∪ committed stream batches above the
+    folded_upto fence (stream_ingest_twolevel), same read law as the
+    IVF index. Manifest-recorded schemas throughout — no inference,
+    partition column c1 comes back long with no cast."""
     m = _require(path, "twolevel")
     cent1, cent2 = read_twolevel_centroids(spark, path, m)
     postings = _read_segments(
         spark, path, m["segments"]["postings"], m["schemas"]["postings"]
     ).select("c1", "c2", "vec_id", "fe", "nrm")
+    if include_stream:
+        batches = _committed_stream_batches(
+            path, _TL_STREAM, above=m.get("folded_upto", -1)
+        )
+        if batches:
+            dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in batches]
+            postings = postings.unionByName(
+                _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                    "c1", "c2", "vec_id", "fe", "nrm"
+                )
+            )
     return cent1, cent2, postings
+
+
+def stream_ingest_twolevel(vectors_stream: DataFrame, index_path: str, checkpoint: str):
+    """Streaming router ingest — upsert_twolevel_postings as a
+    Structured Streaming sink, the same memtable-flush shape as
+    stream_ingest_ivf: each micro-batch of vectors (vec_id/fe/nrm)
+    routes under the current-manifest centroids (route_twolevel, two
+    broadcast joins) and lands its own
+    ``postings_stream/ingest_batch=N/`` directory (c1-partitioned,
+    whole-dir overwrite — replay-idempotent; the _SUCCESS marker is the
+    batch's commit record). Readers union committed batches above the
+    manifest's folded_upto fence. Returns the started query; drive with
+    trigger(availableNow=True)."""
+    from ..operators.dedup import route_twolevel
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent1, cent2 = read_twolevel_centroids(spark, index_path)
+        (
+            route_twolevel(batch_df, cent1, cent2)
+            .select("vec_id", "fe", "nrm", "c2", "c1")
+            .write.mode("overwrite")
+            .partitionBy("c1")
+            .parquet(os.path.join(index_path, _TL_STREAM, f"ingest_batch={batch_id}"))
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_twolevel_index(spark: SparkSession, path: str) -> None:
+    """Fold committed stream segments and accumulated upsert segments
+    into ONE c1-partitioned base segment — compact_ivf_index's law for
+    the router, with the same one-listing + contiguous-prefix fence
+    discipline: only the gap-free run of batch ids above the fence
+    folds, so a late-committing gap batch can never be fenced unfolded;
+    a crash anywhere leaves the previous manifest as the readers'
+    truth."""
+    m = _require(path, "twolevel")
+    fence = m.get("folded_upto", -1)
+    batches = _contiguous_prefix(
+        _committed_stream_batches(path, _TL_STREAM, above=fence), fence
+    )
+    if not batches and len(m["segments"]["postings"]) == 1:
+        return
+    _c1, _c2, postings = read_twolevel_index(spark, path, include_stream=False)
+    if batches:
+        dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in batches]
+        postings = postings.unionByName(
+            _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                "c1", "c2", "vec_id", "fe", "nrm"
+            )
+        )
+    ver = _next_version(path)
+    seg = _seg("postings", ver)
+    postings.select("vec_id", "fe", "nrm", "c2", "c1").write.mode(
+        "overwrite"
+    ).partitionBy("c1").parquet(os.path.join(path, seg))
+    m2 = dict(m)
+    m2["version"] = ver
+    m2["segments"] = dict(m["segments"])
+    m2["segments"]["postings"] = [seg]
+    m2["folded_upto"] = batches[-1] if batches else fence
+    _publish(path, m2)
 
 
 def upsert_twolevel_postings(

@@ -1289,3 +1289,131 @@ def test_maintain_twolevel_index_rebuilds_on_hot_bucket(spark, sf_dir, tmp_path)
         .count()
     )
     assert clone_buckets == 1
+
+
+def test_stream_ingest_twolevel_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """Stream ≡ batch for the router's ingest: the new slice arriving
+    as two micro-batches through stream_ingest_twolevel leaves the
+    index in the same state as the batch upsert — same (vec_id, c1,
+    c2) routing under the persisted centroids — and compaction folds
+    the stream value-neutrally by moving the fence, with vacuum
+    retiring the fenced dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+        route_twolevel,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_twolevel_index,
+        read_twolevel_centroids,
+        read_twolevel_index,
+        stream_ingest_twolevel,
+        vacuum_index,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 4 != 0)
+    new = v.filter(F.col("vec_id") % 4 == 0).select("vec_id", "fe", "nrm")
+    write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS, vectors=base)
+
+    stage = str(tmp_path / "stage")
+    new.repartition(2).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_ingest_twolevel(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    cent1, cent2 = read_twolevel_centroids(spark, path)
+    want = {
+        (r.vec_id, r.c1, r.c2)
+        for r in route_twolevel(v, cent1, cent2)
+        .select("vec_id", "c1", "c2")
+        .collect()
+    }
+    _c1, _c2, postings = read_twolevel_index(spark, path)
+    got = {(r.vec_id, r.c1, r.c2) for r in postings.select("vec_id", "c1", "c2").collect()}
+    assert got == want
+    assert len(got) == v.count()
+
+    compact_twolevel_index(spark, path)
+    _c1, _c2, folded = read_twolevel_index(spark, path)
+    got2 = {(r.vec_id, r.c1, r.c2) for r in folded.select("vec_id", "c1", "c2").collect()}
+    assert got2 == want
+    vacuum_index(path)
+    assert not os.path.isdir(os.path.join(path, "postings_stream"))
+    _c1, _c2, vacuumed = read_twolevel_index(spark, path)
+    got3 = {(r.vec_id, r.c1, r.c2) for r in vacuumed.select("vec_id", "c1", "c2").collect()}
+    assert got3 == want
+
+
+def test_pq_half_committed_dual_stream_batch_is_invisible(spark, sf_dir, tmp_path):
+    """The PQ index commits a stream batch only when BOTH its codes and
+    norms directories carry _SUCCESS. A half-committed batch (codes
+    landed, norms torn) must be (a) invisible to reads, (b) never
+    folded OR fenced by compaction — even when a LATER complete batch
+    exists (the contiguous-prefix fence stops before the hole), and
+    (c) healed by replay, after which everything folds."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import pq_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_pq_index,
+        current_manifest,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    v = _vectors(spark, sf_dir).cache()
+    write_pq_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 4 == 1))
+    m = current_manifest(path)
+    cb, codes0, norms0 = read_pq_index(spark, path)
+    n0 = norms0.count()
+
+    def land(batch_id: int, mod: int, half: bool) -> None:
+        from nrg_etl_airflow_spark_emr_spark.operators.similarity import _subvectors
+
+        sl = v.filter(F.col("vec_id") % 4 == mod).select("vec_id", "fe", "nrm")
+        # The real encoder's subvector split, so the landed codes match
+        # the manifest schema exactly (gid width included).
+        enc = pq_assign(_subvectors(sl, "vec_id", "fe", "sv"), cb).select(
+            "gid", "vec_id", "cid"
+        )
+        enc.write.mode("overwrite").parquet(
+            os.path.join(path, "codes_stream", f"ingest_batch={batch_id}")
+        )
+        nd = os.path.join(path, "norms_stream", f"ingest_batch={batch_id}")
+        sl.select("vec_id", "nrm").write.mode("overwrite").parquet(nd)
+        if half:
+            os.remove(os.path.join(nd, "_SUCCESS"))  # torn norms write
+
+    land(0, 2, half=True)   # half-committed batch 0
+    land(1, 3, half=False)  # complete batch 1 ABOVE the hole
+    # Reads union batches committed in BOTH streams: batch 1 is live
+    # (reads tolerate holes), batch 0's rows are invisible.
+    n3 = v.filter(F.col("vec_id") % 4 == 3).count()
+    _cb, _codes, norms = read_pq_index(spark, path)
+    assert norms.count() == n0 + n3
+    compact_pq_index(spark, path)
+    m2 = current_manifest(path)
+    assert m2.get("folded_upto", -1) == -1  # fence never jumps the hole
+    land(0, 2, half=False)  # replay heals the torn batch
+    compact_pq_index(spark, path)
+    assert current_manifest(path)["folded_upto"] == 1
+    _cb, _codes, norms2 = read_pq_index(spark, path)
+    n2 = v.filter(F.col("vec_id") % 4 == 2).count()
+    assert norms2.count() == n0 + n2 + n3
