@@ -154,6 +154,16 @@ def main() -> None:
             # the shared base cache — re-pin the upsert slice explicitly.
             up.cache().count()
             step(tl, "upsert", lambda: ai.upsert_twolevel_postings(spark, path, up))
+            step(
+                tl,
+                "stream_ingest",
+                lambda: ai.stream_ingest_twolevel(
+                    spark.readStream.schema(schema).parquet(stage),
+                    path,
+                    os.path.join(work, f"ck_tl_{key}"),
+                ).awaitTermination(),
+            )
+            step(tl, "compact", lambda: ai.compact_twolevel_index(spark, path))
             step(tl, "vacuum", lambda: ai.vacuum_index(path))
             # Search-only wall over the persisted postings — the
             # trainer-amortized path (inline twolevel pays build+search
@@ -170,10 +180,40 @@ def main() -> None:
                 .mode("overwrite")
                 .save(),
             )
-            # No stream surface on the router: expected = base + upsert.
             _c1, _c2, tp = ai.read_twolevel_index(spark, path)
-            tl["rows_exact"] = tp.count() == n_base + n_up
+            tl["rows_exact"] = tp.count() == n
             tl["index_bytes"] = _dir_bytes(path)
+
+            # MinHash dedup index (documents table: history slice =
+            # doc_id % INCR_MOD != 0, the increment's signatures become
+            # the upsert batch — the daily verdicts-to-history step).
+            from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+                INCR_MOD,
+                _signatures,
+            )
+
+            mh = out[key]["minhash"] = {}
+            path = os.path.join(work, f"mh_{key}")
+            step(mh, "build", lambda: ai.write_minhash_index(spark, sfd, path))
+            incr = (
+                _signatures(spark, sfd)
+                .filter(F.col("doc_id") % INCR_MOD == 0)
+                .cache()
+            )
+            n_incr = incr.count()
+            step(mh, "upsert", lambda: ai.upsert_minhash_index(spark, path, incr))
+            step(mh, "compact", lambda: ai.compact_minhash_index(spark, path))
+            step(mh, "vacuum", lambda: ai.vacuum_index(path))
+            sigs, _bands = ai.read_minhash_index(spark, path)
+            n_docs = (
+                spark.read.parquet(os.path.join(sfd, "documents.parquet")).count()
+            )
+            # Docs with zero shingles have no signature; compare against
+            # the signature universe instead of the raw doc count.
+            n_sig_all = _signatures(spark, sfd).count()
+            mh["rows_exact"] = sigs.count() == n_sig_all
+            mh["n_docs"] = n_docs
+            mh["index_bytes"] = _dir_bytes(path)
 
             spark.catalog.clearCache()
     finally:
