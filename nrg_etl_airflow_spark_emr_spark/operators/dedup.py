@@ -1086,14 +1086,11 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _twolevel_oracle(k1: int, k2: int, iters: int) -> str:
-    """ANSI replay of BOTH routing levels: the SAME trainer generator
-    (_pq_trainer_parts — proven cross-engine-exact by sim_knn_pq and
-    sim_knn_ivf_trained) runs once with a single constant group (coarse
-    level, prefix l1) and once with gid = the coarse cell (per-cell
-    sub-quantizer), then same-(coarse, sub) candidates take the exact
-    cosine filter."""
-    from .similarity import _SQL_VEC_CTE, _pq_trainer_parts
+def _twolevel_parts(k1: int, k2: int, iters: int) -> str:
+    """The shared CTE body replaying BOTH routing levels (ends at the
+    ``codes`` CTE: gid = coarse cell, cid = sub-cell per vec_id) — used
+    by the pair oracle below and the balance oracle."""
+    from .similarity import _pq_trainer_parts
 
     parts = [
         "subs1 AS (SELECT CAST(0 AS BIGINT) AS gid, vec_id, fe AS sv FROM vecs)",
@@ -1107,7 +1104,19 @@ def _twolevel_oracle(k1: int, k2: int, iters: int) -> str:
         FROM l1codes c JOIN subs1 s ON s.vec_id = c.vec_id)"""
     )
     parts.extend(_pq_trainer_parts(k2, iters))
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _twolevel_oracle(k1: int, k2: int, iters: int) -> str:
+    """ANSI replay of BOTH routing levels: the SAME trainer generator
+    (_pq_trainer_parts — proven cross-engine-exact by sim_knn_pq and
+    sim_knn_ivf_trained) runs once with a single constant group (coarse
+    level, prefix l1) and once with gid = the coarse cell (per-cell
+    sub-quantizer), then same-(coarse, sub) candidates take the exact
+    cosine filter."""
+    from .similarity import _SQL_VEC_CTE
+
+    body = _twolevel_parts(k1, k2, iters)
     return f"""
     WITH {_SQL_VEC_CTE},
     {body}
@@ -1334,6 +1343,52 @@ def dedup_embedding_twolevel_persisted(spark: SparkSession, sf_dir: str) -> Data
     write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS)
     _c1, _c2, assigned = read_twolevel_index(spark, path)
     return twolevel_pairs(assigned)
+
+
+def _twolevel_balance_oracle(k1: int, k2: int, iters: int) -> str:
+    from .similarity import _SQL_VEC_CTE
+
+    body = _twolevel_parts(k1, k2, iters)
+    return f"""
+    WITH {_SQL_VEC_CTE},
+    {body}
+    SELECT CAST(gid * {k2 + 1} + cid AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                / SUM(COUNT(*)) OVER () * 10000) AS DOUBLE) / 10000
+               AS cell_share
+    FROM codes
+    GROUP BY gid, cid
+    """
+
+
+@register(
+    "qc_twolevel_index_balance",
+    oracle=_twolevel_balance_oracle(_TL_K1, _TL_K2, _TL_ITERS),
+    tags=("qc", "dedup", "index"),
+    window_defer=True,
+    doc="Router health audit over the PERSISTED two-level index: per-"
+    "(coarse, sub) bucket postings count and corpus share, through the "
+    "SAME composite-bucket cell_balance law maintain_twolevel_index's "
+    "retrain trigger reads — so the hot-bucket definition the oracle "
+    "gates IS the one that fires rebuilds (the qc_ivf_index_balance "
+    "discipline, extended to the artifact: the builder commits the "
+    "index, then audits the committed postings, driver-gating the "
+    "whole persist→read→audit path, not just the inline trainer). "
+    "Same-bucket pair mass is QUADRATIC in bucket occupancy, so the "
+    "p99 of candidate generation is set by the LARGEST bucket — the "
+    "audit's max share times corpus size bounds it. Oracle replays "
+    "both trainer levels and groups the final codes; cell_share is "
+    "the floor*1e4 portable ratio. At 100 TB this reads c1 partition "
+    "footprints plus a c2 sub-count — metadata-weight.",
+)
+def qc_twolevel_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ann_index import twolevel_index_balance, write_twolevel_index
+    from .formats import _roundtrip_dir
+
+    path = _roundtrip_dir(spark, "tlidx", sf_dir)
+    write_twolevel_index(spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS)
+    return twolevel_index_balance(spark, path)
 
 
 @register(
