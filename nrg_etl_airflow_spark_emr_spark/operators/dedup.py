@@ -1140,12 +1140,16 @@ def twolevel_train(
     ``(cent1, cent2, assigned, pins)``:
 
     - cent1: gid(=0)/cid/c_q — the coarse centroids (cached);
-    - cent2: gid(=coarse cid)/cid/c_q — per-cell sub-centroids (cached);
+    - cent2: gid(=coarse cid)/cid/c_q — per-cell sub-centroids,
+      COMPLETED so every cent1 cid appears as a gid (an empty coarse
+      cell gets the coarse centroid itself as its single sub-centroid —
+      route_twolevel never drops a vector);
     - assigned: c1/c2/vec_id/fe/nrm — the corpus under the FINAL
       centroids of both levels (cached, NOT yet materialized);
     - pins: every cached frame the caller must unpersist once its last
-      consumer has materialized (v and subs2; cent1/cent2/assigned are
-      returned, so their lifetime is the caller's).
+      consumer has materialized (v, subs2, and the raw trainer cent2
+      the completed table unions over; cent1/assigned are returned, so
+      their lifetime is the caller's).
 
     Assignment under the returned centroids is route_twolevel — the
     trainer's own final-assign law (pq_assign twice), so persisted
@@ -1166,12 +1170,30 @@ def twolevel_train(
         .cache()
     )
     codes2, cent2 = lloyd_fit_grouped_quantized(subs2, k2, iters)
+    # A cent1 centroid can win ZERO vectors in the FINAL level-1
+    # assignment (its last members migrated in the closing update
+    # step), so cent2 — trained per coarse cell — has no rows for that
+    # gid. route_twolevel's level-2 pq_assign inner-joins on gid: an
+    # increment vector routed to such a cell would silently vanish from
+    # upsert_twolevel_postings / stream_ingest_twolevel output (ADVICE
+    # r12). Complete the table: an empty coarse cell gets ONE synthetic
+    # sub-centroid — the coarse centroid itself, sub-cid 0 — so routing
+    # there is well-defined and lossless. Training-corpus assignments
+    # are untouched: no corpus vector routes to an empty cell (level-1
+    # routing reproduces codes1 bit-for-bit), so the oracle replay and
+    # the persisted-row hash are unchanged.
+    cent2_raw = cent2
+    cent2 = cent2_raw.unionByName(
+        cent1.select(F.col("cid").alias("gid"), "c_q")
+        .join(cent2_raw.select("gid").distinct(), "gid", "left_anti")
+        .select("gid", F.lit(0).cast("long").alias("cid"), "c_q")
+    )
     assigned = (
         codes2.select(F.col("gid").alias("c1"), F.col("cid").alias("c2"), "vec_id")
         .join(v.select("vec_id", "fe", "nrm"), "vec_id")
         .cache()
     )
-    return cent1, cent2, assigned, (v, subs2)
+    return cent1, cent2, assigned, (v, subs2, cent2_raw)
 
 
 def route_twolevel(
@@ -1250,18 +1272,24 @@ def embedding_dedup_twolevel(
     broadcast, k rows)."""
     from .similarity import _vectors
 
-    v = (vectors if vectors is not None else _vectors(spark, sf_dir)).cache()
+    created = vectors is None
+    v = _vectors(spark, sf_dir).cache() if created else vectors
     cent1, cent2, assigned, pins = twolevel_train(v, k1, k2, iters)
     # Materialize the final assignment, then release every upstream pin
-    # (v, subs2, both trainer centroid caches): the returned pair join
-    # reads only `assigned`, so a long-lived session invoking this
-    # repeatedly accumulates one small (id, cell, vector) frame per
-    # call, not four. `assigned` itself stays cached — it feeds both
-    # sides of the self-join below; callers running many invocations
-    # should clearCache() between them (the probe scripts do).
+    # THIS call created (subs2, the raw trainer cent2, cent1 — and v
+    # only when built here; a caller-supplied frame's cache is the
+    # caller's to manage, ADVICE r12): the returned pair join reads
+    # only `assigned`, so a long-lived session invoking this repeatedly
+    # accumulates one small (id, cell, vector) frame per call, not
+    # four. `assigned` itself stays cached — it feeds both sides of the
+    # self-join below; callers running many invocations should
+    # clearCache() between them (the probe scripts do).
     assigned.count()
-    for pinned in (*pins, cent1, cent2):
+    own_v, *trainer_pins = pins
+    for pinned in (*trainer_pins, cent1):
         pinned.unpersist()
+    if created:
+        own_v.unpersist()
     return twolevel_pairs(assigned)
 
 

@@ -621,7 +621,12 @@ def audio_cross_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         }
         for d, s in zip(pdf["doc_id"], pdf["text"]):
             codes = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
-            s16 = (np.minimum(codes, 255) - 64) * 256
+            # Clamp to 191 so the whole clamped domain sits on the int16
+            # grid: (191-64)*256 = 32512 <= 32767. A 255 bound would send
+            # codes 192..255 to samples up to 48896, which encode_wav
+            # clips — silently diverging from the oracle's un-clipped
+            # prediction for any non-ASCII text (ADVICE r12).
+            s16 = (np.minimum(codes, 191) - 64) * 256
             rate = 8000 if int(d) % 2 == 0 else 16000
             wav = encode_wav((s16 / 32768.0)[:, None], rate, 16)
             sr, nc, bd, ns, dec = decode_wav(wav)
@@ -658,7 +663,7 @@ def audio_cross_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     wagg AS (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM((LEAST(b, 255) - 64) * 256) AS BIGINT) AS ssum
+               CAST(SUM((LEAST(b, 191) - 64) * 256) AS BIGINT) AS ssum
         FROM wch GROUP BY doc_id
     )
     SELECT doc_id,

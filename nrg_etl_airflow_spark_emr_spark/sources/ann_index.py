@@ -101,34 +101,95 @@ def current_manifest(path: str) -> dict | None:
         return json.load(fh)
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Raised when a publish loses the optimistic-concurrency check:
+    another writer committed a manifest after this writer read its
+    parent. The loser's segments are torn (unreferenced, vacuumable)
+    and the index stays at the winner's committed snapshot."""
+
+
 def _next_version(path: str) -> int:
-    """Next version number. Counts every manifest JSON — committed or
-    torn — so a crashed publish never gets its number reused for
-    different content (its data dirs, named by version, stay uniquely
-    owned and a re-run of the same step overwrites them in place)."""
+    """CLAIM the next version number by exclusively creating its
+    (empty, torn) manifest JSON. Two concurrent writers therefore can
+    never own the same version — and since every segment directory is
+    named by its owner's version, they can never clobber each other's
+    data files either. The placeholder is invisible to readers (no
+    .committed marker) and its number is never reused (every manifest
+    JSON, committed or torn, counts), so a crashed writer just leaves
+    a skipped number — the existing torn-json discipline."""
     d = _manifest_dir(path)
-    if not os.path.isdir(d):
-        return 1
-    nums = [int(m.group(1)) for f in os.listdir(d) if (m := _VER_RE.match(f))]
-    return max(nums, default=0) + 1
+    os.makedirs(d, exist_ok=True)
+    while True:
+        nums = [int(m.group(1)) for f in os.listdir(d) if (m := _VER_RE.match(f))]
+        n = max(nums, default=0) + 1
+        try:
+            fd = os.open(
+                os.path.join(d, f"v{n:08d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return n
+        except FileExistsError:
+            continue  # raced another claimer; re-list and take the next
 
 
-def _publish(path: str, manifest: dict) -> None:
+def _publish(path: str, manifest: dict, expect_parent: int | None = None) -> None:
     """Commit a manifest: write its json, fsync, then create the
     .committed marker. The marker creation is the atomic commit point —
-    no renames, no deletes; a crash before it leaves an invisible torn
-    json whose version number is simply skipped forever after."""
+    no renames; a crash before it leaves an invisible torn json whose
+    version number is simply skipped forever after.
+
+    ``expect_parent`` is the optimistic-concurrency token (VERDICT r12
+    item 3 — single-writer as MECHANISM, not contract): the committed
+    version this writer READ when it planned its change (0 for an empty
+    root). The publish is a compare-and-swap on it, in two layers:
+
+    - pre-check: if the current committed max is no longer
+      ``expect_parent``, another writer already won — raise before
+      committing anything;
+    - post-verify: after creating our marker, re-list; if any version
+      strictly between ``expect_parent`` and ours is committed, a racer
+      slipped in between check and marker — retract OUR OWN marker
+      (the one file this path may remove, microseconds old and ours)
+      and raise. For two racers with versions a < b and the same
+      parent, the interval (parent, a) contains no integer, so the
+      LOWER version can never retract — exactly one writer wins every
+      interleaving. The loser's segments and torn json are unreferenced
+      garbage for the next vacuum.
+
+    On an object store the same protocol rides on conditional PUT of
+    the marker; locally the exclusive-create is the primitive. Callers
+    that pass ``None`` (layout-bootstrap tests) skip the check."""
     ver = manifest["version"]
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
+    if expect_parent is not None:
+        vs = _committed_versions(path)
+        cur = vs[-1] if vs else 0
+        if cur != expect_parent:
+            raise ConcurrentWriterError(
+                f"publish of v{ver} expected parent v{expect_parent} but the "
+                f"index is at v{cur}: another writer committed first"
+            )
     j = os.path.join(d, f"v{ver:08d}.json")
     with open(j, "w") as fh:
         json.dump(manifest, fh, indent=1)
         fh.flush()
         os.fsync(fh.fileno())
-    with open(os.path.join(d, f"v{ver:08d}.committed"), "w") as fh:
+    marker = os.path.join(d, f"v{ver:08d}.committed")
+    with open(marker, "w") as fh:
         fh.flush()
         os.fsync(fh.fileno())
+    if expect_parent is not None:
+        between = [
+            v for v in _committed_versions(path) if expect_parent < v < ver
+        ]
+        if between:
+            os.remove(marker)  # retract our own commit — torn json remains
+            raise ConcurrentWriterError(
+                f"publish of v{ver} raced committed v{between} past parent "
+                f"v{expect_parent}: retracted"
+            )
 
 
 def _seg(name: str, ver: int, suffix: str = "") -> str:
@@ -263,6 +324,8 @@ def write_ivf_index(
     path: str,
     vectors: DataFrame | None = None,
     vacuum_keep: int = 2,
+    folded_upto: int | None = None,
+    expect_parent: int | None = None,
 ) -> None:
     """Build the trained-IVF index over ``sf_dir``'s embeddings (or an
     explicit ``vectors`` frame — e.g. the base slice of an incremental
@@ -283,7 +346,11 @@ def write_ivf_index(
     from ..operators.kmeans import ivf_train
     from ..operators.similarity import _vectors
 
-    v = vectors if vectors is not None else _vectors(spark, sf_dir).cache()
+    if expect_parent is None:
+        pm = current_manifest(path)
+        expect_parent = pm["version"] if pm else 0
+    created = vectors is None
+    v = _vectors(spark, sf_dir).cache() if created else vectors
     cent, fassign = ivf_train(v)
     ver = _next_version(path)
     cent_dir, post_dir = _seg("centroids", ver), _seg("postings", ver)
@@ -304,12 +371,23 @@ def write_ivf_index(
                 "postings": fassign.schema.json(),
             },
             "streams": [_IVF_STREAM],
-            # Fence captured at publish time, not build start: any batch
-            # committed while the trainer ran is superseded by this
-            # full-corpus rebuild.
-            "folded_upto": _max_committed_batch(path, _IVF_STREAM),
+            # Fence: callers that rebuilt from the index's OWN corpus
+            # (maintain_ivf_index) pass the highest batch id that corpus
+            # actually covered — fencing any later batch would strand its
+            # rows outside both the rebuild and the live stream (ADVICE
+            # r12). A from-source build (vectors=None or an external
+            # frame) supersedes everything committed so far, so the
+            # publish-time max is the right default fence there.
+            "folded_upto": (
+                folded_upto
+                if folded_upto is not None
+                else _max_committed_batch(path, _IVF_STREAM)
+            ),
         },
+        expect_parent=expect_parent,
     )
+    if created:
+        v.unpersist()
     # Full rebuilds are the natural GC point — but the PREVIOUS epoch
     # must survive this one: vacuum_keep=2 retains the last committed
     # manifest besides the fresh one, so a reader pinned before the
@@ -340,18 +418,18 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
     publishing. The upsert is therefore idempotent under retry (the old
     bare append duplicated rows on replay). An empty batch commits
     nothing — no data-less segment, no manifest churn (the same quiet-
-    day guard as upsert_pq_codes). NOTE the guard's ``first()`` is a
-    driver job that evaluates ``new_vectors``'s lineage once more than
-    the write does — pass a cached or file-backed frame (every caller
-    here does: stream micro-batches and test fixtures are file-backed)
-    or pay a double computation of the increment."""
+    day guard as upsert_pq_codes). The guard pins the batch first, so
+    its lineage is evaluated at most once per partition across
+    guard + write."""
     from ..operators.kmeans import ivf_assign
 
-    if new_vectors.select("vec_id").first() is None:
+    nv = new_vectors.persist()
+    if nv.isEmpty():
+        nv.unpersist()
         return  # empty batch: nothing to assign, nothing to commit
     m = _require(path, "ivf")
     cent = read_ivf_centroids(spark, path, m)
-    assigned = ivf_assign(new_vectors, cent)
+    assigned = ivf_assign(nv, cent)
     ver = _next_version(path)
     seg = _seg("postings", ver, "-upsert")
     (
@@ -359,11 +437,12 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
         .partitionBy("cid")
         .parquet(os.path.join(path, seg))
     )
+    nv.unpersist()
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = dict(m["segments"])
     m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: str):
@@ -461,7 +540,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     m2["segments"] = dict(m["segments"])
     m2["segments"]["postings"] = [seg]
     m2["folded_upto"] = batches[-1] if batches else fence
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def read_ivf_centroids(
@@ -538,15 +617,36 @@ def maintain_ivf_index(
     per-cell shares; if the hottest cell exceeds ``hot_ratio`` times
     the uniform 1/k share (probe-time p99 is set by the LARGEST probed
     inverted list), RETRAIN the centroids over the index's CURRENT
-    corpus (base segments ∪ upserts ∪ live stream — not the original
-    source table, which misses upserted vectors) and commit the rebuild
-    through write_ivf_index's manifest publish. Versioned segments make
-    the read-while-rewrite safe: the trainer scans the old manifest's
-    dirs while writing fresh ones. Returns
-    {rebuilt, k, max_share, threshold} for the maintenance log."""
+    corpus (base segments ∪ upserts ∪ the stream batches committed AT
+    CORPUS-READ TIME — not the original source table, which misses
+    upserted vectors) and commit the rebuild through write_ivf_index's
+    manifest publish. The committed-batch list is captured ONCE, when
+    the corpus is assembled, and its contiguous-prefix end is passed to
+    write_ivf_index as the publish fence: a batch committing between
+    the corpus read and the publish stays LIVE above the fence instead
+    of being fenced without its rows in the rebuild (silent row loss —
+    ADVICE r12). Such a late batch carries old-centroid routing until
+    the next compaction folds it, which is the documented
+    quiesce-ingest-across-rebuilds contract — bounded staleness, never
+    loss. Versioned segments make the read-while-rewrite safe: the
+    trainer scans the old manifest's dirs while writing fresh ones.
+    Returns {rebuilt, k, max_share, threshold} for the maintenance
+    log."""
     from ..operators.kmeans import cell_balance
 
-    cent, postings = read_ivf_index(spark, path)
+    m = _require(path, "ivf")
+    fence = m.get("folded_upto", -1)
+    covered = _contiguous_prefix(
+        _committed_stream_batches(path, _IVF_STREAM, above=fence), fence
+    )
+    cent, postings = read_ivf_index(spark, path, include_stream=False)
+    if covered:
+        dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in covered]
+        postings = postings.unionByName(
+            _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                "vec_id", "fe", "nrm", "cid"
+            )
+        )
     k = cent.count()
     stats = (
         cell_balance(postings)
@@ -560,7 +660,14 @@ def maintain_ivf_index(
         corpus = postings.select("vec_id", "fe", "nrm").cache()
         corpus.count()  # pin the old-manifest scan BEFORE the rebuild's
         # post-publish vacuum retires those directories
-        write_ivf_index(spark, sf_dir="", path=path, vectors=corpus)
+        write_ivf_index(
+            spark,
+            sf_dir="",
+            path=path,
+            vectors=corpus,
+            folded_upto=covered[-1] if covered else fence,
+        )
+        corpus.unpersist()
     return {
         "rebuilt": rebuilt,
         "k": k,
@@ -583,6 +690,8 @@ def write_twolevel_index(
     iters: int,
     vectors: DataFrame | None = None,
     vacuum_keep: int = 2,
+    folded_upto: int | None = None,
+    expect_parent: int | None = None,
 ) -> None:
     """Build the TWO-LEVEL trained dedup router as a persisted artifact
     and commit it through the manifest pointer — the train-once shape
@@ -600,7 +709,11 @@ def write_twolevel_index(
     from ..operators.dedup import twolevel_train
     from ..operators.similarity import _vectors
 
-    v = (vectors if vectors is not None else _vectors(spark, sf_dir)).cache()
+    if expect_parent is None:
+        pm = current_manifest(path)
+        expect_parent = pm["version"] if pm else 0
+    created = vectors is None
+    v = _vectors(spark, sf_dir).cache() if created else vectors
     cent1, cent2, assigned, pins = twolevel_train(v, k1, k2, iters)
     ver = _next_version(path)
     c1_dir, c2_dir = _seg("l1cent", ver), _seg("l2cent", ver)
@@ -628,14 +741,27 @@ def write_twolevel_index(
             },
             "params": {"k1": k1, "k2": k2, "iters": iters},
             "streams": [_TL_STREAM],
-            # Same rebuild fence as write_ivf_index: stream batches
-            # committed before this publish carry OLD centroid routing
-            # and are covered by the full-corpus rebuild.
-            "folded_upto": _max_committed_batch(path, _TL_STREAM),
+            # Same fence law as write_ivf_index: a corpus-rebuild caller
+            # (maintain_twolevel_index) passes the highest batch id its
+            # rebuild corpus covered; a from-source build defaults to
+            # the publish-time max (it supersedes everything).
+            "folded_upto": (
+                folded_upto
+                if folded_upto is not None
+                else _max_committed_batch(path, _TL_STREAM)
+            ),
         },
+        expect_parent=expect_parent,
     )
-    for pinned in (*pins, cent1, cent2, assigned):
+    # Release only pins this function (or its trainer) created: the
+    # caller-supplied ``vectors`` frame stays pinned — its cache is the
+    # caller's to manage (ADVICE r12; maintain_twolevel_index and the
+    # probe scripts rely on their corpus pin surviving this call).
+    own_v, *trainer_pins = pins
+    for pinned in (*trainer_pins, cent1, assigned):
         pinned.unpersist()
+    if created:
+        own_v.unpersist()
     vacuum_index(path, keep_versions=vacuum_keep)
 
 
@@ -747,7 +873,7 @@ def compact_twolevel_index(spark: SparkSession, path: str) -> None:
     m2["segments"] = dict(m["segments"])
     m2["segments"]["postings"] = [seg]
     m2["folded_upto"] = batches[-1] if batches else fence
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def upsert_twolevel_postings(
@@ -760,15 +886,17 @@ def upsert_twolevel_postings(
     idempotent-retry semantics as upsert_ivf_postings: the segment dir
     is named by its manifest version, a failed run's torn dir is
     unreferenced and overwritten by the retry; an empty batch commits
-    nothing. Pass a cached or file-backed frame (the empty-batch guard
-    evaluates the lineage once more than the write does)."""
+    nothing (the guard pins the batch first — lineage evaluated at most
+    once per partition across guard + write)."""
     from ..operators.dedup import route_twolevel
 
-    if new_vectors.select("vec_id").first() is None:
+    nv = new_vectors.persist()
+    if nv.isEmpty():
+        nv.unpersist()
         return
     m = _require(path, "twolevel")
     cent1, cent2 = read_twolevel_centroids(spark, path, m)
-    routed = route_twolevel(new_vectors, cent1, cent2).select(
+    routed = route_twolevel(nv, cent1, cent2).select(
         "vec_id", "fe", "nrm", "c2", "c1"
     )
     ver = _next_version(path)
@@ -776,11 +904,12 @@ def upsert_twolevel_postings(
     routed.write.mode("overwrite").partitionBy("c1").parquet(
         os.path.join(path, seg)
     )
+    nv.unpersist()
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = dict(m["segments"])
     m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def twolevel_index_balance(spark: SparkSession, path: str) -> DataFrame:
@@ -807,13 +936,29 @@ def maintain_twolevel_index(
     maintain_ivf_index: if the hottest (c1, c2) bucket exceeds
     ``hot_ratio`` times the uniform share (pair-generation p99 is set
     by the LARGEST bucket's occupancy — quadratic in it), retrain BOTH
-    levels over the index's CURRENT corpus (base + upserts — not the
-    original source table) and republish through the manifest. Returns
-    {rebuilt, n_buckets, max_share, threshold}."""
+    levels over the index's CURRENT corpus (base + upserts + the stream
+    batches committed AT CORPUS-READ TIME) and republish through the
+    manifest. Same fence discipline as maintain_ivf_index: the
+    committed-batch list is captured once with the corpus, and its
+    contiguous-prefix end is the fence write_twolevel_index publishes —
+    a batch committing during the rebuild stays live above the fence
+    rather than being fenced without its rows in the rebuild (ADVICE
+    r12). Returns {rebuilt, n_buckets, max_share, threshold}."""
     from ..operators.kmeans import cell_balance
 
     m = _require(path, "twolevel")
-    _c1, _c2, postings = read_twolevel_index(spark, path)
+    fence = m.get("folded_upto", -1)
+    covered = _contiguous_prefix(
+        _committed_stream_batches(path, _TL_STREAM, above=fence), fence
+    )
+    _c1, _c2, postings = read_twolevel_index(spark, path, include_stream=False)
+    if covered:
+        dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in covered]
+        postings = postings.unionByName(
+            _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                "c1", "c2", "vec_id", "fe", "nrm"
+            )
+        )
     k2 = int(m["params"]["k2"])
     buckets = postings.select(
         (F.col("c1") * F.lit(k2 + 1) + F.col("c2")).alias("cid")
@@ -839,7 +984,9 @@ def maintain_twolevel_index(
             k2=k2,
             iters=int(m["params"]["iters"]),
             vectors=corpus,
+            folded_upto=covered[-1] if covered else fence,
         )
+        corpus.unpersist()
     return {
         "rebuilt": rebuilt,
         "n_buckets": n_buckets,
@@ -860,6 +1007,7 @@ def write_pq_index(
     path: str,
     vectors: DataFrame | None = None,
     vacuum_keep: int = 2,
+    expect_parent: int | None = None,
 ) -> None:
     """Build the product-quantization index over ``sf_dir``'s embeddings
     and COMMIT it as a manifest version — the real IVFADC storage shape,
@@ -886,6 +1034,9 @@ def write_pq_index(
         _vectors,
     )
 
+    if expect_parent is None:
+        pm = current_manifest(path)
+        expect_parent = pm["version"] if pm else 0
     v = vectors if vectors is not None else _vectors(spark, sf_dir).cache()
     _check_pq_dim(len(v.select("fe").first()[0]))
     subs = _subvectors(v, "vec_id", "fe", "sv")
@@ -921,6 +1072,7 @@ def write_pq_index(
             "streams": [_PQ_CODES_STREAM, _PQ_NORMS_STREAM],
             "folded_upto": fence,
         },
+        expect_parent=expect_parent,
     )
     vacuum_index(path, keep_versions=vacuum_keep)  # rebuild GC, previous epoch retained
 
@@ -943,28 +1095,31 @@ def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> N
     from ..operators.kmeans import pq_assign
     from ..operators.similarity import _check_pq_dim, _subvectors
 
-    first = new_vectors.select("fe").first()
+    nv = new_vectors.persist()
+    first = nv.select("fe").first()
     if first is None:
+        nv.unpersist()
         return  # empty batch: nothing to encode, nothing to commit
     _check_pq_dim(len(first[0]))
     m = _require(path, "pq")
     cb = _read_segments(
         spark, path, [m["segments"]["codebooks"]], m["schemas"]["codebooks"]
     ).select("gid", "cid", "c_q")
-    subs = _subvectors(new_vectors, "vec_id", "fe", "sv")
+    subs = _subvectors(nv, "vec_id", "fe", "sv")
     codes = pq_assign(subs, cb).select("gid", "vec_id", "cid")
-    norms = new_vectors.select("vec_id", "nrm")
+    norms = nv.select("vec_id", "nrm")
     ver = _next_version(path)
     cd_seg = _seg("codes", ver, "-upsert")
     nm_seg = _seg("norms", ver, "-upsert")
     codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
     norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
+    nv.unpersist()
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = dict(m["segments"])
     m2["segments"]["codes"] = list(m["segments"]["codes"]) + [cd_seg]
     m2["segments"]["norms"] = list(m["segments"]["norms"]) + [nm_seg]
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def stream_ingest_pq(vectors_stream: DataFrame, index_path: str, checkpoint: str):
@@ -1079,7 +1234,7 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
     m2["segments"]["codes"] = [cd_seg]
     m2["segments"]["norms"] = [nm_seg]
     m2["folded_upto"] = batches[-1] if batches else fence
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def read_pq_index(
@@ -1123,7 +1278,11 @@ def read_pq_index(
 # --- MinHash band index ---------------------------------------------------------
 
 def write_minhash_index(
-    spark: SparkSession, sf_dir: str, path: str, vacuum_keep: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    vacuum_keep: int = 2,
+    expect_parent: int | None = None,
 ) -> None:
     """Persist the HISTORICAL corpus's MinHash dedup index and COMMIT it
     through the same manifest mechanism: signatures-vN/ (doc_id,
@@ -1158,6 +1317,11 @@ def write_minhash_index(
             "streams": [],
             "folded_upto": -1,
         },
+        expect_parent=(
+            expect_parent
+            if expect_parent is not None
+            else ((current_manifest(path) or {"version": 0})["version"])
+        ),
     )
     vacuum_index(path, keep_versions=vacuum_keep)  # rebuild GC, previous epoch retained
 
@@ -1172,20 +1336,23 @@ def upsert_minhash_index(
     from ..operators.dedup import _band_frame
 
     m = _require(path, "minhash")
-    bands = _band_frame(new_sigs)
+    # Pin: the batch feeds BOTH the signature and the band write.
+    ns = new_sigs.persist()
+    bands = _band_frame(ns)
     ver = _next_version(path)
     sig_seg = _seg("signatures", ver, "-upsert")
     band_seg = _seg("bands", ver, "-upsert")
-    new_sigs.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
+    ns.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
     bands.write.mode("overwrite").partitionBy("band_id").parquet(
         os.path.join(path, band_seg)
     )
+    ns.unpersist()
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = dict(m["segments"])
     m2["segments"]["signatures"] = list(m["segments"]["signatures"]) + [sig_seg]
     m2["segments"]["bands"] = list(m["segments"]["bands"]) + [band_seg]
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:
@@ -1206,7 +1373,7 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = {"signatures": [sig_seg], "bands": [band_seg]}
-    _publish(path, m2)
+    _publish(path, m2, expect_parent=m["version"])
 
 
 def read_minhash_index(

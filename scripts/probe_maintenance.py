@@ -10,9 +10,12 @@ shuffle-spill bytes with bench.py's probes:
 
 - corpus split: 80% base build, 10% batch upsert, 10% streaming ingest
   (staged to parquet untimed; the timed step is the availableNow drive);
-- IVF/PQ get the full cycle; the two-level router has no stream/compact
-  surface (build/upsert/vacuum only), sized at the deployment law
-  k1 = k2 = isqrt(n / occupancy) like scripts/probe_twolevel.py;
+- all three kinds run the FULL lifecycle — build, upsert, streaming
+  ingest, compact, vacuum (the two-level router gained its stream and
+  compaction surface in round 12); the router is sized at the
+  deployment law k1 = k2 = isqrt(n / occupancy) like
+  scripts/probe_twolevel.py, plus a search-only timing over the
+  persisted postings;
 - index directory bytes recorded per kind after vacuum (the PQ
   compression claim is checkable from the same artifact);
 - canary brackets: numpy host pair at process start/end, in-JVM spark
@@ -150,9 +153,6 @@ def main() -> None:
                     spark, sfd, path, k, k, 2, vectors=base
                 ),
             )
-            # write_twolevel_index unpersists its trainer pins, including
-            # the shared base cache — re-pin the upsert slice explicitly.
-            up.cache().count()
             step(tl, "upsert", lambda: ai.upsert_twolevel_postings(spark, path, up))
             step(
                 tl,

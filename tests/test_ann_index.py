@@ -1156,8 +1156,13 @@ def test_manifest_schedule_property(spark, sf_dir, ops):
 
     from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
     from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    import pytest
+
     from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        ConcurrentWriterError,
         _max_committed_batch,
+        _next_version,
+        _publish,
         compact_ivf_index,
         current_manifest,
         read_ivf_centroids,
@@ -1223,6 +1228,21 @@ def test_manifest_schedule_property(spark, sf_dir, ops):
             # (c) committed version is monotone
             v2 = current_manifest(path)["version"]
             assert v2 >= ver
+            if v2 > ver:
+                # Second-writer extension (VERDICT r12 item 3): at every
+                # point where the schedule committed a new version, a
+                # concurrent writer that planned against the PRE-op
+                # manifest must lose its publish CAS loudly and perturb
+                # nothing a reader sees.
+                claimed = _next_version(path)
+                stale_m = dict(current_manifest(path))
+                stale_m["version"] = claimed
+                with pytest.raises(ConcurrentWriterError):
+                    _publish(path, stale_m, expect_parent=ver)
+                assert current_manifest(path)["version"] == v2
+                rows = snapshot()
+                assert len(rows) == len(expected)
+                assert set(rows) == expected
             ver = v2
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -1417,3 +1437,443 @@ def test_pq_half_committed_dual_stream_batch_is_invisible(spark, sf_dir, tmp_pat
     _cb, _codes, norms2 = read_pq_index(spark, path)
     n2 = v.filter(F.col("vec_id") % 4 == 2).count()
     assert norms2.count() == n0 + n2 + n3
+
+
+def _empty_cell_corpus(spark):
+    """1-D fixed-point corpus engineered so the quantized-Lloyd FINAL
+    level-1 assignment leaves cell 1 EMPTY while the cell survives in
+    cent1 (it had members at the last update step). k1=3, iters=1:
+    init c0=5, c1=10, c2=31 (the three lowest vec_ids); first assign
+    S0={5,5,5}, S1={10,20}, S2={31,21,21,21}; floor-mean update gives
+    c0'=5, c1'=15, c2'=23; final assign steals both of cell 1's
+    members — 10 ties 25==25 to the lower cid 0, 20 prefers c2'
+    (9 < 25). The raw trainer's cent2 therefore has no gid=1, and
+    before the r12 completion fix an increment vector routed to cell 1
+    vanished from every upsert/stream path (ADVICE r12)."""
+    vals = [5, 10, 31, 5, 5, 20, 21, 21, 21]
+    rows = [(i, [v], 1.0) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "vec_id long, fe array<bigint>, nrm double")
+
+
+def test_twolevel_train_completes_empty_coarse_cells(spark):
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        route_twolevel,
+        twolevel_train,
+    )
+
+    v = _empty_cell_corpus(spark).cache()
+    cent1, cent2, assigned, pins = twolevel_train(v, 3, 2, 1)
+    c1_rows = {r.cid: r.c_q for r in cent1.collect()}
+    assert set(c1_rows) == {0, 1, 2}
+    assert c1_rows[1] == [15]  # cell 1 exists in cent1...
+    assert not [r for r in assigned.collect() if r.c1 == 1]  # ...but won nothing
+    # The completion law: the empty coarse cell carries ONE synthetic
+    # sub-centroid — the coarse centroid itself, sub-cid 0.
+    c2_gid1 = [(r.cid, r.c_q) for r in cent2.collect() if r.gid == 1]
+    assert c2_gid1 == [(0, [15])]
+    # Routing an increment vector into the empty cell is lossless now:
+    # before the fix, pq_assign's inner join on gid dropped this row.
+    nv = spark.createDataFrame(
+        [(100, [15], 1.0)], "vec_id long, fe array<bigint>, nrm double"
+    )
+    routed = route_twolevel(nv, cent1, cent2).collect()
+    assert [(r.vec_id, r.c1, r.c2) for r in routed] == [(100, 1, 0)]
+    for p in (*pins, cent1, assigned):
+        p.unpersist()
+
+
+def test_twolevel_upsert_into_empty_cell_is_lossless(spark, tmp_path):
+    """End-to-end ADVICE r12 gate on the persisted router: upsert a
+    vector that routes to a coarse cell with no trained sub-centroids —
+    it must land in the index (synthetic sub-cell 0), not vanish."""
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_twolevel_index,
+        upsert_twolevel_postings,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    v = _empty_cell_corpus(spark).cache()
+    write_twolevel_index(spark, sf_dir="", path=path, k1=3, k2=2, iters=1, vectors=v)
+    nv = spark.createDataFrame(
+        [(100, [15], 1.0)], "vec_id long, fe array<bigint>, nrm double"
+    )
+    upsert_twolevel_postings(spark, path, nv)
+    _c1, _c2, postings = read_twolevel_index(spark, path)
+    rows = {r.vec_id: (r.c1, r.c2) for r in postings.collect()}
+    assert len(rows) == v.count() + 1
+    assert rows[100] == (1, 0)
+    v.unpersist()
+
+
+def test_maintain_rebuild_never_fences_unread_batch(spark, sf_dir, tmp_path):
+    """ADVICE r12: the rebuild's publish fence must cover exactly the
+    stream batches the rebuild corpus actually read — captured at
+    corpus-read time as a contiguous prefix — never the publish-time
+    max. Sequence: batches {0, 2} committed (2 is late/out-of-order);
+    a forced retrain reads base + {0} and must publish fence 0, leaving
+    batch 2 live above the fence. The old publish-time-max fence (2)
+    stranded batch 2's rows outside both the rebuild and the live
+    stream — silent row loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        maintain_ivf_index,
+        read_ivf_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 3 == 0))
+    cent = read_ivf_centroids(spark, path)
+    for bid, mod in ((0, 1), (2, 2)):
+        nv = v.filter(F.col("vec_id") % 3 == mod).select("vec_id", "fe", "nrm")
+        (
+            ivf_assign(nv, cent)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(path, "postings_stream", f"ingest_batch={bid}"))
+        )
+    res = maintain_ivf_index(spark, path, hot_ratio=0.0)  # force the retrain
+    assert res["rebuilt"]
+    assert current_manifest(path)["folded_upto"] == 0
+    _c, postings = read_ivf_index(spark, path)
+    got = sorted(r.vec_id for r in postings.select("vec_id").collect())
+    want = sorted(r.vec_id for r in v.select("vec_id").collect())
+    assert got == want  # batch 2 intact and exactly once
+    v.unpersist()
+
+
+def test_concurrent_writer_loser_fails_loudly(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 3 — single-writer as MECHANISM: a writer that
+    planned its change against a manifest another writer has since
+    superseded must FAIL its publish (ConcurrentWriterError), leave no
+    committed manifest of its own, and leave the index at the winner's
+    committed snapshot, readable exactly-once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        ConcurrentWriterError,
+        _committed_versions,
+        _next_version,
+        _publish,
+        current_manifest,
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 2 == 0)
+    inc = v.filter(F.col("vec_id") % 2 == 1).select("vec_id", "fe", "nrm")
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    # Writer A reads its parent and claims a version, then stalls...
+    stale = current_manifest(path)
+    a_ver = _next_version(path)
+    # ...while writer B lands a whole upsert (read->claim->publish).
+    upsert_ivf_postings(spark, path, inc)
+    won = current_manifest(path)["version"]
+    assert won > stale["version"]
+    # Writer A now tries to publish against its stale parent: pre-check
+    # CAS fails loudly, nothing of A's is committed.
+    a_m = dict(stale)
+    a_m["version"] = a_ver
+    with pytest.raises(ConcurrentWriterError):
+        _publish(path, a_m, expect_parent=stale["version"])
+    assert current_manifest(path)["version"] == won
+    assert a_ver not in _committed_versions(path)
+    # The index still reads the winner's snapshot exactly-once.
+    _c, postings = read_ivf_index(spark, path)
+    rows = [r.vec_id for r in postings.select("vec_id").collect()]
+    assert len(rows) == v.count() and len(set(rows)) == len(rows)
+    v.unpersist()
+
+
+def test_publish_post_verify_retracts_racing_commit(spark, sf_dir, tmp_path, monkeypatch):
+    """The second CAS layer: a racer committing BETWEEN this writer's
+    pre-check and its marker creation is caught by the post-verify
+    re-list — the writer retracts its own marker (back to torn) and
+    raises, so exactly one of the two commits survives. Deterministic
+    reproduction: stub the committed-version listing to show the racer
+    only on the second (post-verify) call."""
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.sources import ann_index as ai
+
+    path = str(tmp_path / "idx")
+    ai.write_ivf_index(spark, sf_dir, path)
+    parent = ai.current_manifest(path)["version"]
+    racer_ver = ai._next_version(path)  # claimed by the racer
+    my_ver = ai._next_version(path)
+    calls = {"n": 0}
+    real = ai._committed_versions
+
+    def listing(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real(p)  # pre-check: racer not committed yet
+        return sorted(set(real(p)) | {racer_ver})  # post-verify: it is
+
+    monkeypatch.setattr(ai, "_committed_versions", listing)
+    m = dict(ai.current_manifest(path))
+    m["version"] = my_ver
+    with pytest.raises(ai.ConcurrentWriterError):
+        ai._publish(path, m, expect_parent=parent)
+    monkeypatch.undo()
+    # Our marker was retracted: the json is torn, not committed.
+    assert my_ver not in ai._committed_versions(path)
+    assert ai.current_manifest(path)["version"] == parent
+
+
+def _stage_slices(v, tmp_path, mods):
+    """Write one single-file parquet per mod-slice into a shared stage
+    dir, returning (stage_dir, schema, per-slice vec_id sets). Files
+    are added one at a time by the caller to control which micro-batch
+    a restarted stream sees."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage, exist_ok=True)
+    paths, ids = [], []
+    for i, mod in enumerate(mods):
+        sl = v.filter(F.col("vec_id") % 10 == mod).select("vec_id", "fe", "nrm")
+        tmp = str(tmp_path / f"slice_{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        paths.append((os.path.join(tmp, part), os.path.join(stage, f"f{i}.parquet")))
+        ids.append({r.vec_id for r in sl.select("vec_id").collect()})
+    schema = v.select("vec_id", "fe", "nrm").schema
+    return stage, schema, paths, ids
+
+
+def _restart_recovery_ivf(spark, sf_dir, tmp_path, use_rocksdb):
+    """Checkpoint-restart recovery (VERDICT r12 item 4), IVF path.
+    Crash point simulated: batch 0 committed through the checkpoint;
+    batch 1's foreachBatch COMPLETED its directory write (with
+    _SUCCESS) but the checkpoint commit never happened — the
+    production failure mode whole-dir overwrite exists for. The
+    restarted query must replay batch 1 onto its own directory and the
+    index must read every vector exactly once."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_centroids,
+        read_ivf_index,
+        stream_ingest_ivf,
+        write_ivf_index,
+    )
+    from nrg_etl_airflow_spark_emr_spark.streaming.jobs import rocksdb_state
+
+    path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 10 > 1)
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    stage, schema, paths, ids = _stage_slices(v, tmp_path, [0, 1])
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        stream_ingest_ivf(stream, path, ckpt).awaitTermination()
+
+    import contextlib
+
+    backend = rocksdb_state(spark) if use_rocksdb else contextlib.nullcontext()
+    with backend:
+        shutil.copy(*paths[0])
+        run()  # batch 0 commits through the checkpoint
+        assert os.path.isfile(
+            os.path.join(path, "postings_stream", "ingest_batch=0", "_SUCCESS")
+        )
+        # Crash simulation: batch 1's data lands (exactly what the
+        # foreachBatch writes, _SUCCESS included) but the checkpoint
+        # never records it, and the source file appears for the restart.
+        shutil.copy(*paths[1])
+        sl1 = spark.read.schema(schema).parquet(paths[1][1])
+        cent = read_ivf_centroids(spark, path)
+        (
+            ivf_assign(sl1, cent)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(path, "postings_stream", "ingest_batch=1"))
+        )
+        run()  # restart from the same checkpoint: must replay batch 1
+
+    _c, postings = read_ivf_index(spark, path)
+    rows = [r.vec_id for r in postings.select("vec_id").collect()]
+    want = base_ids | ids[0] | ids[1]
+    assert len(rows) == len(want) and set(rows) == want  # exactly once
+    assert current_manifest(path)["kind"] == "ivf"
+    compact_ivf_index(spark, path)
+    assert current_manifest(path)["folded_upto"] == 1
+    _c, folded = read_ivf_index(spark, path)
+    rows = [r.vec_id for r in folded.select("vec_id").collect()]
+    assert len(rows) == len(want) and set(rows) == want
+    v.unpersist()
+
+
+def test_stream_restart_recovery_ivf_default_state(spark, sf_dir, tmp_path):
+    _restart_recovery_ivf(spark, sf_dir, tmp_path, use_rocksdb=False)
+
+
+def test_stream_restart_recovery_ivf_rocksdb_state(spark, sf_dir, tmp_path):
+    _restart_recovery_ivf(spark, sf_dir, tmp_path, use_rocksdb=True)
+
+
+def test_stream_restart_recovery_twolevel_torn_batch(spark, sf_dir, tmp_path):
+    """Twolevel restart recovery, crash point: batch 1's directory is
+    TORN (writer died mid-write — no _SUCCESS marker). The torn batch
+    is invisible to readers; the restarted query replays batch 1 and
+    whole-dir overwrite heals the directory."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+        route_twolevel,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        read_twolevel_centroids,
+        read_twolevel_index,
+        stream_ingest_twolevel,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    ckpt = str(tmp_path / "ckpt")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 10 > 1)
+    write_twolevel_index(
+        spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS, vectors=base
+    )
+    stage, schema, paths, ids = _stage_slices(v, tmp_path, [0, 1])
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        stream_ingest_twolevel(stream, path, ckpt).awaitTermination()
+
+    shutil.copy(*paths[0])
+    run()
+    # Torn batch 1: the routed write lands, then the crash strikes
+    # before the directory completes — drop its _SUCCESS marker.
+    shutil.copy(*paths[1])
+    sl1 = spark.read.schema(schema).parquet(paths[1][1])
+    cent1, cent2 = read_twolevel_centroids(spark, path)
+    bdir = os.path.join(path, "postings_stream", "ingest_batch=1")
+    (
+        route_twolevel(sl1, cent1, cent2)
+        .select("vec_id", "fe", "nrm", "c2", "c1")
+        .write.mode("overwrite")
+        .partitionBy("c1")
+        .parquet(bdir)
+    )
+    os.remove(os.path.join(bdir, "_SUCCESS"))
+    # Invisible while torn: reads see base + batch 0 only.
+    _1, _2, p = read_twolevel_index(spark, path)
+    assert {r.vec_id for r in p.select("vec_id").collect()} == base_ids | ids[0]
+    run()  # restart heals the torn directory via whole-dir overwrite
+    _1, _2, p = read_twolevel_index(spark, path)
+    rows = [r.vec_id for r in p.select("vec_id").collect()]
+    want = base_ids | ids[0] | ids[1]
+    assert len(rows) == len(want) and set(rows) == want
+    v.unpersist()
+
+
+def test_stream_restart_recovery_pq_half_committed(spark, sf_dir, tmp_path):
+    """PQ restart recovery, crash point: the dual-stream batch 1 wrote
+    its CODES directory but died before the NORMS write — the
+    half-committed state the codes-first write order is designed for.
+    Invisible until the restarted query replays batch 1 and completes
+    both directories."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import pq_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _subvectors
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _read_segments,
+        current_manifest,
+        read_pq_index,
+        stream_ingest_pq,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    ckpt = str(tmp_path / "ckpt")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 10 > 1)
+    write_pq_index(spark, sf_dir, path, vectors=base)
+    stage, schema, paths, ids = _stage_slices(v, tmp_path, [0, 1])
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        stream_ingest_pq(stream, path, ckpt).awaitTermination()
+
+    shutil.copy(*paths[0])
+    run()
+    # Half-committed batch 1: codes land, norms never do.
+    shutil.copy(*paths[1])
+    sl1 = spark.read.schema(schema).parquet(paths[1][1])
+    m = current_manifest(path)
+    cb = _read_segments(
+        spark, path, [m["segments"]["codebooks"]], m["schemas"]["codebooks"]
+    ).select("gid", "cid", "c_q")
+    (
+        pq_assign(_subvectors(sl1, "vec_id", "fe", "sv"), cb)
+        .select("gid", "vec_id", "cid")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes_stream", "ingest_batch=1"))
+    )
+    _cb, codes, _nm = read_pq_index(spark, path)
+    got = {r.vec_id for r in codes.select("vec_id").distinct().collect()}
+    assert got == base_ids | ids[0]  # half-committed batch invisible
+    run()  # restart replays batch 1, completing codes AND norms
+    _cb, codes, norms = read_pq_index(spark, path)
+    want = base_ids | ids[0] | ids[1]
+    rows = [r.vec_id for r in codes.select("vec_id").distinct().collect()]
+    assert len(rows) == len(want) and set(rows) == want
+    nrows = [r.vec_id for r in norms.select("vec_id").collect()]
+    assert len(nrows) == len(want) and set(nrows) == want
+    v.unpersist()

@@ -650,3 +650,21 @@ def test_render_phash_image_decodes_to_the_clamped_text_law():
         img = mm.render_phash_image(text, doc_id)
         assert img[:8] == mm._PNG_MAGIC if doc_id % 2 == 0 else img[:2] == b"BM"
         assert mm.phash_bands_image(img) == expect
+
+
+def test_audio_cross_law_non_ascii_stays_on_int16_grid():
+    """The render→decode audio law clamps codepoints to 191 so every
+    sample sits on the int16 quantization grid: (191-64)*256 = 32512 <=
+    32767. A 255 bound (ADVICE r12) sent codes 192..255 to samples up
+    to 48896, which encode_wav clips — silently diverging from the
+    oracle's un-clipped prediction for any non-ASCII text. This pins
+    the law on codepoints from every regime: ASCII, 192..255 (the
+    formerly-clipping band), and astral."""
+    import pandas as pd
+
+    text = "abc\xc0\xff中"  # 97.., 192, 255, 20013
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text]})
+    (out,) = list(mm.audio_cross_batches(iter([pdf])))
+    want = sum((min(ord(c), 191) - 64) * 256 for c in text)
+    assert int(out["sample_sum"][0]) == want
+    assert int(out["n_samples"][0]) == len(text)
