@@ -43,13 +43,20 @@ JACCARD_THRESHOLD = 0.5
 
 # Shared SQL fragments --------------------------------------------------------
 
-_SQL_SHINGLES_CTE = f"""
+def _sql_shingles_cte(src: str = "documents") -> str:
+    """The shingle CTE pair over any (doc_id, text) relation ``src`` —
+    parameterized so composed pipelines (corpus_pipeline_e2e) can replay
+    the IDENTICAL shingle law over an intermediate stage's output."""
+    return f"""
     sh AS (
         SELECT doc_id, {sql_word_shingles(3)} AS shingles
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
 """
+
+
+_SQL_SHINGLES_CTE = _sql_shingles_cte()
 
 _SQL_H1, _SQL_H2 = sql_hash_pair("shingle")
 _SQL_SIG_CTE = (
@@ -76,6 +83,12 @@ def _doc_shingles(
     the single-partition scan stage (measured: 8× slowdown).
     """
     docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _doc_shingles_from(docs, require_shingles)
+
+
+def _doc_shingles_from(docs: DataFrame, require_shingles: bool = False) -> DataFrame:
+    """The shingle law over any (doc_id, text) frame — the frame-level
+    core behind _doc_shingles, exposed for composed pipelines."""
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     if require_shingles:
         words = words.filter(F.size("w") >= 3)
@@ -89,7 +102,12 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, shingle); the k permutations are integer math (combined_hash),
     ~k× cheaper than k independent md5 passes. Docs with no shingles drop
     out (matching the oracle's unnest semantics)."""
-    sh = _doc_shingles(spark, sf_dir, require_shingles=True)
+    return _signatures_from(_doc_shingles(spark, sf_dir, require_shingles=True))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """Signature law over a (doc_id, shingles) frame — the frame-level
+    core behind _signatures, exposed for composed pipelines."""
     digs = sh.select("doc_id", F.transform("shingles", F.md5).alias("dig"))
     pairs = digs.select(
         "doc_id",
@@ -499,13 +517,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir)
 
 
-def _sql_lsh_oracle() -> str:
+def _sql_lsh_oracle(src: str = "documents") -> str:
     bands = _sql_band_cte()
     matches = " + ".join(
         f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
     )
     return f"""
-    WITH {_SQL_SHINGLES_CTE},
+    WITH {_sql_shingles_cte(src)},
     {_SQL_SIG_CTE},
     bands AS ({bands}),
     cand AS (
@@ -528,10 +546,15 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
     """(cached signatures, band-keyed candidate pairs d1<d2) — the shared
     candidate-generation stage for every LSH-routed dedup scorer."""
     sig = _signatures(spark, sf_dir).cache()
+    return sig, _lsh_candidates_from(sig)
+
+
+def _lsh_candidates_from(sig: DataFrame) -> DataFrame:
+    """Band-keyed candidate pairs (d1 < d2) from a signature frame."""
     bands = _band_frame(sig)
     a = bands.alias("a")
     b_ = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b_,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -541,7 +564,35 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    return sig, cand
+
+
+def _lsh_scored(sig: DataFrame, cand: DataFrame) -> DataFrame:
+    """Signature-agreement scoring of candidate pairs — the verify stage
+    of dedup_minhash_lsh, shared with the frame-level minhash_lsh_pairs."""
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    matches = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
+            for j in range(MINHASH_K)
+        ],
+    )
+    return (
+        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", (matches / float(MINHASH_K)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """dedup_minhash_lsh's exact law over any (doc_id, text) frame —
+    the near-dup verdict stage of composed pipelines
+    (corpus_pipeline_e2e). Identical shingle → signature → band-key →
+    agreement-score arithmetic; the caller owns the input's cache."""
+    sig = _signatures_from(_doc_shingles_from(docs, require_shingles=True)).cache()
+    return _lsh_scored(sig, _lsh_candidates_from(sig))
 
 
 
@@ -558,21 +609,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig, cand = _lsh_candidates(spark, sf_dir)
-    s1 = sig.alias("s1")
-    s2 = sig.alias("s2")
-    matches = reduce(
-        lambda x, y: x + y,
-        [
-            F.when(F.col(f"s1.mh{j}") == F.col(f"s2.mh{j}"), 1).otherwise(0)
-            for j in range(MINHASH_K)
-        ],
-    )
-    return (
-        cand.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .select("d1", "d2", (matches / float(MINHASH_K)).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _lsh_scored(sig, cand)
 
 
 # ---------------------------------------------------------------------------

@@ -1686,14 +1686,14 @@ CHUNK_TOK = 32     # tokens per chunk
 CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
 
 
-@register(
-    "text_chunk_for_rag",
-    bench=True,
-    oracle=f"""
+def _chunk_oracle(src: str = "documents") -> str:
+    """text_chunk_for_rag's oracle over any (doc_id, text) relation —
+    parameterized for composed-pipeline nesting (corpus_pipeline_e2e)."""
+    return f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n
-        FROM documents
+        FROM {src}
     ),
     st AS (
         SELECT doc_id, toks, n,
@@ -1712,7 +1712,13 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
                AS chunk_text
     FROM st
     ORDER BY doc_id, chunk_idx
-    """,
+    """
+
+
+@register(
+    "text_chunk_for_rag",
+    bench=True,
+    oracle=_chunk_oracle(),
     tags=("text", "rag"),
     window_defer=True,
     doc=f"Overlapping-window chunking — the retrieval-unit split every "
@@ -1733,7 +1739,12 @@ CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
     f"text_word_freq_topk's explode.",
 )
 def text_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return chunk_for_rag(spread(t(spark, sf_dir, "documents")).select("doc_id", "text"))
+
+
+def chunk_for_rag(docs: DataFrame) -> DataFrame:
+    """The chunking law over any (doc_id, text) frame — frame-level core
+    behind text_chunk_for_rag, exposed for composed pipelines."""
     toks = F.split("text", " ")
     staged = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     chunks = staged.select(
@@ -2667,13 +2678,14 @@ LINE_WORDS = 8  # fixture "line" = 8-word segment (the corpus has no newlines)
 _LINE_ENC = 1_000_000_000
 
 
-@register(
-    "text_line_dedup",
-    oracle=f"""
+def _line_dedup_oracle(src: str = "documents") -> str:
+    """text_line_dedup's oracle over any (doc_id, text) relation ``src``
+    — parameterized for composed-pipeline nesting (corpus_pipeline_e2e)."""
+    return f"""
     WITH w AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                generate_subscripts(string_split(text, ' '), 1) AS ord
-        FROM documents
+        FROM {src}
     ),
     lines AS (
         SELECT doc_id, CAST(floor((ord - 1) / {LINE_WORDS}) AS BIGINT) AS pos,
@@ -2693,7 +2705,12 @@ _LINE_ENC = 1_000_000_000
            CAST(COUNT(*) FILTER (WHERE e <> fe) AS BIGINT) AS n_dropped
     FROM enc JOIN firsts USING (lh)
     GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_line_dedup",
+    oracle=_line_dedup_oracle(),
     tags=("text", "dedup"),
     window_defer=True,
     doc="C4-style repeated-span dedup WITHIN documents, corpus-wide — "

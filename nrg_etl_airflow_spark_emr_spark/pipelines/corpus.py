@@ -116,6 +116,102 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e2e_oracle() -> str:
+    """The production chain as ONE DuckDB query, every stage the nested
+    oracle of its already-gated operator: clean (quality+lang+canonical)
+    → corpus-wide line dedup → MinHash-LSH near-dup verdicts (greedy
+    keep-lowest-id: any doc appearing as the higher id of a near-dup
+    pair drops) → RAG chunking → deterministic shard manifest."""
+    from ..functions.hashing import sql_hash60
+    from ..operators.dedup import _sql_lsh_oracle
+    from ..operators.text import _chunk_oracle, _line_dedup_oracle
+    from .training import _N_SHARDS
+
+    return f"""
+    WITH cleaned AS (SELECT doc_id, text FROM ({_compose_oracle()}) cc),
+    lined AS (
+        SELECT doc_id, clean_text AS text
+        FROM ({_line_dedup_oracle("cleaned")}) ld
+        WHERE len(clean_text) > 0
+    ),
+    pairs AS (SELECT d1, d2 FROM ({_sql_lsh_oracle("lined")}) pp),
+    kept AS (
+        SELECT l.doc_id, l.text FROM lined l
+        WHERE l.doc_id NOT IN (SELECT d2 FROM pairs)
+    ),
+    chunks AS (SELECT * FROM ({_chunk_oracle("kept")}) ch)
+    SELECT CAST({sql_hash60("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {_N_SHARDS} AS BIGINT) AS shard_id,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(chunk_text)) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM chunks
+    GROUP BY 1
+    """
+
+
+@register(
+    "corpus_pipeline_e2e",
+    bench=True,
+    oracle=_e2e_oracle(),
+    tags=("pipeline", "dedup", "text", "training"),
+    doc="The COMPOSED production corpus pipeline under one plan and one "
+    "oracle (VERDICT r12 item 1): raw documents → corpus_clean "
+    "(quality + language + canonical-only near-dup) → corpus-wide "
+    "C4-style line dedup (empty-after-dedup docs drop at this stage "
+    "boundary) → MinHash-LSH near-dup verdicts over the LINE-DEDUPED "
+    "text (greedy keep-lowest-id: a doc that appears as the higher id "
+    "of any ≥threshold pair drops — the standard streaming-dedup "
+    "verdict rule, one anti-join) → overlapping-window RAG chunking → "
+    "deterministic hash-sharded export manifest. Every stage is the "
+    "SAME frame-level core its standalone catalog query runs "
+    "(line_dedup, minhash_lsh_pairs, chunk_for_rag), and the oracle "
+    "nests the stage oracles verbatim with only the source relation "
+    "re-pointed — the composition, not just the stages, is what the "
+    "hash gate checks. Interfaces this exercises: clean_text='' "
+    "accounting rows, sub-3-word docs that cannot shingle (no "
+    "signature → auto-keep, both engines), and chunk coordinates over "
+    "REWRITTEN text. Plan shape: the two multi-consumer stage "
+    "boundaries (cleaned, lined) are cached so no stage re-scans the "
+    "raw corpus — downstream stages read the cached boundary; all "
+    "shuffles are keyed (doc_id, line digest, band key, shard id); no "
+    "row-UDFs anywhere (repo-wide BatchEvalPython pin). At 100 TB each "
+    "boundary would be a checkpointed parquet hand-off instead of a "
+    "cache — same plan, durable edges.",
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash60
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.text import chunk_for_rag, line_dedup
+    from .training import _N_SHARDS
+
+    cleaned = clean_corpus(spark, sf_dir).select("doc_id", "text").cache()
+    lined = (
+        line_dedup(cleaned)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .filter(F.length("text") > 0)
+        .cache()
+    )
+    pairs = minhash_lsh_pairs(lined)
+    drops = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    kept = lined.join(drops, "doc_id", "left_anti")
+    chunks = chunk_for_rag(kept)
+    shard = (
+        hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    ).alias("shard_id")
+    return chunks.groupBy(shard).agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.length("chunk_text")).cast("long").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def corpus_checks(min_docs: int = 1, max_empty_docs: int = 0) -> list:
     """Declarative QC seed for the documents corpus — the reference's
     check taxonomy (row counts, null audits, consistency) applied to the

@@ -1,0 +1,144 @@
+"""corpus_pipeline_e2e (VERDICT r12 item 1): the composed production
+chain — clean → corpus-wide line dedup → MinHash-LSH verdicts → RAG
+chunking → shard manifest — under one plan and one nested oracle. The
+catalog mirror gates the composition value-exactly; these tests pin the
+stage INTERFACES the fixture corpus doesn't exercise (empty-after-dedup
+docs, sub-3-word docs that cannot shingle, near-dups REVEALED by line
+dedup, chunk coordinates over rewritten text) and the plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+SPECS = all_specs()
+
+_L1 = "alpha beta gamma delta epsilon zeta eta"
+_L2 = "iota kappa lam mu nu xi omicron"
+
+
+def _crafted(spark):
+    rows = [
+        # two identical 8-word lines: the second occurrence drops
+        (1, " ".join([f"w{i}" for i in range(1, 9)] * 2)),
+        # its only line duplicates doc 1's first -> empty after dedup
+        (2, " ".join([f"w{i}" for i in range(1, 9)])),
+        # < 3 words: produces no shingles, must auto-keep through minhash
+        (3, "a b"),
+        # near-dup pair whose LINES are all globally unique (they differ
+        # in the last word of each 8-word segment), so line dedup keeps
+        # them intact and the MINHASH stage must catch the near-dup
+        (4, _L1 + " end4 " + _L2 + " tail4"),
+        (5, _L1 + " end5 " + _L2 + " tail5"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chain_stage_edges_on_crafted_corpus(spark):
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import minhash_lsh_pairs
+    from nrg_etl_airflow_spark_emr_spark.operators.text import (
+        chunk_for_rag,
+        line_dedup,
+    )
+
+    docs = _crafted(spark).cache()
+    ld = line_dedup(docs).cache()
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped) for r in ld.collect()}
+    # Doc 1 keeps exactly one copy of its repeated line; doc 2's only
+    # line is a later occurrence of it -> empty accounting row.
+    assert got[1] == (" ".join(f"w{i}" for i in range(1, 9)), 1, 1)
+    assert got[2] == ("", 0, 1)
+    assert got[3] == ("a b", 1, 0)
+    assert got[4][1:] == (2, 0) and got[5][1:] == (2, 0)
+
+    lined = (
+        ld.select("doc_id", F.col("clean_text").alias("text"))
+        .filter(F.length("text") > 0)
+        .cache()
+    )
+    assert {r.doc_id for r in lined.collect()} == {1, 3, 4, 5}
+
+    pairs = minhash_lsh_pairs(lined)
+    prows = [(r.d1, r.d2) for r in pairs.collect()]
+    assert prows == [(4, 5)]  # the line-dedup-surviving near-dup pair
+    kept = lined.join(
+        pairs.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4}  # greedy keep-lowest
+
+    chunks = chunk_for_rag(kept)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_text)
+        )
+    # Chunk coordinates are over the REWRITTEN text: doc 1's chunk spans
+    # its 8 surviving words, not the raw 16; a sub-chunk-size doc still
+    # emits one chunk.
+    assert by_doc[1] == [(0, 1, 8, " ".join(f"w{i}" for i in range(1, 9)))]
+    assert by_doc[3] == [(0, 1, 2, "a b")]
+    assert by_doc[4] == [(0, 1, 16, _L1 + " end4 " + _L2 + " tail4")]
+    for d in (docs, ld, lined):
+        d.unpersist()
+
+
+def test_e2e_equals_stepwise_chain(spark, sf_dir):
+    """The registered builder is exactly the frame-level chain — wiring
+    pin, so a drift between corpus_pipeline_e2e and the stage cores it
+    claims to compose cannot slip through."""
+    from nrg_etl_airflow_spark_emr_spark.functions.hashing import hash60
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import minhash_lsh_pairs
+    from nrg_etl_airflow_spark_emr_spark.operators.text import (
+        chunk_for_rag,
+        line_dedup,
+    )
+    from nrg_etl_airflow_spark_emr_spark.pipelines.corpus import clean_corpus
+    from nrg_etl_airflow_spark_emr_spark.pipelines.training import _N_SHARDS
+
+    cleaned = clean_corpus(spark, sf_dir).select("doc_id", "text").cache()
+    lined = (
+        line_dedup(cleaned)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .filter(F.length("text") > 0)
+        .cache()
+    )
+    pairs = minhash_lsh_pairs(lined)
+    kept = lined.join(
+        pairs.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    chunks = chunk_for_rag(kept)
+    shard = (
+        hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    ).alias("shard_id")
+    want = sorted(
+        map(
+            tuple,
+            chunks.groupBy(shard)
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum(F.length("chunk_text")).cast("long").alias("n_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, SPECS["corpus_pipeline_e2e"].builder(spark, sf_dir).collect()))
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_e2e_plan_shape(spark, sf_dir):
+    """The composed plan hands off between stages through the two cached
+    boundaries (no stage re-derives the raw corpus from scratch) and
+    contains no row-at-a-time Python UDF."""
+    df = SPECS["corpus_pipeline_e2e"].builder(spark, sf_dir)
+    df.count()  # materialize the stage-boundary caches
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "stage boundary caches missing"
+    spark.catalog.clearCache()
