@@ -187,3 +187,101 @@ def test_simhash_wide_band_values_fit_band_width(spark, sf_dir):
     ).collect()[0]
     assert row.lo >= 0 and row.hi < (1 << WIDE_BAND_BITS)
     assert row.nb == WIDE_BANDS
+
+
+def test_simhash_rb_value_equals_banded(spark, sf_dir):
+    """dedup_simhash_rb preserves dedup_simhash_banded's EXACT contract
+    (same sketch, same Hamming bound): pigeonhole over r-of-b
+    combination keys keeps recall exact, so the two rows must be
+    value-identical — the property that lets them share one oracle."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    rb = sorted(map(tuple, specs["dedup_simhash_rb"].builder(spark, sf_dir).collect()))
+    banded = sorted(
+        map(tuple, specs["dedup_simhash_banded"].builder(spark, sf_dir).collect())
+    )
+    assert rb == banded and len(rb) > 0
+
+
+def test_simhash_rb_recall_pinned_to_minhash_verdicts(spark, sf_dir):
+    """VERDICT r12 item 5's recall pin, same direction as the wide row's
+    cross-check: most pairs the r-of-b sketch confirms at Hamming <= 5
+    of 32 are also independent dedup_minhash_lsh verdicts on the
+    planted-near-dup fixture. The threshold sits slightly below the
+    wide row's 80%: this row's pairs are the 32-bit banded set (the
+    contract was HELD, not tightened), which includes the looser
+    angular margin the 120-bit row filtered out — at sf0.001 that is
+    22 of 29 pairs (76%) minhash-confirmed, vs 72 minhash verdicts
+    total (Jaccard and frequency-cosine measure different things)."""
+    from nrg_etl_airflow_spark_emr_spark.plans.catalog import all_specs
+
+    specs = all_specs()
+    rb = specs["dedup_simhash_rb"].builder(spark, sf_dir).select("d1", "d2")
+    mh = specs["dedup_minhash_lsh"].builder(spark, sf_dir).select("d1", "d2")
+    n_rb = rb.count()
+    n_agree = rb.join(mh, ["d1", "d2"], "left_semi").count()
+    assert n_rb > 0 and n_agree / n_rb >= 0.7
+
+
+def test_simhash_rb_candidate_volume_below_banded(spark, sf_dir):
+    """The point of r-of-b: at the IDENTICAL similarity contract, the
+    candidate set (pre-Hamming-filter pairs) must be strictly smaller
+    than single-block banding's — the 2^(r·w/b) selectivity the Manku
+    construction buys for its C(b, r) key fan-out."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _BAND_OFFSETS,
+        _BAND_WIDTHS,
+        _RB_COMBOS,
+        RB_BLOCK_BITS,
+        RB_BLOCKS,
+        _simhashes,
+    )
+    from functools import reduce
+
+    sh = _simhashes(spark, sf_dir).cache()
+
+    def n_candidates(key_arr):
+        k = sh.select("doc_id", F.posexplode(key_arr).alias("kid", "key"))
+        a, b = k.alias("a"), k.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.kid") == F.col("b.kid"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    banded_keys = F.array(
+        *[
+            F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(_BAND_OFFSETS, _BAND_WIDTHS)
+        ]
+    )
+    block = [
+        F.shiftright("simhash", RB_BLOCK_BITS * j).bitwiseAND(
+            F.lit((1 << RB_BLOCK_BITS) - 1)
+        )
+        for j in range(RB_BLOCKS)
+    ]
+    rb_keys = F.array(
+        *[
+            reduce(
+                lambda acc, ji: acc
+                + (block[ji[1]] * F.lit(1 << (RB_BLOCK_BITS * ji[0]))),
+                enumerate(combo),
+                F.lit(0).cast("long"),
+            )
+            for combo in _RB_COMBOS
+        ]
+    )
+    n_banded = n_candidates(banded_keys)
+    n_rb = n_candidates(rb_keys)
+    sh.unpersist()
+    assert n_rb < n_banded, (n_rb, n_banded)
