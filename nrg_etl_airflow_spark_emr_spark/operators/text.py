@@ -91,13 +91,44 @@ def _sql_stopword_count() -> str:
     "type-token ratio (repetition signal), folded into one score. The "
     "shape of a C4/Gopher-style quality filter, as pure column algebra.",
 )
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_exprs():
+    """The quality-score law as reusable Columns over a ``text`` column
+    — single source of truth for text_quality_score and the fused
+    corpus-clean scan (pipelines/corpus.clean_corpus): (n_stopwords,
+    stopword_ratio, type_token_ratio, quality_score)."""
     w = F.split("text", " ")
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
     n_tok = F.size(w)
     stop_ratio = n_stop.cast("double") / n_tok
     ttr = F.size(F.array_distinct(w)).cast("double") / n_tok
     score = (F.floor((stop_ratio * 0.3 + ttr * 0.7) * 10000).cast("double") / 10000)
+    return n_stop, stop_ratio, ttr, score
+
+
+def _langid_pred_expr():
+    """The langid argmax law as ONE Column over ``text`` — the fused
+    corpus-clean scan's form (clean_corpus needs only the prediction,
+    not the per-language scores, so repeating the score subexpressions
+    inside greatest/argmax trades a little codegen for zero joins; the
+    corpus_clean oracle, which nests text_langid's oracle, gates any
+    drift from the staged text_langid law)."""
+    w = F.split("text", " ")
+
+    def marker_pred(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scores = [
+        F.size(F.filter(w, marker_pred(LANG_MARKERS[lg]))) for lg in LANG_ORDER
+    ]
+    greatest = F.greatest(*scores)
+    pred = F.when(greatest == 0, F.lit("en"))
+    for lg, sc in zip(LANG_ORDER, scores):
+        pred = pred.when(sc == greatest, F.lit(lg))
+    return pred
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_stop, stop_ratio, ttr, score = _quality_exprs()
     return t(spark, sf_dir, "documents").select(
         "doc_id",
         n_stop.alias("n_stopwords"),

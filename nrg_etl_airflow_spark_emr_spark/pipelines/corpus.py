@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import dedup_clusters
-from ..operators.text import text_langid, text_quality_score
+from ..operators.text import text_langid, text_quality_score  # noqa: F401 (survival_stats)
 from ..operators._util import t
 from ..plans.catalog import register
 
@@ -38,22 +38,33 @@ def clean_corpus(
     quality_threshold: float = QUALITY_THRESHOLD,
     allowed_langs: tuple[str, ...] = ALLOWED_LANGS,
 ) -> DataFrame:
-    """Cleaned corpus: doc_id + text + the per-stage signals that kept it."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    lang = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    """Cleaned corpus: doc_id + text + the per-stage signals that kept it.
+
+    Round 13: the quality and langid signals are pure map-side
+    expressions, so they compute INLINE in the document scan instead of
+    as two doc_id shuffle joins against their standalone operators (the
+    expression cores are shared — operators/text._quality_exprs /
+    _langid_pred_expr — and the nested corpus_clean oracle gates any
+    drift). The one remaining join is the near-dup cluster table, which
+    genuinely needs corpus-wide candidate generation. At 100 TB this
+    turns the clean stage from three shuffles over the corpus into one
+    scan + one join."""
+    from ..operators.text import _langid_pred_expr, _quality_exprs
+
+    _ns, _sr, _ttr, score = _quality_exprs()
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        score.alias("quality_score"),
+        _langid_pred_expr().alias("predicted_lang"),
+    )
     clusters = dedup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id", "is_canonical"
     )
-    return (
-        docs.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(clusters, "doc_id")
-        .filter(
-            (F.col("quality_score") >= quality_threshold)
-            & F.col("predicted_lang").isin(*allowed_langs)
-            & (F.col("is_canonical") == 1)
-        )
+    return docs.join(clusters, "doc_id").filter(
+        (F.col("quality_score") >= quality_threshold)
+        & F.col("predicted_lang").isin(*allowed_langs)
+        & (F.col("is_canonical") == 1)
     )
 
 

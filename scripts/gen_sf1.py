@@ -105,14 +105,14 @@ def main() -> None:
         dim = (
             len(base.select("embedding").first()[0]) if name == "embeddings" else 0
         )
-        if name == "embeddings" and COPIES - 1 >= 2 * dim:
-            # Rotation wraps at dim; the global-negation second block
-            # (below) doubles the distinct-orthogonal-transform budget to
-            # 2*dim copies. Beyond that a richer per-copy orthogonal
-            # transform (e.g. per-copy sign PATTERN) is needed — refuse
-            # rather than silently resurrect the duplicate-twin artifact
-            # (BASELINE.md sf1 Finding 1).
-            sys.exit(f"COPIES={COPIES} exceeds the 2*dim={2 * dim} transform budget")
+        if name == "embeddings" and COPIES - 1 >= 1023 * dim:
+            # Rotation wraps at dim; the per-block SIGN PATTERN (below)
+            # multiplies the distinct-orthogonal-transform budget to
+            # 1023*dim copies (10-bit patterns, block 1023 excluded —
+            # it would collide with... nothing, but keep headroom).
+            # Refuse past that rather than silently resurrect the
+            # duplicate-twin artifact (BASELINE.md sf1 Finding 1).
+            sys.exit(f"COPIES={COPIES} exceeds the {1023 * dim} transform budget")
         parts = []
         for i in range(COPIES):
             d = base
@@ -124,13 +124,20 @@ def main() -> None:
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if name == "embeddings" and i > 0:
                 # Copy i's orthogonal transform: circular rotation by
-                # i % dim, globally negated for the second dim-block
-                # (i >= dim). Both preserve norms and within-copy dots
-                # exactly; no two copies share a transform under the
-                # 2*dim budget, so no cross-copy exact twins — and the
-                # negated block sits at cosine -1 from its rotation
-                # twin, invisible to high-cosine dedup.
+                # rot = i % dim composed with the per-BLOCK elementwise
+                # sign pattern for block b = i // dim. Elementwise sign
+                # flips are exactly orthogonal (<s.x, s.y> = <x, y>
+                # since s_j^2 = 1), so norms and within-copy dots are
+                # bit-preserved, same as rotation. Block 0 is identity
+                # and block 1 global negation (the round-11 scheme —
+                # sf1/sf10 fixtures regenerate bit-identically); blocks
+                # >= 2 negate position j iff bit (j mod 10) of b is set.
+                # Distinctness: copies share a transform only with the
+                # same (rot, block), i.e. the same i — no cross-copy
+                # exact twins up to 1023*dim copies (round 13, for the
+                # sf100 third-decade probe).
                 rot = i % dim
+                b = i // dim
                 rolled = (
                     F.concat(
                         F.slice("embedding", rot + 1, dim - rot),
@@ -139,14 +146,30 @@ def main() -> None:
                     if rot
                     else F.col("embedding")
                 )
-                if i >= dim:
+                if b == 1:
                     rolled = F.transform(rolled, lambda x: -x)
+                elif b >= 2:
+                    signs = [1 - 2 * ((b >> (j % 10)) & 1) for j in range(dim)]
+                    rolled = F.zip_with(
+                        rolled,
+                        F.array(*[F.lit(float(sg)) for sg in signs]),
+                        lambda x, sg: x * sg,
+                    )
                 d = d.withColumn("embedding", rolled)
             parts.append(d)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        write(name, out)
+        # Chunked union + append writes: a single COPIES-way union is one
+        # Catalyst plan with COPIES branches — fine at 10-100, minutes of
+        # analysis at 1000. Writing in <=100-branch chunks keeps plan
+        # size bounded at any copy count (first chunk overwrites, the
+        # rest append — same final layout).
+        path = os.path.join(dst, f"{name}.parquet")
+        for ci in range(0, len(parts), 100):
+            chunk = parts[ci]
+            for p in parts[ci + 1 : ci + 100]:
+                chunk = chunk.unionAll(p)
+            mode = "overwrite" if ci == 0 else "append"
+            chunk.repartition(32).write.mode(mode).parquet(path)
+        print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
 
     spark.stop()
 
