@@ -56,6 +56,10 @@ SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
 # 10 -> sf1; 100 -> sf10 (round-11 regime probe). Keys shift per copy,
 # so any copy count preserves the sf0.1 per-key group sizes.
 COPIES = int(os.environ.get("SPARK_GRAFT_SF_COPIES", "10"))
+# Optional resume filter: comma-separated table names to (re)generate.
+# Empty = all tables. Lets a killed long run (sf100's 600M-row lineitem)
+# resume without redoing finished tables.
+ONLY = {t for t in os.environ.get("SPARK_GRAFT_TABLES", "").split(",") if t}
 
 
 def main() -> None:
@@ -98,9 +102,13 @@ def main() -> None:
         print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
 
     for name in ("region", "nation"):
+        if ONLY and name not in ONLY:
+            continue
         write(name, load_table(spark, SRC, name))
 
     for name, cols in shifts.items():
+        if ONLY and name not in ONLY:
+            continue
         base = load_table(spark, SRC, name)
         dim = (
             len(base.select("embedding").first()[0]) if name == "embeddings" else 0
