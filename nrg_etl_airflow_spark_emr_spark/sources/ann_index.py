@@ -692,6 +692,7 @@ def write_twolevel_index(
     vacuum_keep: int = 2,
     folded_upto: int | None = None,
     expect_parent: int | None = None,
+    train_fraction: float | None = None,
 ) -> None:
     """Build the TWO-LEVEL trained dedup router as a persisted artifact
     and commit it through the manifest pointer — the train-once shape
@@ -705,8 +706,24 @@ def write_twolevel_index(
     partitioning by (c1, c2) would create ~n/c dirs, a small-files
     explosion at corpus scale). Same IVF rebuild discipline: publish
     deletes nothing, the post-publish vacuum retains the previous
-    epoch for pinned readers (``vacuum_keep``)."""
-    from ..operators.dedup import twolevel_train
+    epoch for pinned readers (``vacuum_keep``).
+
+    ``train_fraction`` — the third-decade build fix (sf100 probe,
+    BASELINE.md round 13): the grouped-Lloyd trainer's centroid-update
+    stage explodes the corpus to (cell, dim, value) rows, and at
+    n = 2M / k = 134 that stage spilled 543 GB — the one step of the
+    router lifecycle that outgrew the JVM. Lloyd centroids are a
+    statistic (they need O(k·occupancy) samples, not the corpus), so
+    the standard IVF discipline applies: TRAIN on a deterministic
+    hash-sample of the corpus (xxhash64(vec_id) — no RNG, every
+    rebuild/engine samples identically), then ROUTE the full corpus
+    under the trained centroids — route_twolevel is two broadcast
+    joins, map-side at any scale. None/1.0 keeps full-corpus training
+    (the oracle-gated fixture rows, where trainer determinism IS the
+    gate). Sampled centroids differ from full-corpus centroids, so this
+    is a deployment knob, not an oracle-path default; the search/
+    increment/compaction laws are unchanged either way."""
+    from ..operators.dedup import route_twolevel, twolevel_train
     from ..operators.similarity import _vectors
 
     if expect_parent is None:
@@ -714,11 +731,26 @@ def write_twolevel_index(
         expect_parent = pm["version"] if pm else 0
     created = vectors is None
     v = _vectors(spark, sf_dir).cache() if created else vectors
-    cent1, cent2, assigned, pins = twolevel_train(v, k1, k2, iters)
+    if train_fraction is not None and train_fraction < 1.0:
+        sample = v.filter(
+            F.abs(F.xxhash64(F.col("vec_id"), F.lit("tl-train")))
+            % 1_000_000
+            < int(train_fraction * 1_000_000)
+        ).cache()
+        cent1, cent2, _assigned, pins = twolevel_train(sample, k1, k2, iters)
+        # Route the FULL corpus under the sampled-trainer centroids;
+        # materialize before releasing the trainer pins.
+        posted = route_twolevel(v, cent1, cent2).select(
+            "vec_id", "fe", "nrm", "c2", "c1"
+        )
+        _assigned.unpersist()
+    else:
+        cent1, cent2, posted_assigned, pins = twolevel_train(v, k1, k2, iters)
+        posted = posted_assigned.select("vec_id", "fe", "nrm", "c2", "c1")
+        pins = (*pins, posted_assigned)
     ver = _next_version(path)
     c1_dir, c2_dir = _seg("l1cent", ver), _seg("l2cent", ver)
     post_dir = _seg("postings", ver)
-    posted = assigned.select("vec_id", "fe", "nrm", "c2", "c1")
     cent1.write.mode("overwrite").parquet(os.path.join(path, c1_dir))
     cent2.write.mode("overwrite").parquet(os.path.join(path, c2_dir))
     posted.write.mode("overwrite").partitionBy("c1").parquet(
@@ -739,7 +771,12 @@ def write_twolevel_index(
                 "l2cent": cent2.schema.json(),
                 "postings": posted.schema.json(),
             },
-            "params": {"k1": k1, "k2": k2, "iters": iters},
+            "params": {
+                "k1": k1,
+                "k2": k2,
+                "iters": iters,
+                "train_fraction": train_fraction,
+            },
             "streams": [_TL_STREAM],
             # Same fence law as write_ivf_index: a corpus-rebuild caller
             # (maintain_twolevel_index) passes the highest batch id its
@@ -756,12 +793,17 @@ def write_twolevel_index(
     # Release only pins this function (or its trainer) created: the
     # caller-supplied ``vectors`` frame stays pinned — its cache is the
     # caller's to manage (ADVICE r12; maintain_twolevel_index and the
-    # probe scripts rely on their corpus pin surviving this call).
+    # probe scripts rely on their corpus pin surviving this call). The
+    # trainer's input pin (pins[0]) is ours when it is the hash-sample
+    # or a v we built from sf_dir; it is the caller's when vectors was
+    # passed and trained on directly.
     own_v, *trainer_pins = pins
-    for pinned in (*trainer_pins, cent1, assigned):
+    for pinned in (*trainer_pins, cent1):
         pinned.unpersist()
+    if own_v is not v:
+        own_v.unpersist()  # the train-fraction sample cache is always ours
     if created:
-        own_v.unpersist()
+        v.unpersist()
     vacuum_index(path, keep_versions=vacuum_keep)
 
 

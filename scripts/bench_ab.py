@@ -35,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench import run_canary, run_spark_canary  # noqa: E402
+from bench import make_spill_probe, run_canary, run_spark_canary  # noqa: E402
 
 
 def main() -> None:
@@ -61,13 +61,19 @@ def main() -> None:
         spark.catalog.clearCache()
         specs[q].builder(spark, args.sf).write.format("noop").mode("overwrite").save()
 
+    mark, measure = make_spill_probe(spark)
     reps: dict[str, list[float]] = {q: [] for q in args.queries}
+    spill: dict[str, list[int]] = {q: [0, 0] for q in args.queries}
     for _ in range(args.reps):
         for q in args.queries:  # interleaved: drift hits every query equally
             spark.catalog.clearCache()
+            marker = mark()
             t0 = time.perf_counter()
             specs[q].builder(spark, args.sf).write.format("noop").mode("overwrite").save()
             reps[q].append(round(time.perf_counter() - t0, 3))
+            sp = measure(marker) or (0, 0)
+            # max over reps — the regime question is "does it EVER spill"
+            spill[q] = [max(spill[q][0], int(sp[0])), max(spill[q][1], int(sp[1]))]
     spark_canary_end = {
         f"{k}_end": v for k, v in run_spark_canary(spark).items()
     }
@@ -91,6 +97,7 @@ def main() -> None:
                         "min": min(r),
                         "median": round(statistics.median(r), 3),
                         "reps": r,
+                        "spill": spill[q],
                     }
                     for q, r in reps.items()
                 },

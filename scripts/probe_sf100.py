@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--sf", default=".localdata/sf100")
     ap.add_argument("--occupancy", type=int, default=100)
     ap.add_argument("--out", default="bench_regime_sf100.json")
+    ap.add_argument("--rows", default="", help="comma filter: catalog names and/or 'twolevel'")
+    ap.add_argument("--train-fraction", type=float, default=None,
+                    help="two-level build trains on this hash-sample of the corpus")
     args = ap.parse_args()
 
     canary = run_canary()
@@ -81,7 +84,10 @@ def main() -> None:
 
     try:
         # Catalog rows, one rep each, bench.py's noop-write execution.
+        only = {t for t in args.rows.split(",") if t}
         for q in ("dedup_minhash_lsh", "text_line_dedup", "qc_table_profile_approx"):
+            if only and q not in only:
+                continue
             row = out[q] = {}
             spark.catalog.clearCache()
             step(
@@ -97,6 +103,8 @@ def main() -> None:
 
         # Two-level router: build once at the deployment sizing, then the
         # daily ops — search and a 1/10th-corpus increment.
+        if only and "twolevel" not in only:
+            raise SystemExit(0)
         v = _vectors(spark, args.sf)
         base = v.filter(F.col("vec_id") % 10 != 0).cache()
         inc = v.filter(F.col("vec_id") % 10 == 0).select("vec_id", "fe", "nrm").cache()
@@ -104,13 +112,18 @@ def main() -> None:
         n_base = base.count()
         inc.count()
         k = max(2, math.isqrt(max(n_base // args.occupancy, 4)))
-        tl = out["twolevel"] = {"n_vectors": n, "k_per_level": k}
+        tl = out["twolevel"] = {
+            "n_vectors": n,
+            "k_per_level": k,
+            "train_fraction": args.train_fraction,
+        }
         path = os.path.join(work, "tl")
         step(
             tl,
             "build",
             lambda: ai.write_twolevel_index(
-                spark, args.sf, path, k, k, 2, vectors=base
+                spark, args.sf, path, k, k, 2, vectors=base,
+                train_fraction=args.train_fraction,
             ),
         )
         step(

@@ -1877,3 +1877,49 @@ def test_stream_restart_recovery_pq_half_committed(spark, sf_dir, tmp_path):
     nrows = [r.vec_id for r in norms.select("vec_id").collect()]
     assert len(nrows) == len(want) and set(nrows) == want
     v.unpersist()
+
+
+def test_twolevel_sampled_training_builds_complete_index(spark, sf_dir, tmp_path):
+    """train_fraction (round-13 sf100 build fix): the trainer runs on a
+    deterministic hash-sample but the FULL corpus routes into the
+    postings — every vector exactly once, the manifest records the
+    fraction, and the sampled index supports the normal lifecycle
+    (upsert lands, balance audit reads). Sampled centroids legitimately
+    differ from full-corpus centroids, so no value-equality with the
+    inline twin is asserted — the oracle-gated rows keep
+    train_fraction=None."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        read_twolevel_index,
+        upsert_twolevel_postings,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 5 != 0)
+    inc = v.filter(F.col("vec_id") % 5 == 0).select("vec_id", "fe", "nrm").cache()
+    write_twolevel_index(
+        spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS,
+        vectors=base, train_fraction=0.5,
+    )
+    m = current_manifest(path)
+    assert m["params"]["train_fraction"] == 0.5
+    _c1, _c2, postings = read_twolevel_index(spark, path)
+    got = sorted(r.vec_id for r in postings.select("vec_id").collect())
+    want = sorted(r.vec_id for r in base.select("vec_id").collect())
+    assert got == want  # full corpus routed, exactly once, despite sampling
+    upsert_twolevel_postings(spark, path, inc)
+    _c1, _c2, p2 = read_twolevel_index(spark, path)
+    assert p2.select("vec_id").distinct().count() == v.count()
+    # base stays pinned (caller-owned frame trained on via the sample).
+    assert v.storageLevel.useMemory
+    v.unpersist()
