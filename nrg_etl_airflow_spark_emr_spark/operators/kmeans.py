@@ -126,24 +126,43 @@ def pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
     incremental PQ maintenance (sources/ann_index.upsert_pq_codes)
     encodes NEW vectors under persisted codebooks with the identical
     arithmetic the trainer used: exact BIGINT squared-L2 per gid, ties
-    to the lowest cid. Struct-min == ORDER BY d2, cid; carrying the
-    winning d2 out costs nothing and spares callers
-    (kmeans_fit_quantized) a re-join against the final centroids.
-    ``subs``: gid/vec_id/sv; ``cent``: gid/cid/c_q →
-    gid/vec_id/sv/cid/d2."""
-    d2 = F.aggregate(
-        F.zip_with("sv", "c_q", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    to the lowest cid. Carrying the winning d2 out costs nothing and
+    spares callers (kmeans_fit_quantized) a re-join against the final
+    centroids. ``subs``: gid/vec_id/sv; ``cent``: gid/cid/c_q →
+    gid/vec_id/sv/cid/d2.
+
+    Shape (round 13 — the sf100 routing-spill fix): the centroid side
+    collapses to ONE broadcastable row per gid holding a cid-sorted
+    array of (cid, c_q), and the argmin runs as a ROW-LOCAL fold —
+    transform to (d2, cid) structs, array_min. The round-3 shape
+    (broadcast join exploding one row per (vector, centroid), then a
+    groupBy argmin) carried the full subvector through an n*k-row
+    aggregate; at sf100 routing 2M vectors under k=134 centroids that
+    aggregate sorted ~268M wide rows and spilled tens of GB. The fold
+    emits exactly one row per input row — assignment is pure map work
+    at any scale, and every Lloyd iteration loses its argmin exchange.
+    The argmin LAW is bit-identical: array_min on (d2, cid) structs is
+    the same lexicographic order as min(struct(d2, cid)) — ties to the
+    lowest cid — and the sort_array(collect_list) on (cid, c_q) structs
+    makes element order deterministic (every oracle-gated trainer row
+    re-verifies this equivalence value-exactly)."""
+    cents = cent.groupBy("gid").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c_q"))).alias("cents")
+    )
+    scored = F.transform(
+        "cents",
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sv"), c["c_q"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
     )
     return (
-        subs.join(F.broadcast(cent), "gid")
-        .select("gid", "vec_id", "sv", "cid", d2.alias("d2"))
-        .groupBy("gid", "vec_id")
-        .agg(
-            F.first("sv").alias("sv"),
-            F.min(F.struct("d2", "cid")).alias("m"),
-        )
+        subs.join(F.broadcast(cents), "gid")
+        .select("gid", "vec_id", "sv", F.array_min(scored).alias("m"))
         .select(
             "gid", "vec_id", "sv", F.col("m.cid").alias("cid"),
             F.col("m.d2").alias("d2"),
@@ -607,23 +626,32 @@ def ivf_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     index maintenance (sources/ann_index.upsert_ivf_postings) assigns
     NEW vectors under persisted centroids with the identical arithmetic
     the trainer used: exact BIGINT squared-L2, ties to the lowest cid.
-    Carries fe/nrm through the argmin so consumers need no join back to
-    the vector table (the _cell_assignment trick).
-    ``v``: vec_id/fe/nrm → returns vec_id/fe/nrm/cid."""
-    d2 = F.aggregate(
-        F.zip_with("fe", "c_q", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    Carries fe/nrm through so consumers need no join back to the vector
+    table. ``v``: vec_id/fe/nrm → returns vec_id/fe/nrm/cid.
+
+    Same row-local fold shape as pq_assign (round 13): one broadcast
+    row holding the cid-sorted centroid array, argmin via array_min on
+    (d2, cid) structs — identical law to the old min_by(cid,
+    struct(d2, cid)) (ties to lowest cid), but one output row per input
+    row with NO n*k aggregate: daily-increment assignment is pure map
+    work at any corpus scale."""
+    cents = cent.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c_q"))).alias("cents")
+    )
+    scored = F.transform(
+        "cents",
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("fe"), c["c_q"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
     )
     return (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "fe", "nrm", "cid", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("fe").alias("fe"),
-            F.first("nrm").alias("nrm"),
-            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-        )
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "fe", "nrm", F.array_min(scored)["cid"].alias("cid"))
     )
 
 

@@ -70,27 +70,6 @@ def _sql_stopword_count() -> str:
     return f"len(list_filter(string_split(text, ' '), x -> list_contains([{lits}], x)))"
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
-    SELECT doc_id,
-           CAST({_sql_stopword_count()} AS INTEGER) AS n_stopwords,
-           CAST({_sql_stopword_count()} AS DOUBLE)
-               / len(string_split(text, ' ')) AS stopword_ratio,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS type_token_ratio,
-           CAST(FLOOR((
-               CAST({_sql_stopword_count()} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
-               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) * 0.7
-           ) * 10000) AS DOUBLE) / 10000 AS quality_score
-    FROM documents
-    """,
-    tags=("text",),
-    doc="Document quality heuristics: stopword ratio (fluency signal) and "
-    "type-token ratio (repetition signal), folded into one score. The "
-    "shape of a C4/Gopher-style quality filter, as pure column algebra.",
-)
 def _quality_exprs():
     """The quality-score law as reusable Columns over a ``text`` column
     — single source of truth for text_quality_score and the fused
@@ -127,6 +106,27 @@ def _langid_pred_expr():
     return pred
 
 
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_sql_stopword_count()} AS INTEGER) AS n_stopwords,
+           CAST({_sql_stopword_count()} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(FLOOR((
+               CAST({_sql_stopword_count()} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 0.7
+           ) * 10000) AS DOUBLE) / 10000 AS quality_score
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Document quality heuristics: stopword ratio (fluency signal) and "
+    "type-token ratio (repetition signal), folded into one score. The "
+    "shape of a C4/Gopher-style quality filter, as pure column algebra.",
+)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop, stop_ratio, ttr, score = _quality_exprs()
     return t(spark, sf_dir, "documents").select(
