@@ -326,6 +326,7 @@ def write_ivf_index(
     vacuum_keep: int = 2,
     folded_upto: int | None = None,
     expect_parent: int | None = None,
+    train_fraction: float | None = None,
 ) -> None:
     """Build the trained-IVF index over ``sf_dir``'s embeddings (or an
     explicit ``vectors`` frame — e.g. the base slice of an incremental
@@ -343,7 +344,7 @@ def write_ivf_index(
     across a rebuild (single-maintenance-writer contract — a batch
     landing between the fence capture and the publish would land under
     old centroids yet sit above the fence)."""
-    from ..operators.kmeans import ivf_train
+    from ..operators.kmeans import ivf_assign, ivf_train
     from ..operators.similarity import _vectors
 
     if expect_parent is None:
@@ -351,7 +352,23 @@ def write_ivf_index(
         expect_parent = pm["version"] if pm else 0
     created = vectors is None
     v = _vectors(spark, sf_dir).cache() if created else vectors
-    cent, fassign = ivf_train(v)
+    if train_fraction is not None and train_fraction < 1.0:
+        # Same third-decade build law as write_twolevel_index: Lloyd
+        # centroids are a statistic — train on a deterministic
+        # xxhash64(vec_id) sample, ASSIGN the full corpus under the
+        # trained centroids (ivf_assign — a row-local fold, pure map
+        # work at any scale). Oracle-gated rows keep full-corpus
+        # training; sampled centroids legitimately differ.
+        sample = v.filter(
+            F.abs(F.xxhash64(F.col("vec_id"), F.lit("ivf-train")))
+            % 1_000_000
+            < int(train_fraction * 1_000_000)
+        ).cache()
+        cent, _sample_assign = ivf_train(sample)
+        fassign = ivf_assign(v, cent)
+        sample.unpersist()
+    else:
+        cent, fassign = ivf_train(v)
     ver = _next_version(path)
     cent_dir, post_dir = _seg("centroids", ver), _seg("postings", ver)
     cent.write.mode("overwrite").parquet(os.path.join(path, cent_dir))
@@ -370,6 +387,7 @@ def write_ivf_index(
                 "centroids": cent.schema.json(),
                 "postings": fassign.schema.json(),
             },
+            "params": {"train_fraction": train_fraction},
             "streams": [_IVF_STREAM],
             # Fence: callers that rebuilt from the index's OWN corpus
             # (maintain_ivf_index) pass the highest batch id that corpus

@@ -1923,3 +1923,34 @@ def test_twolevel_sampled_training_builds_complete_index(spark, sf_dir, tmp_path
     # base stays pinned (caller-owned frame trained on via the sample).
     assert v.storageLevel.useMemory
     v.unpersist()
+
+
+def test_ivf_sampled_training_builds_complete_index(spark, sf_dir, tmp_path):
+    """train_fraction on the IVF builder (round-13 symmetry with the
+    router): trainer on a deterministic hash-sample, FULL corpus
+    assigned into the postings — exactly once, manifest records the
+    fraction, lifecycle (upsert) works over the sampled index."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 5 != 0)
+    inc = v.filter(F.col("vec_id") % 5 == 0).select("vec_id", "fe", "nrm").cache()
+    write_ivf_index(spark, sf_dir, path, vectors=base, train_fraction=0.5)
+    assert current_manifest(path)["params"]["train_fraction"] == 0.5
+    _c, postings = read_ivf_index(spark, path)
+    got = sorted(r.vec_id for r in postings.select("vec_id").collect())
+    want = sorted(r.vec_id for r in base.select("vec_id").collect())
+    assert got == want
+    upsert_ivf_postings(spark, path, inc)
+    _c, p2 = read_ivf_index(spark, path)
+    assert p2.select("vec_id").distinct().count() == v.count()
+    v.unpersist()
