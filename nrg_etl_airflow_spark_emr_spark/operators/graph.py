@@ -131,7 +131,16 @@ _SQL_CC_CTES = f"""{_SQL_SHINGLES_CTE},
     doc="Connected components over exact-Jaccard near-dup pairs "
     "(transitive closure of dedup_jaccard_pairs): every document labeled "
     "with its cluster's min doc_id; is_canonical marks the keeper. "
-    "Iterative min-label propagation in Spark vs a recursive CTE oracle.",
+    "Iterative min-label propagation in Spark vs a recursive CTE oracle. "
+    "SCALE CLASSIFICATION (round-13 sf10 probe, BASELINE.md): this row "
+    "dominates the composed corpus pipeline's cost, and ALL of it is "
+    "the exact inverted-index pair term — the CC loop itself shuffles "
+    "only labels + the tiny post-threshold edge list. The candidate "
+    "stage is the swappable half: past the scale where the "
+    "shared-shingle join's pair mass bites, feed connected_components "
+    "from minhash_lsh_pairs (banded, bounded candidate mass, 100%-"
+    "recall-free estimate) instead — the oracle's recursive closure "
+    "composes over the LSH pair SQL (_sql_lsh_oracle) the same way.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_jaccard_pairs(spark, sf_dir).select(
