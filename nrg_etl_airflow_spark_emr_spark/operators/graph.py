@@ -139,14 +139,62 @@ _SQL_CC_CTES = f"""{_SQL_SHINGLES_CTE},
     "stage is the swappable half: past the scale where the "
     "shared-shingle join's pair mass bites, feed connected_components "
     "from minhash_lsh_pairs (banded, bounded candidate mass, 100%-"
-    "recall-free estimate) instead — the oracle's recursive closure "
-    "composes over the LSH pair SQL (_sql_lsh_oracle) the same way.",
+    "recall-free estimate) instead — IMPLEMENTED as lsh_cluster_frame "
+    "(round 14), the clean stage of corpus_pipeline_e2e_lsh, whose "
+    "oracle composes the recursive closure over _sql_lsh_oracle.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_jaccard_pairs(spark, sf_dir).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    comp = connected_components(pairs, nodes)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def _sql_cc_lsh_ctes(src: str = "documents") -> str:
+    """Recursive-closure CTE chain over the BANDED (MinHash-LSH)
+    candidate pairs — _SQL_CC_CTES with the exact shared-shingle pair
+    term swapped for _sql_lsh_oracle, exactly as the dedup_clusters
+    scale classification prescribes. Callers prepend `WITH RECURSIVE`
+    and select over `reach`."""
+    from .dedup import _sql_lsh_oracle
+
+    return f"""lsh_pairs AS (SELECT d1, d2 FROM ({_sql_lsh_oracle(src)}) lp),
+    lsh_edges AS (
+        SELECT d1 AS src, d2 AS dst FROM lsh_pairs
+        UNION SELECT d2, d1 FROM lsh_pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM {src}
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN lsh_edges e ON e.src = r.node
+    )"""
+
+
+def lsh_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' output contract (doc_id, cluster_id,
+    is_canonical) with the candidate stage swapped onto BANDED MinHash-
+    LSH pairs (minhash_lsh_pairs) — the corpus-scale clean-stage shape
+    (VERDICT r13 item 1). The exact shared-shingle inverted-index pair
+    join's mass is Σ occ² over shingle postings — Zipfian-hostile past
+    bench scale and the owner of corpus_pipeline_e2e's entire sf10 cost
+    and only spill; the banded candidate mass is bounded by true
+    near-dup density instead. Same connected-components loop, same
+    keep-the-min-id verdict; only the edge list differs (LSH estimate
+    ≥ threshold vs exact Jaccard ≥ threshold), which its own composed
+    oracle states."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
     comp = connected_components(pairs, nodes)
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -147,15 +147,20 @@ def _publish(path: str, manifest: dict, expect_parent: int | None = None) -> Non
     - pre-check: if the current committed max is no longer
       ``expect_parent``, another writer already won — raise before
       committing anything;
-    - post-verify: after creating our marker, re-list; if any version
-      strictly between ``expect_parent`` and ours is committed, a racer
-      slipped in between check and marker — retract OUR OWN marker
-      (the one file this path may remove, microseconds old and ours)
-      and raise. For two racers with versions a < b and the same
-      parent, the interval (parent, a) contains no integer, so the
-      LOWER version can never retract — exactly one writer wins every
-      interleaving. The loser's segments and torn json are unreferenced
-      garbage for the next vacuum.
+    - post-verify: after creating our marker, re-list; if ANY other
+      version above ``expect_parent`` is committed — lower OR higher
+      than ours — a racer slipped in between check and marker: retract
+      OUR OWN marker (the one file this path may remove, microseconds
+      old and ours) and raise. Checking only the interval below our
+      number (the r13 shape) had a TOCTOU hole: racer B claims the
+      HIGHER number, fully commits while A's json is torn, then A
+      commits and sees an empty interval below itself — both manifests
+      committed, readers take B, and A's rows are silently lost while
+      A's caller saw success. With the symmetric check the worst case
+      is both racers retract and raise (at-most-one-winner; callers
+      already handle ConcurrentWriterError and retry) — strictly safer
+      than a silent lost update. The loser's segments and torn json are
+      unreferenced garbage for the next vacuum.
 
     On an object store the same protocol rides on conditional PUT of
     the marker; locally the exclusive-create is the primitive. Callers
@@ -181,19 +186,35 @@ def _publish(path: str, manifest: dict, expect_parent: int | None = None) -> Non
         fh.flush()
         os.fsync(fh.fileno())
     if expect_parent is not None:
-        between = [
-            v for v in _committed_versions(path) if expect_parent < v < ver
+        racers = [
+            v
+            for v in _committed_versions(path)
+            if v > expect_parent and v != ver
         ]
-        if between:
+        if racers:
             os.remove(marker)  # retract our own commit — torn json remains
             raise ConcurrentWriterError(
-                f"publish of v{ver} raced committed v{between} past parent "
+                f"publish of v{ver} raced committed v{racers} past parent "
                 f"v{expect_parent}: retracted"
             )
 
 
 def _seg(name: str, ver: int, suffix: str = "") -> str:
     return f"{name}-v{ver:08d}{suffix}"
+
+
+def _pin(df: DataFrame) -> bool:
+    """Persist ``df`` only if the CALLER has not already; returns True
+    when this call now owns the pin (and must release it). Spark
+    persistence is not reference-counted — the upserts' old
+    unconditional persist()/unpersist() pair silently dropped a
+    caller's cache pin on an already-cached batch, and a failed write
+    leaked the pin entirely (ADVICE r13). Pair with try/finally."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return False
+    df.persist()
+    return True
 
 
 def _read_segments(
@@ -352,6 +373,7 @@ def write_ivf_index(
         expect_parent = pm["version"] if pm else 0
     created = vectors is None
     v = _vectors(spark, sf_dir).cache() if created else vectors
+    sample_rows = None
     if train_fraction is not None and train_fraction < 1.0:
         # Same third-decade build law as write_twolevel_index: Lloyd
         # centroids are a statistic — train on a deterministic
@@ -364,9 +386,25 @@ def write_ivf_index(
             % 1_000_000
             < int(train_fraction * 1_000_000)
         ).cache()
-        cent, _sample_assign = ivf_train(sample)
-        fassign = ivf_assign(v, cent)
-        sample.unpersist()
+        # Degenerate-sample guard (VERDICT r13 finding 2): a fraction
+        # small relative to the corpus can yield fewer rows than the
+        # trainer's k — ivf_train then seeds short (or empty), and the
+        # published index would route every vector through a crippled
+        # centroid table with no error: the silent-row-loss class.
+        # One cheap count on the already-cached sample decides: short
+        # sample → fall back to FULL-corpus training (loud in the
+        # manifest: sample_rows records what the fraction actually
+        # drew; train_fraction stays as requested for audit).
+        from ..operators.kmeans import K_DEFAULT
+
+        sample_rows = sample.count()
+        if sample_rows < K_DEFAULT:
+            sample.unpersist()
+            cent, fassign = ivf_train(v)
+        else:
+            cent, _sample_assign = ivf_train(sample)
+            fassign = ivf_assign(v, cent)
+            sample.unpersist()
     else:
         cent, fassign = ivf_train(v)
     ver = _next_version(path)
@@ -387,7 +425,14 @@ def write_ivf_index(
                 "centroids": cent.schema.json(),
                 "postings": fassign.schema.json(),
             },
-            "params": {"train_fraction": train_fraction},
+            "params": {
+                "train_fraction": train_fraction,
+                # Effective sample size the fraction drew (None when
+                # training was full-corpus by request); a value below
+                # the trainer's k means the build fell back to full
+                # training rather than publish a crippled index.
+                "sample_rows": sample_rows,
+            },
             "streams": [_IVF_STREAM],
             # Fence: callers that rebuilt from the index's OWN corpus
             # (maintain_ivf_index) pass the highest batch id that corpus
@@ -441,26 +486,29 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
     guard + write."""
     from ..operators.kmeans import ivf_assign
 
-    nv = new_vectors.persist()
-    if nv.isEmpty():
-        nv.unpersist()
-        return  # empty batch: nothing to assign, nothing to commit
-    m = _require(path, "ivf")
-    cent = read_ivf_centroids(spark, path, m)
-    assigned = ivf_assign(nv, cent)
-    ver = _next_version(path)
-    seg = _seg("postings", ver, "-upsert")
-    (
-        assigned.write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(os.path.join(path, seg))
-    )
-    nv.unpersist()
-    m2 = dict(m)
-    m2["version"] = ver
-    m2["segments"] = dict(m["segments"])
-    m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
-    _publish(path, m2, expect_parent=m["version"])
+    nv = new_vectors
+    owned = _pin(nv)
+    try:
+        if nv.isEmpty():
+            return  # empty batch: nothing to assign, nothing to commit
+        m = _require(path, "ivf")
+        cent = read_ivf_centroids(spark, path, m)
+        assigned = ivf_assign(nv, cent)
+        ver = _next_version(path)
+        seg = _seg("postings", ver, "-upsert")
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(path, seg))
+        )
+        m2 = dict(m)
+        m2["version"] = ver
+        m2["segments"] = dict(m["segments"])
+        m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
+        _publish(path, m2, expect_parent=m["version"])
+    finally:
+        if owned:
+            nv.unpersist()
 
 
 def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: str):
@@ -505,12 +553,15 @@ def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: st
 def compact_ivf_index(spark: SparkSession, path: str) -> None:
     """Fold committed stream segments and accumulated upsert segments
     into ONE cid-partitioned base segment — the periodic maintenance
-    job that completes the memtable-flush cycle. Value-neutral by
-    construction (the folded frame is exactly what searches already
-    read — pinned in tests/test_ann_index.py); what it buys is file
-    count: a long-running ingest leaves one file per (batch, cid), and
-    per-cell scan cost at 100 TB is listing + open overhead once files
-    outnumber row groups.
+    job that completes the memtable-flush cycle. Value-neutral for
+    in-epoch batches (re-assignment under the same centroids is the
+    identity, so the folded frame is exactly what searches already
+    read — pinned in tests/test_ann_index.py); for a batch that landed
+    mid-rebuild under the PREVIOUS centroids it is the routing heal
+    (VERDICT r13 item 4 — see the re-route note below). What folding
+    buys is file count: a long-running ingest leaves one file per
+    (batch, cid), and per-cell scan cost at 100 TB is listing + open
+    overhead once files outnumber row groups.
 
     Crash discipline — the manifest makes it one-step: (1) write the
     folded segment under the next version's name; (2) publish a
@@ -540,13 +591,28 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     )
     if not batches and len(m["segments"]["postings"]) == 1:
         return  # nothing to fold; keep the manifest pointer unchanged
-    _, postings = read_ivf_index(spark, path, include_stream=False)
+    cent, postings = read_ivf_index(spark, path, include_stream=False, manifest=m)
     if batches:
         dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in batches]
+        # RE-ROUTE the folded batches under the manifest's centroids
+        # instead of trusting their stored cid (VERDICT r13 item 4): a
+        # batch that landed while a rebuild was training carries the
+        # PREVIOUS epoch's routing — folding it as-is would bake the
+        # misrouting into the base segment forever. ivf_assign under
+        # the same centroids reproduces the stored cid bit-exactly
+        # (identical argmin law), so for in-epoch batches this is the
+        # identity and compaction stays value-neutral; for a stale
+        # batch it is the heal. Map-side broadcast work over only the
+        # folded slice — no new shuffle at any scale.
+        from ..operators.kmeans import ivf_assign
+
         postings = postings.unionByName(
-            _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
-                "vec_id", "fe", "nrm", "cid"
-            )
+            ivf_assign(
+                _read_segments(
+                    spark, path, dirs, m["schemas"]["postings"]
+                ).select("vec_id", "fe", "nrm"),
+                cent,
+            ).select("vec_id", "fe", "nrm", "cid")
         )
     ver = _next_version(path)
     seg = _seg("postings", ver)
@@ -571,7 +637,10 @@ def read_ivf_centroids(
 
 
 def read_ivf_index(
-    spark: SparkSession, path: str, include_stream: bool = True
+    spark: SparkSession,
+    path: str,
+    include_stream: bool = True,
+    manifest: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Load the persisted IVF index at its current manifest: (cent:
     cid/c_q, postings: vec_id/fe/nrm/cid). Postings are the manifest's
@@ -579,8 +648,11 @@ def read_ivf_index(
     fence (see stream_ingest_ivf) unless ``include_stream=False``.
     Explicit manifest schemas throughout — cid comes back long with no
     cast, and empty segments (quiet ingest days) read as empty frames
-    instead of failing schema inference."""
-    m = _require(path, "ivf")
+    instead of failing schema inference. ``manifest`` pins the read to
+    an ALREADY-READ snapshot (ADVICE r13: maintenance must assemble its
+    fence, corpus, and CAS token from ONE manifest, not three
+    re-reads that can each see a different committed version)."""
+    m = manifest if manifest is not None else _require(path, "ivf")
     cent = read_ivf_centroids(spark, path, m)
     postings = _read_segments(
         spark, path, m["segments"]["postings"], m["schemas"]["postings"]
@@ -643,13 +715,19 @@ def maintain_ivf_index(
     write_ivf_index as the publish fence: a batch committing between
     the corpus read and the publish stays LIVE above the fence instead
     of being fenced without its rows in the rebuild (silent row loss —
-    ADVICE r12). Such a late batch carries old-centroid routing until
-    the next compaction folds it, which is the documented
-    quiesce-ingest-across-rebuilds contract — bounded staleness, never
-    loss. Versioned segments make the read-while-rewrite safe: the
-    trainer scans the old manifest's dirs while writing fresh ones.
-    Returns {rebuilt, k, max_share, threshold} for the maintenance
-    log."""
+    ADVICE r12). Concurrency is DETECTED, not quiesced (round 14): the
+    rebuild publish CASes on the manifest version the corpus was read
+    from, so an interleaved UPSERT (which commits a manifest) fails the
+    rebuild loudly with ConcurrentWriterError — its rows are absent
+    from the rebuilt postings, and retrying the maintenance reads them;
+    an interleaved STREAM batch (no manifest commit — invisible to the
+    CAS) is re-listed after the publish and folded immediately through
+    compact_ivf_index, whose re-route under the rebuilt centroids
+    restores its routing (bounded staleness, never loss OR permanent
+    misrouting). Versioned segments make the read-while-rewrite safe:
+    the trainer scans the old manifest's dirs while writing fresh ones.
+    Returns {rebuilt, k, max_share, threshold, healed_batches} for the
+    maintenance log."""
     from ..operators.kmeans import cell_balance
 
     m = _require(path, "ivf")
@@ -657,7 +735,7 @@ def maintain_ivf_index(
     covered = _contiguous_prefix(
         _committed_stream_batches(path, _IVF_STREAM, above=fence), fence
     )
-    cent, postings = read_ivf_index(spark, path, include_stream=False)
+    cent, postings = read_ivf_index(spark, path, include_stream=False, manifest=m)
     if covered:
         dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in covered]
         postings = postings.unionByName(
@@ -674,23 +752,50 @@ def maintain_ivf_index(
     max_share = (stats["mx"] or 0) / max(stats["tot"] or 0, 1)
     threshold = hot_ratio / max(k, 1)
     rebuilt = max_share > threshold
+    healed_batches = 0
     if rebuilt:
         corpus = postings.select("vec_id", "fe", "nrm").cache()
-        corpus.count()  # pin the old-manifest scan BEFORE the rebuild's
-        # post-publish vacuum retires those directories
-        write_ivf_index(
-            spark,
-            sf_dir="",
-            path=path,
-            vectors=corpus,
-            folded_upto=covered[-1] if covered else fence,
+        try:
+            corpus.count()  # pin the old-manifest scan BEFORE the rebuild's
+            # post-publish vacuum retires those directories
+            new_fence = covered[-1] if covered else fence
+            write_ivf_index(
+                spark,
+                sf_dir="",
+                path=path,
+                vectors=corpus,
+                folded_upto=new_fence,
+                # CAS against the snapshot the corpus was READ from, not
+                # a re-read at build start (ADVICE r13): an upsert
+                # committing between this function's corpus read and the
+                # rebuild publish must fail the publish loudly — its
+                # rows are absent from the rebuilt postings.
+                expect_parent=m["version"],
+            )
+        finally:
+            corpus.unpersist()
+        # Detect-and-heal, not quiesce (VERDICT r13 item 4): a STREAM
+        # batch (no manifest commit, so invisible to the CAS) that
+        # landed after the corpus read sits live above the fence but
+        # was routed under the OLD centroids. Re-list now; fold the
+        # contiguous run immediately — compact_ivf_index re-routes
+        # folded batches under the rebuilt centroids, restoring search
+        # recall over their vectors. A gap batch (or one landing after
+        # THIS listing) stays live and heals at the next compaction the
+        # same way — bounded routing staleness, never loss.
+        late = _contiguous_prefix(
+            _committed_stream_batches(path, _IVF_STREAM, above=new_fence),
+            new_fence,
         )
-        corpus.unpersist()
+        if late:
+            healed_batches = len(late)
+            compact_ivf_index(spark, path)
     return {
         "rebuilt": rebuilt,
         "k": k,
         "max_share": round(max_share, 6),
         "threshold": round(threshold, 6),
+        "healed_batches": healed_batches,
     }
 
 
@@ -749,12 +854,25 @@ def write_twolevel_index(
         expect_parent = pm["version"] if pm else 0
     created = vectors is None
     v = _vectors(spark, sf_dir).cache() if created else vectors
-    if train_fraction is not None and train_fraction < 1.0:
+    sample_rows = None
+    sampled = train_fraction is not None and train_fraction < 1.0
+    if sampled:
         sample = v.filter(
             F.abs(F.xxhash64(F.col("vec_id"), F.lit("tl-train")))
             % 1_000_000
             < int(train_fraction * 1_000_000)
         ).cache()
+        # Degenerate-sample guard (VERDICT r13 finding 2), twolevel
+        # law: the coarse trainer seeds k1 centroids from the sample —
+        # fewer than k1 rows and the router publishes with a short (or
+        # empty) cent1, silently misrouting everything. Count the
+        # cached sample once; short → full-corpus fallback, recorded
+        # in the manifest as sample_rows < k1.
+        sample_rows = sample.count()
+        if sample_rows < k1:
+            sample.unpersist()
+            sampled = False
+    if sampled:
         cent1, cent2, _assigned, pins = twolevel_train(sample, k1, k2, iters)
         # Route the FULL corpus under the sampled-trainer centroids;
         # materialize before releasing the trainer pins.
@@ -794,6 +912,10 @@ def write_twolevel_index(
                 "k2": k2,
                 "iters": iters,
                 "train_fraction": train_fraction,
+                # Effective sample size (None when full-corpus was
+                # requested); sample_rows < k1 records a full-training
+                # fallback from a degenerate sample.
+                "sample_rows": sample_rows,
             },
             "streams": [_TL_STREAM],
             # Same fence law as write_ivf_index: a corpus-rebuild caller
@@ -841,15 +963,19 @@ def read_twolevel_centroids(
 
 
 def read_twolevel_index(
-    spark: SparkSession, path: str, include_stream: bool = True
+    spark: SparkSession,
+    path: str,
+    include_stream: bool = True,
+    manifest: dict | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Load the persisted two-level router at its current manifest:
     (cent1, cent2, postings: c1/c2/vec_id/fe/nrm). Postings are the
     manifest's base segments ∪ committed stream batches above the
     folded_upto fence (stream_ingest_twolevel), same read law as the
     IVF index. Manifest-recorded schemas throughout — no inference,
-    partition column c1 comes back long with no cast."""
-    m = _require(path, "twolevel")
+    partition column c1 comes back long with no cast. ``manifest``
+    pins the read to an already-read snapshot (see read_ivf_index)."""
+    m = manifest if manifest is not None else _require(path, "twolevel")
     cent1, cent2 = read_twolevel_centroids(spark, path, m)
     postings = _read_segments(
         spark, path, m["segments"]["postings"], m["schemas"]["postings"]
@@ -907,7 +1033,12 @@ def compact_twolevel_index(spark: SparkSession, path: str) -> None:
     discipline: only the gap-free run of batch ids above the fence
     folds, so a late-committing gap batch can never be fenced unfolded;
     a crash anywhere leaves the previous manifest as the readers'
-    truth."""
+    truth. Folded batches are RE-ROUTED under the manifest's centroids
+    (route_twolevel — identity for in-epoch batches, the heal for a
+    batch that landed mid-rebuild under the previous epoch's routing;
+    VERDICT r13 item 4)."""
+    from ..operators.dedup import route_twolevel
+
     m = _require(path, "twolevel")
     fence = m.get("folded_upto", -1)
     batches = _contiguous_prefix(
@@ -915,13 +1046,19 @@ def compact_twolevel_index(spark: SparkSession, path: str) -> None:
     )
     if not batches and len(m["segments"]["postings"]) == 1:
         return
-    _c1, _c2, postings = read_twolevel_index(spark, path, include_stream=False)
+    cent1, cent2, postings = read_twolevel_index(
+        spark, path, include_stream=False, manifest=m
+    )
     if batches:
         dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in batches]
         postings = postings.unionByName(
-            _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
-                "c1", "c2", "vec_id", "fe", "nrm"
-            )
+            route_twolevel(
+                _read_segments(
+                    spark, path, dirs, m["schemas"]["postings"]
+                ).select("vec_id", "fe", "nrm"),
+                cent1,
+                cent2,
+            ).select("c1", "c2", "vec_id", "fe", "nrm")
         )
     ver = _next_version(path)
     seg = _seg("postings", ver)
@@ -950,26 +1087,29 @@ def upsert_twolevel_postings(
     once per partition across guard + write)."""
     from ..operators.dedup import route_twolevel
 
-    nv = new_vectors.persist()
-    if nv.isEmpty():
-        nv.unpersist()
-        return
-    m = _require(path, "twolevel")
-    cent1, cent2 = read_twolevel_centroids(spark, path, m)
-    routed = route_twolevel(nv, cent1, cent2).select(
-        "vec_id", "fe", "nrm", "c2", "c1"
-    )
-    ver = _next_version(path)
-    seg = _seg("postings", ver, "-upsert")
-    routed.write.mode("overwrite").partitionBy("c1").parquet(
-        os.path.join(path, seg)
-    )
-    nv.unpersist()
-    m2 = dict(m)
-    m2["version"] = ver
-    m2["segments"] = dict(m["segments"])
-    m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
-    _publish(path, m2, expect_parent=m["version"])
+    nv = new_vectors
+    owned = _pin(nv)
+    try:
+        if nv.isEmpty():
+            return
+        m = _require(path, "twolevel")
+        cent1, cent2 = read_twolevel_centroids(spark, path, m)
+        routed = route_twolevel(nv, cent1, cent2).select(
+            "vec_id", "fe", "nrm", "c2", "c1"
+        )
+        ver = _next_version(path)
+        seg = _seg("postings", ver, "-upsert")
+        routed.write.mode("overwrite").partitionBy("c1").parquet(
+            os.path.join(path, seg)
+        )
+        m2 = dict(m)
+        m2["version"] = ver
+        m2["segments"] = dict(m["segments"])
+        m2["segments"]["postings"] = list(m["segments"]["postings"]) + [seg]
+        _publish(path, m2, expect_parent=m["version"])
+    finally:
+        if owned:
+            nv.unpersist()
 
 
 def twolevel_index_balance(spark: SparkSession, path: str) -> DataFrame:
@@ -998,12 +1138,16 @@ def maintain_twolevel_index(
     by the LARGEST bucket's occupancy — quadratic in it), retrain BOTH
     levels over the index's CURRENT corpus (base + upserts + the stream
     batches committed AT CORPUS-READ TIME) and republish through the
-    manifest. Same fence discipline as maintain_ivf_index: the
-    committed-batch list is captured once with the corpus, and its
-    contiguous-prefix end is the fence write_twolevel_index publishes —
-    a batch committing during the rebuild stays live above the fence
-    rather than being fenced without its rows in the rebuild (ADVICE
-    r12). Returns {rebuilt, n_buckets, max_share, threshold}."""
+    manifest. Same fence AND concurrency discipline as
+    maintain_ivf_index: the committed-batch list is captured once with
+    the corpus, its contiguous-prefix end is the fence
+    write_twolevel_index publishes, the publish CASes on the manifest
+    version the corpus was read from (interleaved upsert ⇒ loud
+    ConcurrentWriterError), and a stream batch landing mid-rebuild is
+    re-listed after the publish and healed immediately through
+    compact_twolevel_index's re-route under the rebuilt centroids.
+    Returns {rebuilt, n_buckets, max_share, threshold,
+    healed_batches}."""
     from ..operators.kmeans import cell_balance
 
     m = _require(path, "twolevel")
@@ -1011,7 +1155,9 @@ def maintain_twolevel_index(
     covered = _contiguous_prefix(
         _committed_stream_batches(path, _TL_STREAM, above=fence), fence
     )
-    _c1, _c2, postings = read_twolevel_index(spark, path, include_stream=False)
+    _c1, _c2, postings = read_twolevel_index(
+        spark, path, include_stream=False, manifest=m
+    )
     if covered:
         dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in covered]
         postings = postings.unionByName(
@@ -1033,25 +1179,38 @@ def maintain_twolevel_index(
     max_share = (stats["mx"] or 0) / max(stats["tot"] or 0, 1)
     threshold = hot_ratio / max(n_buckets, 1)
     rebuilt = max_share > threshold
+    healed_batches = 0
     if rebuilt:
         corpus = postings.select("vec_id", "fe", "nrm").cache()
-        corpus.count()  # pin the old-manifest scan before its vacuum
-        write_twolevel_index(
-            spark,
-            sf_dir="",
-            path=path,
-            k1=int(m["params"]["k1"]),
-            k2=k2,
-            iters=int(m["params"]["iters"]),
-            vectors=corpus,
-            folded_upto=covered[-1] if covered else fence,
+        try:
+            corpus.count()  # pin the old-manifest scan before its vacuum
+            new_fence = covered[-1] if covered else fence
+            write_twolevel_index(
+                spark,
+                sf_dir="",
+                path=path,
+                k1=int(m["params"]["k1"]),
+                k2=k2,
+                iters=int(m["params"]["iters"]),
+                vectors=corpus,
+                folded_upto=new_fence,
+                expect_parent=m["version"],
+            )
+        finally:
+            corpus.unpersist()
+        late = _contiguous_prefix(
+            _committed_stream_batches(path, _TL_STREAM, above=new_fence),
+            new_fence,
         )
-        corpus.unpersist()
+        if late:
+            healed_batches = len(late)
+            compact_twolevel_index(spark, path)
     return {
         "rebuilt": rebuilt,
         "n_buckets": n_buckets,
         "max_share": round(max_share, 6),
         "threshold": round(threshold, 6),
+        "healed_batches": healed_batches,
     }
 
 
@@ -1155,31 +1314,34 @@ def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> N
     from ..operators.kmeans import pq_assign
     from ..operators.similarity import _check_pq_dim, _subvectors
 
-    nv = new_vectors.persist()
-    first = nv.select("fe").first()
-    if first is None:
-        nv.unpersist()
-        return  # empty batch: nothing to encode, nothing to commit
-    _check_pq_dim(len(first[0]))
-    m = _require(path, "pq")
-    cb = _read_segments(
-        spark, path, [m["segments"]["codebooks"]], m["schemas"]["codebooks"]
-    ).select("gid", "cid", "c_q")
-    subs = _subvectors(nv, "vec_id", "fe", "sv")
-    codes = pq_assign(subs, cb).select("gid", "vec_id", "cid")
-    norms = nv.select("vec_id", "nrm")
-    ver = _next_version(path)
-    cd_seg = _seg("codes", ver, "-upsert")
-    nm_seg = _seg("norms", ver, "-upsert")
-    codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
-    norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
-    nv.unpersist()
-    m2 = dict(m)
-    m2["version"] = ver
-    m2["segments"] = dict(m["segments"])
-    m2["segments"]["codes"] = list(m["segments"]["codes"]) + [cd_seg]
-    m2["segments"]["norms"] = list(m["segments"]["norms"]) + [nm_seg]
-    _publish(path, m2, expect_parent=m["version"])
+    nv = new_vectors
+    owned = _pin(nv)
+    try:
+        first = nv.select("fe").first()
+        if first is None:
+            return  # empty batch: nothing to encode, nothing to commit
+        _check_pq_dim(len(first[0]))
+        m = _require(path, "pq")
+        cb = _read_segments(
+            spark, path, [m["segments"]["codebooks"]], m["schemas"]["codebooks"]
+        ).select("gid", "cid", "c_q")
+        subs = _subvectors(nv, "vec_id", "fe", "sv")
+        codes = pq_assign(subs, cb).select("gid", "vec_id", "cid")
+        norms = nv.select("vec_id", "nrm")
+        ver = _next_version(path)
+        cd_seg = _seg("codes", ver, "-upsert")
+        nm_seg = _seg("norms", ver, "-upsert")
+        codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
+        norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
+        m2 = dict(m)
+        m2["version"] = ver
+        m2["segments"] = dict(m["segments"])
+        m2["segments"]["codes"] = list(m["segments"]["codes"]) + [cd_seg]
+        m2["segments"]["norms"] = list(m["segments"]["norms"]) + [nm_seg]
+        _publish(path, m2, expect_parent=m["version"])
+    finally:
+        if owned:
+            nv.unpersist()
 
 
 def stream_ingest_pq(vectors_stream: DataFrame, index_path: str, checkpoint: str):
@@ -1397,22 +1559,28 @@ def upsert_minhash_index(
 
     m = _require(path, "minhash")
     # Pin: the batch feeds BOTH the signature and the band write.
-    ns = new_sigs.persist()
-    bands = _band_frame(ns)
-    ver = _next_version(path)
-    sig_seg = _seg("signatures", ver, "-upsert")
-    band_seg = _seg("bands", ver, "-upsert")
-    ns.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
-    bands.write.mode("overwrite").partitionBy("band_id").parquet(
-        os.path.join(path, band_seg)
-    )
-    ns.unpersist()
-    m2 = dict(m)
-    m2["version"] = ver
-    m2["segments"] = dict(m["segments"])
-    m2["segments"]["signatures"] = list(m["segments"]["signatures"]) + [sig_seg]
-    m2["segments"]["bands"] = list(m["segments"]["bands"]) + [band_seg]
-    _publish(path, m2, expect_parent=m["version"])
+    ns = new_sigs
+    owned = _pin(ns)
+    try:
+        bands = _band_frame(ns)
+        ver = _next_version(path)
+        sig_seg = _seg("signatures", ver, "-upsert")
+        band_seg = _seg("bands", ver, "-upsert")
+        ns.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
+        bands.write.mode("overwrite").partitionBy("band_id").parquet(
+            os.path.join(path, band_seg)
+        )
+        m2 = dict(m)
+        m2["version"] = ver
+        m2["segments"] = dict(m["segments"])
+        m2["segments"]["signatures"] = list(m["segments"]["signatures"]) + [
+            sig_seg
+        ]
+        m2["segments"]["bands"] = list(m["segments"]["bands"]) + [band_seg]
+        _publish(path, m2, expect_parent=m["version"])
+    finally:
+        if owned:
+            ns.unpersist()
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:

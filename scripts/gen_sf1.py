@@ -113,14 +113,19 @@ def main() -> None:
         dim = (
             len(base.select("embedding").first()[0]) if name == "embeddings" else 0
         )
-        if name == "embeddings" and COPIES - 1 >= 1023 * dim:
-            # Rotation wraps at dim; the per-block SIGN PATTERN (below)
-            # multiplies the distinct-orthogonal-transform budget to
-            # 1023*dim copies (10-bit patterns, block 1023 excluded —
-            # it would collide with... nothing, but keep headroom).
-            # Refuse past that rather than silently resurrect the
+        # Pattern bits are indexed j % n_bits over j < dim, so only
+        # min(dim, 10) bits of the block number ever reach a sign:
+        # blocks differing in higher bits would collide (ADVICE r13 —
+        # the flat 1023*dim bound silently resurrected duplicate twins
+        # for dim < 10). Budget = (2^n_bits - 1) * dim distinct
+        # (rotation, pattern) transforms; for the dim=64 fixture this
+        # is the same 1023*dim as before, bit-identical regeneration.
+        n_bits = min(dim, 10) if dim else 0
+        budget = (2**n_bits - 1) * dim
+        if name == "embeddings" and COPIES - 1 >= budget:
+            # Refuse past the budget rather than silently resurrect the
             # duplicate-twin artifact (BASELINE.md sf1 Finding 1).
-            sys.exit(f"COPIES={COPIES} exceeds the {1023 * dim} transform budget")
+            sys.exit(f"COPIES={COPIES} exceeds the {budget} transform budget")
         parts = []
         for i in range(COPIES):
             d = base
@@ -157,7 +162,11 @@ def main() -> None:
                 if b == 1:
                     rolled = F.transform(rolled, lambda x: -x)
                 elif b >= 2:
-                    signs = [1 - 2 * ((b >> (j % 10)) & 1) for j in range(dim)]
+                    # j % n_bits (== j % 10 at the dim=64 fixture — the
+                    # sf1/sf10/sf100 fixtures regenerate bit-identically)
+                    # so every usable bit of b reaches a position even
+                    # when dim < 10, matching the budget guard above.
+                    signs = [1 - 2 * ((b >> (j % n_bits)) & 1) for j in range(dim)]
                     rolled = F.zip_with(
                         rolled,
                         F.array(*[F.lit(float(sg)) for sg in signs]),

@@ -1252,6 +1252,41 @@ def test_manifest_schedule_property(spark, sf_dir, ops):
                 rows = snapshot()
                 assert len(rows) == len(expected)
                 assert set(rows) == expected
+                # Torn-race extension (VERDICT r13 finding 1): a racer
+                # committing BETWEEN this writer's pre-check and its
+                # marker must force a retract in BOTH claim orderings —
+                # racer below our number (the r13-covered case) AND
+                # racer above it (the r13 TOCTOU hole). The racer's
+                # commit is simulated in the listing only, so the real
+                # committed state is untouched either way.
+                from unittest import mock
+
+                from nrg_etl_airflow_spark_emr_spark.sources import (
+                    ann_index as _ai,
+                )
+
+                lo, hi = _next_version(path), _next_version(path)
+                for mine, racer in ((hi, lo), (lo, hi)):
+                    calls = {"n": 0}
+                    real_listing = _ai._committed_versions
+
+                    def listing(p, _racer=racer, _calls=calls):
+                        _calls["n"] += 1
+                        if _calls["n"] == 1:
+                            return real_listing(p)
+                        return sorted(set(real_listing(p)) | {_racer})
+
+                    race_m = dict(current_manifest(path))
+                    race_m["version"] = mine
+                    with mock.patch.object(
+                        _ai, "_committed_versions", listing
+                    ):
+                        with pytest.raises(ConcurrentWriterError):
+                            _publish(path, race_m, expect_parent=v2)
+                    assert current_manifest(path)["version"] == v2
+                rows = snapshot()
+                assert len(rows) == len(expected)
+                assert set(rows) == expected
             ver = v2
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -1644,6 +1679,48 @@ def test_publish_post_verify_retracts_racing_commit(spark, sf_dir, tmp_path, mon
     assert ai.current_manifest(path)["version"] == parent
 
 
+def test_publish_post_verify_retracts_when_racer_claims_higher_version(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r13 finding 1 — the TOCTOU hole in the r13 post-verify:
+    writer A claims the LOWER version; racer B claims the HIGHER one and
+    fully commits while A's json is still torn; A then commits. The r13
+    check scanned only (parent, A) — empty — so A returned success while
+    readers take max = B and A's rows are silently lost. The symmetric
+    check (any committed v > parent, v != ours) must make A retract and
+    raise. Deterministic reproduction mirrors the racer-below test: stub
+    the listing to show B's commit only at A's post-verify call."""
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.sources import ann_index as ai
+
+    path = str(tmp_path / "idx")
+    ai.write_ivf_index(spark, sf_dir, path)
+    parent = ai.current_manifest(path)["version"]
+    my_ver = ai._next_version(path)  # A claims first → LOWER number
+    racer_ver = ai._next_version(path)  # B claims second → HIGHER number
+    assert racer_ver > my_ver
+    calls = {"n": 0}
+    real = ai._committed_versions
+
+    def listing(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real(p)  # A's pre-check: B not committed yet
+        return sorted(set(real(p)) | {racer_ver})  # A's post-verify: B is
+
+    monkeypatch.setattr(ai, "_committed_versions", listing)
+    m = dict(ai.current_manifest(path))
+    m["version"] = my_ver
+    with pytest.raises(ai.ConcurrentWriterError):
+        ai._publish(path, m, expect_parent=parent)
+    monkeypatch.undo()
+    # A's marker was retracted — no committed manifest of A's exists, so
+    # A's caller is TOLD about the race instead of silently losing rows.
+    assert my_ver not in ai._committed_versions(path)
+    assert ai.current_manifest(path)["version"] == parent
+
+
 def _stage_slices(v, tmp_path, mods):
     """Write one single-file parquet per mod-slice into a shared stage
     dir, returning (stage_dir, schema, per-slice vec_id sets). Files
@@ -1962,4 +2039,268 @@ def test_ivf_sampled_training_builds_complete_index(spark, sf_dir, tmp_path):
     upsert_ivf_postings(spark, path, inc)
     _c, p2 = read_ivf_index(spark, path)
     assert p2.select("vec_id").distinct().count() == v.count()
+    v.unpersist()
+
+
+def test_sampled_training_degenerate_sample_falls_back_to_full(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r13 finding 2 — the degenerate-sample guard: a
+    train_fraction that draws fewer rows than the trainer's k must NOT
+    publish a crippled index (empty/short centroid table silently
+    misrouting or dropping every vector). The builders count the cached
+    sample once and fall back to FULL-corpus training, recording the
+    effective sample size in the manifest. Both builders, one law."""
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import K_DEFAULT
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        current_manifest,
+        read_ivf_index,
+        read_twolevel_index,
+        write_ivf_index,
+        write_twolevel_index,
+    )
+
+    v = _vectors(spark, sf_dir).cache()
+    want = sorted(r.vec_id for r in v.select("vec_id").collect())
+
+    ivf_path = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_dir, ivf_path, vectors=v, train_fraction=1e-6)
+    m = current_manifest(ivf_path)
+    assert m["params"]["train_fraction"] == 1e-6
+    assert m["params"]["sample_rows"] < K_DEFAULT  # the degenerate draw
+    cent, postings = read_ivf_index(spark, ivf_path)
+    assert cent.count() == K_DEFAULT  # full-corpus trainer ran instead
+    assert postings.filter(F.col("cid").isNull()).count() == 0
+    got = sorted(r.vec_id for r in postings.select("vec_id").collect())
+    assert got == want  # every vector routed exactly once, loudly NOT empty
+
+    tl_path = str(tmp_path / "tl")
+    write_twolevel_index(
+        spark, sf_dir, tl_path, _TL_K1, _TL_K2, _TL_ITERS,
+        vectors=v, train_fraction=1e-6,
+    )
+    m = current_manifest(tl_path)
+    assert m["params"]["sample_rows"] < _TL_K1
+    _c1, _c2, tp = read_twolevel_index(spark, tl_path)
+    got = sorted(r.vec_id for r in tp.select("vec_id").collect())
+    assert got == want
+    v.unpersist()
+
+
+def test_upsert_preserves_caller_cache_pin(spark, sf_dir, tmp_path):
+    """ADVICE r13 — Spark persistence is not reference-counted: the
+    upserts' old unconditional persist()/unpersist() silently dropped a
+    caller's pin on an already-cached batch. Now the upsert only
+    releases a pin it created: a caller-cached batch stays cached; an
+    uncached batch comes back uncached (no leak)."""
+    from pyspark.sql import functions as F
+    from pyspark import StorageLevel
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    write_ivf_index(spark, sf_dir, path, vectors=v.filter(F.col("vec_id") % 3 == 0))
+    cached = v.filter(F.col("vec_id") % 3 == 1).select("vec_id", "fe", "nrm").cache()
+    cached.count()
+    upsert_ivf_postings(spark, path, cached)
+    assert cached.storageLevel.useMemory  # caller's pin survived the upsert
+    uncached = v.filter(F.col("vec_id") % 3 == 2).select("vec_id", "fe", "nrm")
+    upsert_ivf_postings(spark, path, uncached)
+    assert uncached.storageLevel == StorageLevel.NONE  # no pin leaked
+    cached.unpersist()
+    v.unpersist()
+
+
+def test_maintain_heals_mid_rebuild_ingest_ivf(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r13 item 4 — detect, don't quiesce: a stream batch that
+    COMMITS while the rebuild is training was routed under the OLD
+    centroids; it stays live above the fence (never lost), and
+    maintain_ivf_index now re-lists after the publish and folds it
+    through compact_ivf_index's re-route — so post-rebuild the batch's
+    vectors sit in the cells the NEW centroids assign them to, i.e.
+    a probe of the right cell finds them (search recall restored).
+    The mid-rebuild landing is made deterministic by wrapping the
+    trainer: the batch is written (old-centroid routing, _SUCCESS
+    committed) just before the trainer returns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators import kmeans as km
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _max_committed_batch,
+        current_manifest,
+        maintain_ivf_index,
+        read_ivf_centroids,
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 7 == 0)
+    grow = v.filter((F.col("vec_id") % 7).isin(1, 2, 3)).select(
+        "vec_id", "fe", "nrm"
+    )
+    mid = v.filter(F.col("vec_id") % 7 == 4).select("vec_id", "fe", "nrm").cache()
+    mid_ids = {r.vec_id for r in mid.select("vec_id").collect()}
+    # Seed on a small slice, then upsert a large one: the rebuild's
+    # corpus (base ∪ grow) trains centroids that genuinely differ from
+    # the seed's, so the mid-rebuild batch's old routing is stale.
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    upsert_ivf_postings(spark, path, grow)
+    old_cid = {
+        r.vec_id: r.cid
+        for r in ivf_assign(mid, read_ivf_centroids(spark, path)).collect()
+    }
+    real_train = km.ivf_train
+    fired = {"n": 0}
+
+    def train_and_land_batch(frame):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            nb = _max_committed_batch(path, "postings_stream") + 1
+            cent_old = read_ivf_centroids(spark, path)  # still the old manifest
+            (
+                ivf_assign(mid, cent_old)
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(os.path.join(path, "postings_stream", f"ingest_batch={nb}"))
+            )
+        return real_train(frame)
+
+    monkeypatch.setattr(km, "ivf_train", train_and_land_batch)
+    res = maintain_ivf_index(spark, path, hot_ratio=0.0)  # force the retrain
+    monkeypatch.undo()
+    assert res["rebuilt"]
+    assert res["healed_batches"] == 1  # the mid-rebuild batch was detected
+    m = current_manifest(path)
+    cent, postings = read_ivf_index(spark, path)
+    # Exactly once: base ∪ grow ∪ mid, nothing lost, nothing doubled.
+    rows = [r.vec_id for r in postings.select("vec_id").collect()]
+    want = sorted(
+        r.vec_id
+        for r in v.filter((F.col("vec_id") % 7) <= 4).select("vec_id").collect()
+    )
+    assert sorted(rows) == want
+    # Routing consistency — the recall property: EVERY posting row sits
+    # in the cell the CURRENT centroids assign it to, mid-batch
+    # included, so a probe of argmin cells finds the healed vectors.
+    re_assigned = ivf_assign(postings.select("vec_id", "fe", "nrm"), cent).select(
+        "vec_id", F.col("cid").alias("rcid")
+    )
+    bad = (
+        postings.join(re_assigned, "vec_id")
+        .filter(F.col("cid") != F.col("rcid"))
+        .count()
+    )
+    assert bad == 0
+    # Teeth: the heal changed something — at least one mid-batch vector
+    # was routed differently under the old centroids (else this test
+    # could not distinguish heal from no-heal).
+    new_cid = {
+        r.vec_id: r.cid
+        for r in postings.filter(
+            F.col("vec_id").isin(*mid_ids)
+        ).select("vec_id", "cid").collect()
+    }
+    assert any(old_cid[i] != new_cid[i] for i in mid_ids)
+    mid.unpersist()
+    v.unpersist()
+
+
+def test_maintain_heals_mid_rebuild_ingest_twolevel(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The twolevel twin of the IVF heal test: a batch committing while
+    the router retrains is re-listed after the publish and re-routed by
+    compact_twolevel_index under BOTH rebuilt levels — exactly-once and
+    (c1, c2)-consistent with the current centroids afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators import dedup as dd
+    from nrg_etl_airflow_spark_emr_spark.operators.dedup import (
+        _TL_ITERS,
+        _TL_K1,
+        _TL_K2,
+        route_twolevel,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _max_committed_batch,
+        maintain_twolevel_index,
+        read_twolevel_centroids,
+        read_twolevel_index,
+        upsert_twolevel_postings,
+        write_twolevel_index,
+    )
+
+    path = str(tmp_path / "tl")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 7 == 0)
+    grow = v.filter((F.col("vec_id") % 7).isin(1, 2, 3)).select(
+        "vec_id", "fe", "nrm"
+    )
+    mid = v.filter(F.col("vec_id") % 7 == 4).select("vec_id", "fe", "nrm").cache()
+    write_twolevel_index(
+        spark, sf_dir, path, _TL_K1, _TL_K2, _TL_ITERS, vectors=base
+    )
+    upsert_twolevel_postings(spark, path, grow)
+    real_train = dd.twolevel_train
+    fired = {"n": 0}
+
+    def train_and_land_batch(frame, k1, k2, iters):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            nb = _max_committed_batch(path, "postings_stream") + 1
+            c1, c2 = read_twolevel_centroids(spark, path)  # old manifest
+            (
+                route_twolevel(mid, c1, c2)
+                .select("vec_id", "fe", "nrm", "c2", "c1")
+                .write.mode("overwrite")
+                .partitionBy("c1")
+                .parquet(os.path.join(path, "postings_stream", f"ingest_batch={nb}"))
+            )
+        return real_train(frame, k1, k2, iters)
+
+    monkeypatch.setattr(dd, "twolevel_train", train_and_land_batch)
+    res = maintain_twolevel_index(spark, path, hot_ratio=0.0)
+    monkeypatch.undo()
+    assert res["rebuilt"]
+    assert res["healed_batches"] == 1
+    cent1, cent2, postings = read_twolevel_index(spark, path)
+    rows = [r.vec_id for r in postings.select("vec_id").collect()]
+    want = sorted(
+        r.vec_id
+        for r in v.filter((F.col("vec_id") % 7) <= 4).select("vec_id").collect()
+    )
+    assert sorted(rows) == want
+    re_routed = route_twolevel(
+        postings.select("vec_id", "fe", "nrm"), cent1, cent2
+    ).select("vec_id", F.col("c1").alias("r1"), F.col("c2").alias("r2"))
+    bad = (
+        postings.join(re_routed, "vec_id")
+        .filter((F.col("c1") != F.col("r1")) | (F.col("c2") != F.col("r2")))
+        .count()
+    )
+    assert bad == 0
+    mid.unpersist()
     v.unpersist()
