@@ -188,6 +188,20 @@ _DRIVER_WINDOW_PRIORITY = (
     "text_chunk_dedup",
 )
 
+# Driver evidence recorded BEFORE the named round is void for these
+# queries: their Spark kernel (or oracle) changed in that round, so an
+# older green row no longer certifies the current code. Voiding demotes
+# the query back to the pending block of all_specs() — it re-enters the
+# driver window immediately and the entry heals itself once a fresh
+# terminal row lands (evidence round >= the named round). Keep entries
+# only while they matter; stale ones are harmless but noisy.
+_EVIDENCE_VOID_BEFORE: dict[str, int] = {
+    # r13 clamped the WAV sample-law codes to 191 in the mm_audio_meta
+    # kernel AND oracle after its last driver row (r12) — VERDICT r13
+    # item 5.
+    "mm_audio_meta": 13,
+}
+
 
 def _driver_evidence() -> dict[str, int]:
     """``name -> round number of the most recent TERMINAL driver row``.
@@ -245,7 +259,7 @@ def _driver_evidence() -> dict[str, int]:
                 terminal = not any(r.get(k) is False for k in keys)
             else:
                 terminal = all(r.get(k) for k in keys)
-            if terminal:
+            if terminal and rnd >= _EVIDENCE_VOID_BEFORE.get(name, 0):
                 evidence[name] = rnd
             else:
                 evidence.pop(name, None)
