@@ -142,3 +142,66 @@ def test_e2e_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan, "stage boundary caches missing"
     spark.catalog.clearCache()
+
+
+def test_durable_runner_resumes_from_last_completed_stage(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r13 item 6 — corpus_pipeline_run: stage boundaries land
+    as parquet with _SUCCESS as the completion record; a run killed
+    between stages resumes WITHOUT recomputing completed stages, and
+    the resumed manifest is value-identical to the in-memory chain.
+    Crash simulation: the lined-stage kernel raises after the cleaned
+    boundary committed; the resumed run must not invoke the cleaned
+    stage again (counted via the clean_corpus wrapper)."""
+    import os
+
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines import corpus as cp
+
+    mat = str(tmp_path / "mat")
+    calls = {"cleaned": 0}
+    real_clean = cp.clean_corpus
+
+    def counting_clean(*a, **kw):
+        calls["cleaned"] += 1
+        return real_clean(*a, **kw)
+
+    monkeypatch.setattr(cp, "clean_corpus", counting_clean)
+
+    real_lined = cp._stage_lined
+
+    def crashing_lined(cleaned):
+        raise RuntimeError("simulated crash between stages")
+
+    monkeypatch.setattr(cp, "_stage_lined", crashing_lined)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cp.corpus_pipeline_run(spark, sf_dir, mat)
+    # The cleaned boundary committed before the crash; nothing after it.
+    assert os.path.isfile(os.path.join(mat, "cleaned", "_SUCCESS"))
+    assert not os.path.isdir(os.path.join(mat, "lined"))
+    assert calls["cleaned"] == 1
+
+    monkeypatch.setattr(cp, "_stage_lined", real_lined)
+    manifest = cp.corpus_pipeline_run(spark, sf_dir, mat)
+    assert calls["cleaned"] == 1  # resumed: the cleaned stage never re-ran
+    for st in ("cleaned", "lined", "kept", "manifest"):
+        assert os.path.isfile(os.path.join(mat, st, "_SUCCESS"))
+    got = sorted(map(tuple, manifest.collect()))
+    want = sorted(
+        map(tuple, SPECS["corpus_pipeline_e2e"].builder(spark, sf_dir).collect())
+    )
+    assert got == want  # durable edges change nothing about the values
+    # A third run is a pure read-through: no stage recomputes. (The
+    # in-memory baseline above also routes through clean_corpus, so
+    # compare the counter across the run instead of against 1.)
+    n_before = calls["cleaned"]
+    again = cp.corpus_pipeline_run(spark, sf_dir, mat)
+    assert calls["cleaned"] == n_before
+    assert sorted(map(tuple, again.collect())) == want
+    # Mixed-input resume fails loudly instead of composing boundaries
+    # from two different runs.
+    with pytest.raises(ValueError, match="mixed-input"):
+        cp.corpus_pipeline_run(spark, sf_dir, mat, candidates="lsh")
+    spark.catalog.clearCache()
