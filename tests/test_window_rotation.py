@@ -102,13 +102,17 @@ def test_pending_rows_only_sorts_behind_pending_oracle_gated(tmp_path, monkeypat
 
 def _with_rounds(tmp_path, monkeypatch, per_round: dict) -> list[str]:
     """per_round: {round_number: {name: record}} written as separate
-    CORRECTNESS_r{N}.json files, processed in round order."""
+    CORRECTNESS_r{N}.json files, processed in round order. The
+    kernel-change void map (_EVIDENCE_VOID_BEFORE) is neutralized: it
+    names REAL rounds where a query's kernel changed, which has no
+    meaning inside a synthetic round history."""
     paths = []
     for rnd, records in sorted(per_round.items()):
         p = tmp_path / f"CORRECTNESS_r{rnd:02d}.json"
         p.write_text(json.dumps(records))
         paths.append(str(p))
     monkeypatch.setattr(glob_mod, "glob", lambda pattern: paths)
+    monkeypatch.setattr(cat, "_EVIDENCE_VOID_BEFORE", {})
     return list(cat.all_specs())
 
 
@@ -251,3 +255,31 @@ def test_simulated_round6_window_is_pure_recheck(tmp_path, monkeypatch):
     assert all(ev[n] <= min(
         ev[m] for m in ordered[50:]
     ) for n in window), "no staler spec left outside the window"
+
+
+def test_kernel_change_voids_older_evidence(tmp_path, monkeypatch):
+    """_EVIDENCE_VOID_BEFORE (round 14): a green row recorded BEFORE a
+    query's kernel changed no longer certifies the code — the query
+    must re-enter the pending block; a green row AT or AFTER the named
+    round heals it back to terminal."""
+    paths = []
+    for rnd, records in sorted(
+        {4: {"q1_pricing_summary": GREEN}, 6: {"q1_pricing_summary": GREEN}}.items()
+    ):
+        p = tmp_path / f"CORRECTNESS_r{rnd:02d}.json"
+        p.write_text(json.dumps(records))
+        paths.append(str(p))
+    monkeypatch.setattr(glob_mod, "glob", lambda pattern: paths[:1])
+    monkeypatch.setattr(
+        cat, "_EVIDENCE_VOID_BEFORE", {"q1_pricing_summary": 5}
+    )
+    assert "q1_pricing_summary" not in cat._driver_evidence()  # r4 row void
+    ordered = list(cat.all_specs())
+    # Pending again: sorts with the pending oracle-gated block, ahead of
+    # every rows-only spec (same contract as a red row).
+    first_rows_only = min(
+        i for i, n in enumerate(ordered) if cat._REGISTRY[n].oracle is None
+    )
+    assert ordered.index("q1_pricing_summary") < first_rows_only
+    monkeypatch.setattr(glob_mod, "glob", lambda pattern: paths)
+    assert cat._driver_evidence()["q1_pricing_summary"] == 6  # r6 row heals
