@@ -205,3 +205,21 @@ def test_durable_runner_resumes_from_last_completed_stage(
     with pytest.raises(ValueError, match="mixed-input"):
         cp.corpus_pipeline_run(spark, sf_dir, mat, candidates="lsh")
     spark.catalog.clearCache()
+
+
+def test_e2e_lsh_plan_shape(spark, sf_dir):
+    """The banded chain keeps the exact row's plan discipline: cached
+    stage boundaries (no stage re-derives the raw corpus), no
+    row-at-a-time Python UDF, no unbounded cartesian stage. (Both e2e
+    variants carry line_dedup's bounded one-row broadcast crosses —
+    BuildRight BNLJs over a single-row frame, the same plan-pinned
+    exemption as the centroid crosses — so a blanket no-BNLJ assertion
+    is not the right pin here; the exact-vs-banded difference is the
+    JOIN KEY of the candidate stage, which the oracle gates by value.)"""
+    df = SPECS["corpus_pipeline_e2e_lsh"].builder(spark, sf_dir)
+    df.count()  # materialize the stage-boundary caches
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "stage boundary caches missing"
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
