@@ -2304,3 +2304,100 @@ def test_maintain_heals_mid_rebuild_ingest_twolevel(
     assert bad == 0
     mid.unpersist()
     v.unpersist()
+
+
+def test_mid_rebuild_gap_batch_parks_then_heals(spark, sf_dir, tmp_path, monkeypatch):
+    """The heal's fence discipline (round 14): a NON-contiguous batch
+    landing mid-rebuild (its predecessor id never committed) must PARK
+    — stay live above the fence, rows readable exactly-once, healed_
+    batches 0 — and heal only once the gap fills and a compaction
+    folds the contiguous run, at which point the re-route makes every
+    posting (c-)consistent with the current centroids. Bounded
+    staleness, never loss, never permanent misrouting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators import kmeans as km
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import ivf_assign
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _max_committed_batch,
+        compact_ivf_index,
+        current_manifest,
+        maintain_ivf_index,
+        read_ivf_centroids,
+        read_ivf_index,
+        upsert_ivf_postings,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 7 == 0)
+    grow = v.filter((F.col("vec_id") % 7).isin(1, 2, 3)).select(
+        "vec_id", "fe", "nrm"
+    )
+    gap_batch = v.filter(F.col("vec_id") % 7 == 4).select("vec_id", "fe", "nrm")
+    fill_batch = v.filter(F.col("vec_id") % 7 == 5).select("vec_id", "fe", "nrm")
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    upsert_ivf_postings(spark, path, grow)
+    real_train = km.ivf_train
+    fired = {"n": 0}
+
+    def train_and_land_gap(frame):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # Land batch fence+2, SKIPPING fence+1 — the out-of-order
+            # commit the contiguous-prefix rule exists for.
+            nb = _max_committed_batch(path, "postings_stream") + 2
+            cent_old = read_ivf_centroids(spark, path)
+            (
+                ivf_assign(gap_batch, cent_old)
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(os.path.join(path, "postings_stream", f"ingest_batch={nb}"))
+            )
+        return real_train(frame)
+
+    monkeypatch.setattr(km, "ivf_train", train_and_land_gap)
+    res = maintain_ivf_index(spark, path, hot_ratio=0.0)
+    monkeypatch.undo()
+    assert res["rebuilt"]
+    assert res["healed_batches"] == 0  # the gap batch PARKED, not folded
+    fence = current_manifest(path)["folded_upto"]
+    # Never loss: the parked batch is live above the fence.
+    _c, postings = read_ivf_index(spark, path)
+    want_ids = sorted(
+        r.vec_id
+        for r in v.filter((F.col("vec_id") % 7) <= 4).select("vec_id").collect()
+    )
+    assert sorted(r.vec_id for r in postings.select("vec_id").collect()) == want_ids
+    # Fill the gap (batch fence+1) under the CURRENT (new) centroids —
+    # the normal ingest path — then compact: the contiguous run now
+    # covers both batches and the re-route heals the parked one.
+    cent_new = read_ivf_centroids(spark, path)
+    (
+        ivf_assign(fill_batch, cent_new)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "postings_stream", f"ingest_batch={fence + 1}"))
+    )
+    compact_ivf_index(spark, path)
+    cent, postings = read_ivf_index(spark, path)
+    want_ids = sorted(
+        r.vec_id
+        for r in v.filter((F.col("vec_id") % 7) <= 5).select("vec_id").collect()
+    )
+    rows = [r.vec_id for r in postings.select("vec_id").collect()]
+    assert sorted(rows) == want_ids and len(rows) == len(set(rows))
+    re_assigned = ivf_assign(postings.select("vec_id", "fe", "nrm"), cent).select(
+        "vec_id", F.col("cid").alias("rcid")
+    )
+    bad = (
+        postings.join(re_assigned, "vec_id")
+        .filter(F.col("cid") != F.col("rcid"))
+        .count()
+    )
+    assert bad == 0  # the parked batch's stale routing healed at the fold
+    v.unpersist()

@@ -223,3 +223,42 @@ def test_e2e_lsh_plan_shape(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "stage boundary caches missing"
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_durable_runner_crash_matrix_every_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash-matrix extension of the resume test (repo standard: pin
+    every kill point, not one): for EACH stage, a run that dies while
+    computing that stage leaves all earlier boundaries committed and
+    nothing at or after the crash stage; the resumed run recomputes
+    ONLY from the crash stage and the final manifest is value-identical
+    to the in-memory chain."""
+    import os
+
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines import corpus as cp
+
+    want = sorted(
+        map(tuple, SPECS["corpus_pipeline_e2e"].builder(spark, sf_dir).collect())
+    )
+    stage_attrs = ["_stage_lined", "_stage_kept", "_stage_manifest"]
+    all_stages = ["cleaned", "lined", "kept", "manifest"]
+    for crash_idx, attr in enumerate(stage_attrs, start=1):
+        mat = str(tmp_path / f"mat_{attr}")
+        real = getattr(cp, attr)
+
+        def crashing(prev, _attr=attr):
+            raise RuntimeError(f"crash in {_attr}")
+
+        monkeypatch.setattr(cp, attr, crashing)
+        with pytest.raises(RuntimeError, match="crash in"):
+            cp.corpus_pipeline_run(spark, sf_dir, mat)
+        monkeypatch.setattr(cp, attr, real)
+        # Boundaries strictly before the crash stage committed; none after.
+        for st in all_stages[:crash_idx]:
+            assert os.path.isfile(os.path.join(mat, st, "_SUCCESS")), (attr, st)
+        for st in all_stages[crash_idx:]:
+            assert not os.path.isdir(os.path.join(mat, st)), (attr, st)
+        got = sorted(map(tuple, cp.corpus_pipeline_run(spark, sf_dir, mat).collect()))
+        assert got == want, attr
+    spark.catalog.clearCache()
