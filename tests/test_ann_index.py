@@ -2401,3 +2401,53 @@ def test_mid_rebuild_gap_batch_parks_then_heals(spark, sf_dir, tmp_path, monkeyp
     )
     assert bad == 0  # the parked batch's stale routing healed at the fold
     v.unpersist()
+
+
+def test_stream_batches_record_centroid_epoch(spark, sf_dir, tmp_path):
+    """Round 14 — epoch-gated compaction: every stream-ingested batch
+    dir carries a _centroid_epoch marker naming the centroid segment
+    that routed it, so compaction can fold in-epoch batches with their
+    stored routing (zero re-assignment) and re-route only stale or
+    unknown-epoch ones. The marker must match the manifest's centroid
+    segment at ingest time; compaction over in-epoch batches stays
+    value-neutral (the existing fold law, now down the no-reroute
+    path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import _vectors
+    from nrg_etl_airflow_spark_emr_spark.sources.ann_index import (
+        _batch_epoch,
+        _committed_stream_batches,
+        compact_ivf_index,
+        current_manifest,
+        read_ivf_index,
+        stream_ingest_ivf,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v = _vectors(spark, sf_dir).cache()
+    base = v.filter(F.col("vec_id") % 2 == 0)
+    inc = v.filter(F.col("vec_id") % 2 == 1).select("vec_id", "fe", "nrm")
+    write_ivf_index(spark, sf_dir, path, vectors=base)
+    stage = str(tmp_path / "stage")
+    inc.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(inc.schema).parquet(stage)
+    q = stream_ingest_ivf(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    m = current_manifest(path)
+    batches = _committed_stream_batches(path, "postings_stream", above=-1)
+    assert batches, "stream ingest landed no batch"
+    for b in batches:
+        assert _batch_epoch(path, "postings_stream", b) == m["segments"]["centroids"]
+    before = sorted(
+        map(tuple, read_ivf_index(spark, path)[1].select("vec_id", "cid").collect())
+    )
+    compact_ivf_index(spark, path)  # folds down the in-epoch (no-reroute) path
+    after = sorted(
+        map(tuple, read_ivf_index(spark, path)[1].select("vec_id", "cid").collect())
+    )
+    assert after == before  # value-neutral, stored routing trusted
+    v.unpersist()
