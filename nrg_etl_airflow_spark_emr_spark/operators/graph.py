@@ -52,7 +52,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     # count instead of one standalone eager job per round.
     both = both.distinct().localCheckpoint(eager=False)
 
-    labels = nodes.select(F.col("node"), F.col("node").alias("lbl"))
+    # Only edge ENDPOINTS can ever change label: an isolated node's
+    # label is itself in every round, so looping over the full node set
+    # shuffled a corpus-sized label table O(log d) times for rows that
+    # never move (round 14 — at corpus scale near-dup endpoints are a
+    # small fraction of documents, and this is the difference between
+    # the loop costing O(near-dup docs) and O(corpus) per round, the
+    # docstring's "shuffles only near-dup docs" made literal). The
+    # label space stays closed: every label is the id of some reachable
+    # node, and reachable ⇒ endpoint, so the pointer-jump self-join
+    # always finds its target inside the endpoint set. Isolated nodes
+    # rejoin as their own singleton clusters after convergence.
+    endpoints = both.select(F.col("a").alias("node")).distinct()
+    labels = endpoints.select(F.col("node"), F.col("node").alias("lbl"))
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             both.join(labels, both["b"] == labels["node"])
@@ -84,7 +96,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
-            return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+            # Isolated nodes (never an edge endpoint) are their own
+            # singleton clusters — one anti-join outside the loop
+            # instead of a corpus-sized ride through every round.
+            isolated = nodes.join(endpoints, "node", "left_anti").select(
+                F.col("node"), F.col("node").alias("cluster_id")
+            )
+            return labels.select(
+                F.col("node"), F.col("lbl").alias("cluster_id")
+            ).unionByName(isolated)
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ITERATIONS} rounds"
     )
