@@ -262,3 +262,26 @@ def test_durable_runner_crash_matrix_every_stage(spark, sf_dir, tmp_path, monkey
         got = sorted(map(tuple, cp.corpus_pipeline_run(spark, sf_dir, mat).collect()))
         assert got == want, attr
     spark.catalog.clearCache()
+
+
+def test_durable_runner_lsh_variant_value_identical(spark, sf_dir, tmp_path):
+    """The runner's candidates knob composes with the banded clean
+    stage: corpus_pipeline_run(..., candidates="lsh") over durable
+    boundaries equals the in-memory corpus_pipeline_e2e_lsh row."""
+    from nrg_etl_airflow_spark_emr_spark.pipelines import corpus as cp
+
+    mat = str(tmp_path / "mat_lsh")
+    got = sorted(
+        map(
+            tuple,
+            cp.corpus_pipeline_run(spark, sf_dir, mat, candidates="lsh").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            SPECS["corpus_pipeline_e2e_lsh"].builder(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want
+    spark.catalog.clearCache()
