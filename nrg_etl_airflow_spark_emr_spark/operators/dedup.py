@@ -590,8 +590,23 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """dedup_minhash_lsh's exact law over any (doc_id, text) frame —
     the near-dup verdict stage of composed pipelines
     (corpus_pipeline_e2e). Identical shingle → signature → band-key →
-    agreement-score arithmetic; the caller owns the input's cache."""
-    sig = _signatures_from(_doc_shingles_from(docs, require_shingles=True)).cache()
+    agreement-score arithmetic.
+
+    The signature frame is materialized with an EAGER localCheckpoint
+    rather than cache(): it feeds three plan copies downstream (band
+    self-join a/b + score join s1/s2), and cache() shortcuts execution
+    but never the LOGICAL plan, so inside composed pipelines every copy
+    re-embedded the whole upstream chain (clean stage, line dedup, the
+    16 minhash HOF columns) and single-threaded Catalyst work — plan
+    clone + analysis + AQE re-planning, observed via driver jstack —
+    dominated wall time over the actual 32-core execution (guide §3.3:
+    materialising an intermediate truncates the plan; §7.3 planning
+    signature). The checkpoint truncates the lineage to a LogicalRDD of
+    (doc_id, 16 longs) — corpus-bounded state, same footprint class as
+    the cache it replaces."""
+    sig = _signatures_from(
+        _doc_shingles_from(docs, require_shingles=True)
+    ).localCheckpoint()
     return _lsh_scored(sig, _lsh_candidates_from(sig))
 
 

@@ -29,8 +29,15 @@ from ._util import t
 MAX_ITERATIONS = 40  # 2^40 diameter headroom — pointer jumping is O(log d)
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, edges_canonical: bool = False
+) -> DataFrame:
     """(node) + (src, dst) undirected edges → (node, cluster_id=min id).
+
+    Precondition: ``nodes`` ⊇ edge endpoints — labels are seeded from
+    endpoints (round 14), so an endpoint absent from ``nodes`` still
+    appears in the output (and can win min-label); both in-repo callers
+    pass the full corpus node set (ADVICE r14 note).
 
     Pure DataFrame iteration — no RDDs, no driver-side graph. Each round:
 
@@ -41,16 +48,25 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
        hop per round (a diameter-d chain needs d rounds); with jumping
        convergence is O(log d).
 
+    ``edges_canonical``: the caller guarantees ``edges`` is distinct with
+    src < dst per row (every dedup pair frame in this repo). The mirrored
+    union is then already duplicate-free — (a,b) with a<b and (b,a) with
+    b>a live in disjoint key spaces — so the edge-list dedup shuffle is
+    skipped outright (guide §2.4: a distinct on already-unique data is a
+    removable exchange; measured no-op at sf0.1, 12 912 = 12 912 rows).
+
     Stops when no label changed (one cheap count per round); raises if the
     iteration cap is hit rather than silently returning partial clusters.
     """
     both = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    if not edges_canonical:
+        both = both.distinct()
     # Lazy checkpoints throughout (see graph_pagerank): lineage still
     # truncates, but blocks materialize inside the round's convergence
     # count instead of one standalone eager job per round.
-    both = both.distinct().localCheckpoint(eager=False)
+    both = both.localCheckpoint(eager=False)
 
     # Only edge ENDPOINTS can ever change label: an isolated node's
     # label is itself in every round, so looping over the full node set
@@ -168,7 +184,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
-    comp = connected_components(pairs, nodes)
+    # Pairs come out of a (d1, d2) groupBy with d1 < d2 — canonical, so
+    # the CC edge-dedup shuffle is skipped (guide §2.4).
+    comp = connected_components(pairs, nodes, edges_canonical=True)
     return comp.select(
         F.col("node").alias("doc_id"),
         "cluster_id",
@@ -215,7 +233,9 @@ def lsh_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components(pairs, nodes)
+    # LSH verdict pairs are unique (candidate distinct ⨝ unique-doc_id
+    # signatures) with d1 < d2 — canonical, edge-dedup shuffle skipped.
+    comp = connected_components(pairs, nodes, edges_canonical=True)
     return comp.select(
         F.col("node").alias("doc_id"),
         "cluster_id",

@@ -215,8 +215,11 @@ def _e2e_oracle(candidates: str = "exact") -> str:
     "accounting rows, sub-3-word docs that cannot shingle (no "
     "signature → auto-keep, both engines), and chunk coordinates over "
     "REWRITTEN text. Plan shape: the two multi-consumer stage "
-    "boundaries (cleaned, lined) are cached so no stage re-scans the "
-    "raw corpus — downstream stages read the cached boundary; all "
+    "boundaries (cleaned, lined) are eager localCheckpoints (r15: was "
+    "cache(), which never truncates the LOGICAL plan — every self-join "
+    "copy re-embedded the whole upstream tree and single-threaded "
+    "Catalyst analysis dominated wall time) so no stage re-scans the "
+    "raw corpus and no plan copy re-embeds it; all "
     "shuffles are keyed (doc_id, line digest, band key, shard id); no "
     "row-UDFs anywhere (repo-wide BatchEvalPython pin). At 100 TB each "
     "boundary becomes a durable parquet hand-off via the SHIPPED runner "
@@ -278,13 +281,24 @@ def _e2e_frame(
     """The shared e2e chain; ``candidates`` parameterizes ONLY the clean
     stage's cluster pair term (exact shared-shingle vs banded LSH). The
     stage kernels are module-level so corpus_pipeline_run drives the
-    SAME code over durable parquet boundaries."""
+    SAME code over durable parquet boundaries.
+
+    Stage boundaries are EAGER localCheckpoints, not cache(): each
+    boundary frame is consumed by several downstream plan copies (lined
+    feeds the LSH verdict self-join AND the kept anti-join), and cache()
+    leaves the full logical tree in every copy — the r15 driver-side
+    profile (jstack + job timeline) showed the composed chain spending
+    more wall on single-threaded Catalyst plan clone/analysis than on
+    its 32-core execution, with multi-10-second outliers. Truncating the
+    plan at the boundaries (guide §3.3) fixed both the median and the
+    tail; value identity is pinned by the unchanged oracle. This is the
+    in-memory analog of corpus_pipeline_run's durable parquet hand-offs."""
     cleaned = (
         clean_corpus(spark, sf_dir, candidates=candidates)
         .select("doc_id", "text")
-        .cache()
+        .localCheckpoint()
     )
-    lined = _stage_lined(cleaned).cache()
+    lined = _stage_lined(cleaned).localCheckpoint()
     return _stage_manifest(_stage_kept(lined))
 
 

@@ -133,14 +133,16 @@ def test_e2e_equals_stepwise_chain(spark, sf_dir):
 
 
 def test_e2e_plan_shape(spark, sf_dir):
-    """The composed plan hands off between stages through the two cached
-    boundaries (no stage re-derives the raw corpus from scratch) and
-    contains no row-at-a-time Python UDF."""
+    """The composed plan hands off between stages through the two
+    checkpointed boundaries (no stage re-derives the raw corpus from
+    scratch — r15: eager localCheckpoint replaced cache() so the
+    boundary also TRUNCATES the logical plan, killing the single-
+    threaded Catalyst re-analysis of the full upstream tree in every
+    self-join copy) and contains no row-at-a-time Python UDF."""
     df = SPECS["corpus_pipeline_e2e"].builder(spark, sf_dir)
-    df.count()  # materialize the stage-boundary caches
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "InMemoryTableScan" in plan, "stage boundary caches missing"
+    assert "Scan ExistingRDD" in plan, "checkpointed stage boundaries missing"
     spark.catalog.clearCache()
 
 
@@ -217,10 +219,9 @@ def test_e2e_lsh_plan_shape(spark, sf_dir):
     is not the right pin here; the exact-vs-banded difference is the
     JOIN KEY of the candidate stage, which the oracle gates by value.)"""
     df = SPECS["corpus_pipeline_e2e_lsh"].builder(spark, sf_dir)
-    df.count()  # materialize the stage-boundary caches
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "InMemoryTableScan" in plan, "stage boundary caches missing"
+    assert "Scan ExistingRDD" in plan, "checkpointed stage boundaries missing"
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
 
