@@ -358,9 +358,15 @@ def pagerank_frame(
         graph = pre.localCheckpoint(eager=False)
     else:
         raise ValueError(f"unknown graph_layout: {graph_layout!r}")
-    # Every node appears as src in bi (each edge is mirrored), so deg is
-    # already one row per node — no extra distinct scan for rank init.
-    ranks = deg.select(
+    # Every node appears as src in bi (each edge is mirrored), so the
+    # graph's src domain is exactly the node set. Rank init reads it
+    # FROM THE CACHED GRAPH, not from deg: deg's plan re-embeds the
+    # whole edge build (orders⋈lineitem + distinct + union), so seeding
+    # from deg ran that build a SECOND time outside the cache (measured
+    # ~1.1s of the row's 6.4s at sf0.1; r15). The cached graph is hash-
+    # partitioned by src, so the distinct is exchange-free map-side
+    # dedup — strictly cheaper than deg's recompute at any scale.
+    ranks = graph.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r")
     )
     for i in range(PR_ITERS):

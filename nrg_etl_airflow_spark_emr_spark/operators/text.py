@@ -2181,8 +2181,6 @@ def _bpe_train(
     merge count (SCALE.md records the merges-vs-wall regime curve);
     ``doc_where`` optionally restricts the TRAINING corpus (the
     encode-unseen split trains on half the documents)."""
-    from pyspark.sql.window import Window
-
     base = t(spark, sf_dir, "documents")
     if doc_where is not None:
         base = base.filter(doc_where)
@@ -2201,7 +2199,6 @@ def _bpe_train(
         ).alias("toks"),
     ).cache()
 
-    lw = Window.partitionBy("word").orderBy("pos")
     rows: list[tuple[int, str, str, int]] = []
     generations = [seqs]  # cached frames; all but the last two unpersist
     for r in range(1, n_merges + 1):
@@ -2209,22 +2206,16 @@ def _bpe_train(
         # shortcuts EXECUTION but never the LOGICAL plan, and the
         # round-10 merges-vs-wall measurement (SCALE.md) showed
         # per-round wall DOUBLING from ~round 10 (1.4s -> 182s by round
-        # 17) as Catalyst re-analyzes the deepening window-chain
-        # lineage. A lazy localCheckpoint resets the plan to the
-        # materialized rows (the graph_pagerank discipline), holding
-        # per-round cost flat at any merge count. (Skipped on the final
-        # round: truncation only pays off for rounds that FOLLOW it, so
-        # the registered 8-merge query pays exactly one checkpoint.)
+        # 17) as Catalyst re-analyzes the deepening lineage. A lazy
+        # localCheckpoint resets the plan to the materialized rows (the
+        # graph_pagerank discipline), holding per-round cost flat at any
+        # merge count. (Skipped on the final round: truncation only pays
+        # off for rounds that FOLLOW it, so the registered 8-merge query
+        # pays exactly one checkpoint.)
         if r % BPE_CKPT_EVERY == 0 and r < n_merges:
             seqs = seqs.localCheckpoint(eager=False)
-        px = seqs.select(
-            "word", "n", F.posexplode("toks").alias("pos0", "tok")
-        ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
-        pr = px.withColumn("b", F.lead("tok").over(lw))
         top = (
-            pr.filter(F.col("b").isNotNull())
-            .groupBy(F.col("tok").alias("a"), "b")
-            .agg(F.sum("n").alias("cnt"))
+            _bpe_pair_counts(seqs)
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
             .collect()
@@ -2238,68 +2229,100 @@ def _bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         rows.append((r, a, b, cnt))
-        seqs = _apply_pair(pr, a, b, lw).cache()
+        seqs = _apply_pair(seqs, a, b).cache()
         generations.append(seqs)
 
     return rows, seqs
 
 
-def _apply_pair(pr, a: str, b: str, lw) -> DataFrame:
+def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts ``(a, b, cnt)`` over a
+    vocabulary frame ``seqs(word, n, toks)`` — ROW-LOCAL (r15): pairs
+    come straight off each token array (struct(toks[i], toks[i+1])), so
+    the only exchange is the (a, b) groupBy with its map-side partial
+    aggregate. The previous formulation exploded to one row per token
+    and ran a word-partitioned lead() window first, paying a full
+    vocabulary shuffle + sort per round before counting — measured
+    ~1.36x on the 8-merge trainer at sf0.1, and strictly fewer
+    per-round exchanges at any scale (guide §2.4). Shared by the greedy
+    and batched trainers so the counting law cannot drift."""
+    prs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("a"),
+                F.element_at("toks", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    ex = seqs.select("n", F.explode(prs).alias("p"))
+    return ex.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("n").alias("cnt")
+    )
+
+
+def _apply_pair(seqs: DataFrame, a: str, b: str) -> DataFrame:
     """One greedy left-to-right non-overlapping merge pass of pair
-    (a, b) over an exploded pair frame ``pr(word, n, pos, tok, b)`` —
-    THE single-pair application law, shared by the trainer rounds and
-    merge REPLAY (bpe_apply_merges): match flags -> running match-count
-    -> run id (pos - count is constant within a run of consecutive
-    matches) -> conditional rank within the run -> odd ranks are taken;
-    a row is dropped when its left neighbor was taken. Returns the
-    regrouped seqs(word, n, toks) — uncached."""
-    match = (F.col("tok") == F.lit(a)) & (F.col("b") == F.lit(b))
-    mflag = F.when(F.col("match"), 1).otherwise(0)
-    m = (
-        pr.withColumn("match", match)
-        .withColumn("rm", F.sum(mflag).over(lw))
-        .withColumn("grp", F.col("pos") - F.col("rm"))
-        .withColumn(
-            "rn2",
-            F.sum(mflag).over(Window.partitionBy("word", "grp").orderBy("pos")),
-        )
-        .withColumn("taken", F.col("match") & (F.col("rn2") % 2 == 1))
-        .withColumn("dropped", F.lag("taken").over(lw))
+    (a, b) over a vocabulary frame ``seqs(word, n, toks)`` — THE
+    single-pair application law, shared by the trainer rounds and merge
+    REPLAY (bpe_apply_merges). ROW-LOCAL (r15): a left-fold over each
+    token array (F.aggregate) that appends the current token, or — when
+    the accumulator's last token equals ``a``, the current token equals
+    ``b``, and the last token was NOT itself produced by this pass's
+    previous step (the non-overlap rule) — replaces it with the merged
+    token. This is exactly the run-parity law the old window
+    formulation computed (consecutive-match runs, odd ranks taken):
+    within a run of consecutive matches the fold alternates
+    merge/skip from the run's start, i.e. takes the odd-ranked
+    positions. The window version exploded the vocabulary and paid a
+    word-partitioned shuffle + 4 window passes + a collect_list
+    regroup PER MERGE; the fold touches nothing but the row (guide
+    §2.4: remove shuffles outright). Value identity pinned by the
+    unchanged unrolled-SQL oracles and batch=1 equivalence tests."""
+    merged = a + b
+    zero = F.struct(
+        F.array().cast("array<string>").alias("arr"),
+        F.lit(False).alias("just"),
     )
-    return (
-        m.filter(~F.coalesce(F.col("dropped"), F.lit(False)))
-        .select(
-            "word",
-            "n",
-            "pos",
-            F.when(F.col("taken"), F.lit(a + b)).otherwise(F.col("tok")).alias("tok"),
+
+    def step(acc, x):
+        can = (
+            (F.try_element_at(acc["arr"], F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b))
+            & (~acc["just"])
         )
-        .groupBy("word")
-        .agg(
-            F.first("n").alias("n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda st: st["tok"],
-            ).alias("toks"),
+        return F.when(
+            can,
+            F.struct(
+                F.concat(
+                    F.slice(acc["arr"], 1, F.size(acc["arr"]) - 1),
+                    F.array(F.lit(merged)),
+                ).alias("arr"),
+                F.lit(True).alias("just"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["arr"], F.array(x)).alias("arr"),
+                F.lit(False).alias("just"),
+            )
         )
-    )
+
+    out = F.aggregate("toks", zero, step, lambda acc: acc["arr"])
+    return seqs.select("word", "n", out.alias("toks"))
 
 
 def bpe_apply_merges(seqs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Tokenizer APPLY: replay an already-learned merge list, in rank
     order, over a vocabulary frame ``seqs(word, n, toks)`` — what
-    encoding a NEW corpus with a trained tokenizer does. One window
-    pass per merge over the vocabulary (never the corpus), with the
-    same lazy-localCheckpoint lineage cadence as the trainer."""
-    lw = Window.partitionBy("word").orderBy("pos")
+    encoding a NEW corpus with a trained tokenizer does. One row-local
+    fold per merge over the vocabulary (never the corpus — and since
+    r15 never a shuffle either, see _apply_pair), with the same lazy-
+    localCheckpoint lineage cadence as the trainer."""
     for i, (a, b) in enumerate(merges, start=1):
         if i % BPE_CKPT_EVERY == 0 and i < len(merges):
             seqs = seqs.localCheckpoint(eager=False)
-        px = seqs.select(
-            "word", "n", F.posexplode("toks").alias("pos0", "tok")
-        ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
-        pr = px.withColumn("b", F.lead("tok").over(lw))
-        seqs = _apply_pair(pr, a, b, lw)
+        seqs = _apply_pair(seqs, a, b)
     return seqs
 
 
@@ -2406,8 +2429,6 @@ def _bpe_train_batched(
     (SCALE.md's regime bound). Batch-B cuts the sequential-round count
     B-fold: 30k merges at batch 256 is ~120 rounds, back inside the
     driver-loop regime the k-means trainer already owns."""
-    from pyspark.sql.window import Window
-
     docs = spread(t(spark, sf_dir, "documents").select("text"))
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2423,7 +2444,6 @@ def _bpe_train_batched(
         ).alias("toks"),
     ).cache()
 
-    lw = Window.partitionBy("word").orderBy("pos")
     rows: list[tuple[int, str, str, int]] = []
     generations = [seqs]
     rounds = 0
@@ -2432,14 +2452,8 @@ def _bpe_train_batched(
         rounds += 1
         if rounds % BPE_CKPT_EVERY == 0:
             seqs = seqs.localCheckpoint(eager=False)
-        px = seqs.select(
-            "word", "n", F.posexplode("toks").alias("pos0", "tok")
-        ).select("word", "n", (F.col("pos0") + 1).alias("pos"), "tok")
-        pr = px.withColumn("b", F.lead("tok").over(lw))
         cands = (
-            pr.filter(F.col("b").isNotNull())
-            .groupBy(F.col("tok").alias("a"), "b")
-            .agg(F.sum("n").alias("cnt"))
+            _bpe_pair_counts(seqs)
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(4 * batch)
             .collect()
@@ -2471,43 +2485,41 @@ def _bpe_train_batched(
             used.update((c["a"], c["b"], c["a"] + c["b"]))
         for a, b, cnt in sel:
             rows.append((len(rows) + 1, a, b, cnt))
-        match = F.lit(False)
-        for a, b, _ in sel:
-            match = match | ((F.col("tok") == F.lit(a)) & (F.col("b") == F.lit(b)))
-        mflag = F.when(F.col("match"), 1).otherwise(0)
-        m = (
-            pr.withColumn("match", match)
-            .withColumn("rm", F.sum(mflag).over(lw))
-            .withColumn("grp", F.col("pos") - F.col("rm"))
-            .withColumn(
-                "rn2",
-                F.sum(mflag).over(Window.partitionBy("word", "grp").orderBy("pos")),
-            )
-            .withColumn("taken", F.col("match") & (F.col("rn2") % 2 == 1))
-            .withColumn("dropped", F.lag("taken").over(lw))
+        # Row-local simultaneous application (r15, see _apply_pair):
+        # selected pairs are symbol-disjoint, so a fold position can
+        # match at most one pair and the single-pair run-parity law
+        # applies verbatim; the merged token is position-local
+        # concat(last, current) — no per-pair literal needed.
+        zero = F.struct(
+            F.array().cast("array<string>").alias("arr"),
+            F.lit(False).alias("just"),
         )
-        seqs = (
-            m.filter(~F.coalesce(F.col("dropped"), F.lit(False)))
-            .select(
-                "word",
-                "n",
-                "pos",
-                # Disjointness makes the merged token position-local:
-                # concat of the two ACTUAL tokens (no per-pair literal).
-                F.when(F.col("taken"), F.concat(F.col("tok"), F.col("b"))).otherwise(
-                    F.col("tok")
-                ).alias("tok"),
+        pair_lits = [(F.lit(a), F.lit(b)) for a, b, _ in sel]
+
+        def step(acc, x):
+            last = F.try_element_at(acc["arr"], F.lit(-1))
+            match = F.lit(False)
+            for la, lb in pair_lits:
+                match = match | ((last == la) & (x == lb))
+            can = match & (~acc["just"])
+            return F.when(
+                can,
+                F.struct(
+                    F.concat(
+                        F.slice(acc["arr"], 1, F.size(acc["arr"]) - 1),
+                        F.array(F.concat(last, x)),
+                    ).alias("arr"),
+                    F.lit(True).alias("just"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(x)).alias("arr"),
+                    F.lit(False).alias("just"),
+                )
             )
-            .groupBy("word")
-            .agg(
-                F.first("n").alias("n"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda st: st["tok"],
-                ).alias("toks"),
-            )
-            .cache()
-        )
+
+        out = F.aggregate("toks", zero, step, lambda acc: acc["arr"])
+        seqs = seqs.select("word", "n", out.alias("toks")).cache()
         generations.append(seqs)
 
     return rows, seqs
