@@ -681,6 +681,18 @@ def _exact_rerank_top10(shortlist: DataFrame, v: DataFrame, q: DataFrame) -> Dat
     )
 
 
+def _check_pq_dim_src(spark: SparkSession, sf_dir: str) -> None:
+    """_check_pq_dim against the RAW embeddings table via a limit-1
+    scan. The old call sites measured the dim off the derived fixed-
+    point frame (``v.select("fe").first()``), which executed the whole
+    spread + HOF-transform pipeline as a standalone job just to read an
+    array length (r15 profile: one extra ~0.5 MB-shuffle job per PQ
+    query). fe is an element-wise transform of embedding, so the
+    lengths are identical by construction."""
+    row = t(spark, sf_dir, "embeddings").select("embedding").first()
+    _check_pq_dim(len(row[0]))
+
+
 def _check_pq_dim(dim: int) -> None:
     """Fail fast on a mis-sized fixture BEFORE _subvectors slices it:
     an explicit raise (not assert — asserts vanish under python -O) so a
@@ -897,7 +909,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import lloyd_fit_grouped_quantized
 
     v = _vectors(spark, sf_dir).cache()
-    _check_pq_dim(len(v.select("fe").first()[0]))
+    _check_pq_dim_src(spark, sf_dir)
     subs = _subvectors(v, "vec_id", "fe", "sv")
     codes, cent = lloyd_fit_grouped_quantized(subs, PQ_K, PQ_ITERS)
     return _pq_adc_search(cent, codes, v.select("vec_id", "nrm"), v, _pq_queries(v))
@@ -1155,7 +1167,7 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import lloyd_fit_grouped_quantized
 
     v = _vectors(spark, sf_dir).cache()
-    _check_pq_dim(len(v.select("fe").first()[0]))
+    _check_pq_dim_src(spark, sf_dir)
     cent = v.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("fe").alias("cfe"), F.col("nrm").alias("cnrm")
     )

@@ -199,6 +199,20 @@ def _publish(path: str, manifest: dict, expect_parent: int | None = None) -> Non
             )
 
 
+def _sized(df: DataFrame, *cols: str) -> DataFrame:
+    """Size-adaptive output layout for index segment writes (guide §6):
+    an AQE REBALANCE hint keyed on the write's partitionBy columns (or
+    keyless for unpartitioned segments). Without it every segment write
+    fanned out tasks x partition-values files — the sf0.1 IVF postings
+    segment was 322 files of a few KB each (r15 measurement), paying
+    driver commit time per file on write and an open per file on every
+    read-back. REBALANCE coalesces small partitions to the advisory
+    size AND splits oversized ones, so the same code writes one tidy
+    file per cell locally and size-bounded multi-file cells at 100 TB —
+    unlike a repartition(cols), which would cap a cell at one task."""
+    return df.hint("rebalance", *cols) if cols else df.hint("rebalance")
+
+
 def _seg(name: str, ver: int, suffix: str = "") -> str:
     return f"{name}-v{ver:08d}{suffix}"
 
@@ -435,9 +449,9 @@ def write_ivf_index(
         cent, fassign = ivf_train(v)
     ver = _next_version(path)
     cent_dir, post_dir = _seg("centroids", ver), _seg("postings", ver)
-    cent.write.mode("overwrite").parquet(os.path.join(path, cent_dir))
+    _sized(cent).write.mode("overwrite").parquet(os.path.join(path, cent_dir))
     (
-        fassign.write.mode("overwrite")
+        _sized(fassign, "cid").write.mode("overwrite")
         .partitionBy("cid")
         .parquet(os.path.join(path, post_dir))
     )
@@ -523,7 +537,7 @@ def upsert_ivf_postings(spark: SparkSession, path: str, new_vectors: DataFrame) 
         ver = _next_version(path)
         seg = _seg("postings", ver, "-upsert")
         (
-            assigned.write.mode("overwrite")
+            _sized(assigned, "cid").write.mode("overwrite")
             .partitionBy("cid")
             .parquet(os.path.join(path, seg))
         )
@@ -669,7 +683,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
             )
     ver = _next_version(path)
     seg = _seg("postings", ver)
-    postings.write.mode("overwrite").partitionBy("cid").parquet(
+    _sized(postings, "cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(path, seg)
     )
     m2 = dict(m)
@@ -940,9 +954,9 @@ def write_twolevel_index(
     ver = _next_version(path)
     c1_dir, c2_dir = _seg("l1cent", ver), _seg("l2cent", ver)
     post_dir = _seg("postings", ver)
-    cent1.write.mode("overwrite").parquet(os.path.join(path, c1_dir))
-    cent2.write.mode("overwrite").parquet(os.path.join(path, c2_dir))
-    posted.write.mode("overwrite").partitionBy("c1").parquet(
+    _sized(cent1).write.mode("overwrite").parquet(os.path.join(path, c1_dir))
+    _sized(cent2).write.mode("overwrite").parquet(os.path.join(path, c2_dir))
+    _sized(posted, "c1").write.mode("overwrite").partitionBy("c1").parquet(
         os.path.join(path, post_dir)
     )
     _publish(
@@ -1141,9 +1155,9 @@ def compact_twolevel_index(spark: SparkSession, path: str) -> None:
             )
     ver = _next_version(path)
     seg = _seg("postings", ver)
-    postings.select("vec_id", "fe", "nrm", "c2", "c1").write.mode(
-        "overwrite"
-    ).partitionBy("c1").parquet(os.path.join(path, seg))
+    _sized(
+        postings.select("vec_id", "fe", "nrm", "c2", "c1"), "c1"
+    ).write.mode("overwrite").partitionBy("c1").parquet(os.path.join(path, seg))
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = dict(m["segments"])
@@ -1178,7 +1192,7 @@ def upsert_twolevel_postings(
         )
         ver = _next_version(path)
         seg = _seg("postings", ver, "-upsert")
-        routed.write.mode("overwrite").partitionBy("c1").parquet(
+        _sized(routed, "c1").write.mode("overwrite").partitionBy("c1").parquet(
             os.path.join(path, seg)
         )
         m2 = dict(m)
@@ -1345,9 +1359,9 @@ def write_pq_index(
     cb_dir = _seg("codebooks", ver)
     cd_dir = _seg("codes", ver)
     nm_dir = _seg("norms", ver)
-    cent.write.mode("overwrite").parquet(os.path.join(path, cb_dir))
-    codes.write.mode("overwrite").parquet(os.path.join(path, cd_dir))
-    norms.write.mode("overwrite").parquet(os.path.join(path, nm_dir))
+    _sized(cent).write.mode("overwrite").parquet(os.path.join(path, cb_dir))
+    _sized(codes).write.mode("overwrite").parquet(os.path.join(path, cd_dir))
+    _sized(norms).write.mode("overwrite").parquet(os.path.join(path, nm_dir))
     fence = max(
         _max_committed_batch(path, _PQ_CODES_STREAM),
         _max_committed_batch(path, _PQ_NORMS_STREAM),
@@ -1410,8 +1424,8 @@ def upsert_pq_codes(spark: SparkSession, path: str, new_vectors: DataFrame) -> N
         ver = _next_version(path)
         cd_seg = _seg("codes", ver, "-upsert")
         nm_seg = _seg("norms", ver, "-upsert")
-        codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
-        norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
+        _sized(codes).write.mode("overwrite").parquet(os.path.join(path, cd_seg))
+        _sized(norms).write.mode("overwrite").parquet(os.path.join(path, nm_seg))
         m2 = dict(m)
         m2["version"] = ver
         m2["segments"] = dict(m["segments"])
@@ -1527,8 +1541,8 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
         )
     ver = _next_version(path)
     cd_seg, nm_seg = _seg("codes", ver), _seg("norms", ver)
-    codes.write.mode("overwrite").parquet(os.path.join(path, cd_seg))
-    norms.write.mode("overwrite").parquet(os.path.join(path, nm_seg))
+    _sized(codes).write.mode("overwrite").parquet(os.path.join(path, cd_seg))
+    _sized(norms).write.mode("overwrite").parquet(os.path.join(path, nm_seg))
     m2 = dict(m)
     m2["version"] = ver
     m2["segments"] = dict(m["segments"])
@@ -1601,8 +1615,8 @@ def write_minhash_index(
     bands = _band_frame(hist_sig)
     ver = _next_version(path)
     sig_dir, band_dir = _seg("signatures", ver), _seg("bands", ver)
-    hist_sig.write.mode("overwrite").parquet(os.path.join(path, sig_dir))
-    bands.write.mode("overwrite").partitionBy("band_id").parquet(
+    _sized(hist_sig).write.mode("overwrite").parquet(os.path.join(path, sig_dir))
+    _sized(bands, "band_id").write.mode("overwrite").partitionBy("band_id").parquet(
         os.path.join(path, band_dir)
     )
     _publish(
@@ -1645,8 +1659,8 @@ def upsert_minhash_index(
         ver = _next_version(path)
         sig_seg = _seg("signatures", ver, "-upsert")
         band_seg = _seg("bands", ver, "-upsert")
-        ns.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
-        bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        _sized(ns).write.mode("overwrite").parquet(os.path.join(path, sig_seg))
+        _sized(bands, "band_id").write.mode("overwrite").partitionBy("band_id").parquet(
             os.path.join(path, band_seg)
         )
         m2 = dict(m)
@@ -1673,8 +1687,8 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     sigs, bands = read_minhash_index(spark, path)
     ver = _next_version(path)
     sig_seg, band_seg = _seg("signatures", ver), _seg("bands", ver)
-    sigs.write.mode("overwrite").parquet(os.path.join(path, sig_seg))
-    bands.write.mode("overwrite").partitionBy("band_id").parquet(
+    _sized(sigs).write.mode("overwrite").parquet(os.path.join(path, sig_seg))
+    _sized(bands, "band_id").write.mode("overwrite").partitionBy("band_id").parquet(
         os.path.join(path, band_seg)
     )
     m2 = dict(m)
