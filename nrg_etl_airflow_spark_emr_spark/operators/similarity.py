@@ -1684,9 +1684,14 @@ def mmr_rerank(cand: DataFrame) -> DataFrame:
     candidate-set pairwise cosines relationally, then runs the K greedy
     rounds as ONE grouped-map kernel per query (the formulation the
     round-8 A/B kept: 5.4x over the plan-unrolled variant)."""
-    # cache(): cand feeds both sides of the pairwise-sim self-join
-    # (CollapseProject barrier, same as the sketch frames).
-    cand = cand.cache()
+    # Eager localCheckpoint, not cache() (r15): cand feeds BOTH sides of
+    # the pairwise-sim self-join plus the feats projection — three plan
+    # copies — and for sim_knn_ivf_mmr each copy re-embedded the entire
+    # unrolled IVF trainer tree (cache shortcuts execution, never the
+    # logical plan; the corpus-chain finding). The checkpoint truncates
+    # all three to a q*C-row LogicalRDD; candidate state is
+    # O(queries * C) at any corpus scale.
+    cand = cand.localCheckpoint()
     a = cand.select(
         "query_id",
         F.col("vec_id").alias("vid_a"),
