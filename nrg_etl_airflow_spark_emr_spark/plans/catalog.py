@@ -200,6 +200,46 @@ _EVIDENCE_VOID_BEFORE: dict[str, int] = {
     # kernel AND oracle after its last driver row (r12) — VERDICT r13
     # item 5.
     "mm_audio_meta": 13,
+    # r15 optimization round: every row whose Spark kernel (or builder
+    # path) changed needs post-change driver evidence. This also closes
+    # VERDICT r14 finding 1 (the six consumers of the round-14
+    # connected-components rewrite — all six appear below, voided at 15
+    # because the CC kernel changed again this round via
+    # edges_canonical). Changes per family:
+    # - connected_components edge-dedup skip (operators/graph.py):
+    "dedup_clusters": 15,
+    "dedup_cluster_stats": 15,
+    "corpus_clean": 15,
+    "corpus_training_card": 15,
+    "train_split_by_cluster": 15,
+    # - e2e chain checkpointed boundaries + minhash sig checkpoint + CC:
+    "corpus_pipeline_e2e": 15,
+    "corpus_pipeline_e2e_lsh": 15,
+    # - BPE row-local fold rounds (operators/text.py):
+    "text_bpe_train_merges": 15,
+    "text_bpe_encode": 15,
+    "text_bpe_encode_unseen": 15,
+    "text_bpe_vocab_coverage": 15,
+    "text_bpe_train_batched": 15,
+    "text_bpe_encode_persisted": 15,
+    # - pagerank rank-init from the cached graph (operators/graph.py):
+    "graph_pagerank": 15,
+    # - mmr_rerank checkpointed candidate frame:
+    "sim_knn_mmr": 15,
+    "sim_knn_ivf_mmr": 15,
+    # - _check_pq_dim_src (raw-table dim probe):
+    "sim_knn_pq": 15,
+    "sim_knn_ivfpq": 15,
+    # - _sized index segment writes (sources/ann_index.py):
+    "sim_knn_ivf_persisted": 15,
+    "sim_knn_ivf_upsert": 15,
+    "sim_knn_pq_persisted": 15,
+    "sim_knn_pq_upsert": 15,
+    "dedup_incremental_persisted": 15,
+    "dedup_embedding_twolevel_persisted": 15,
+    "qc_twolevel_index_balance": 15,
+    # - write_partitioned_parquet REBALANCE sizing (sources/readers.py):
+    "snk_partitioned_parquet": 15,
 }
 
 

@@ -286,3 +286,49 @@ def test_durable_runner_lsh_variant_value_identical(spark, sf_dir, tmp_path):
     )
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_durable_runner_control_plane_is_fs_agnostic(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r14 finding 2: the runner's params marker and _SUCCESS
+    probes must go through the Hadoop FileSystem API, not local
+    open()/os.path — a materialize_dir given as a Hadoop FS URI must
+    resume and refuse mixed inputs exactly like a bare local path.
+    Driven through an explicit file: URI (the scheme-qualified path the
+    local-IO calls would have broken on)."""
+    import os
+
+    import pytest
+
+    from nrg_etl_airflow_spark_emr_spark.pipelines import corpus as cp
+
+    mat_local = str(tmp_path / "mat_uri")
+    mat = f"file:{mat_local}"
+
+    calls = {"cleaned": 0}
+    real_clean = cp.clean_corpus
+
+    def counting_clean(*a, **kw):
+        calls["cleaned"] += 1
+        return real_clean(*a, **kw)
+
+    monkeypatch.setattr(cp, "clean_corpus", counting_clean)
+
+    manifest = cp.corpus_pipeline_run(spark, sf_dir, mat)
+    want = sorted(
+        map(tuple, SPECS["corpus_pipeline_e2e"].builder(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, manifest.collect())) == want
+    # Control-plane artifacts landed under the URI's local realization.
+    assert os.path.isfile(os.path.join(mat_local, "params.json"))
+    for st in ("cleaned", "lined", "kept", "manifest"):
+        assert os.path.isfile(os.path.join(mat_local, st, "_SUCCESS"))
+    # Resume through the URI: no stage recomputes.
+    n_before = calls["cleaned"]
+    again = cp.corpus_pipeline_run(spark, sf_dir, mat)
+    assert calls["cleaned"] == n_before
+    assert sorted(map(tuple, again.collect())) == want
+    # Mixed-input resume still refuses loudly through the URI.
+    with pytest.raises(ValueError, match="refusing a mixed-input resume"):
+        cp.corpus_pipeline_run(spark, sf_dir, mat, candidates="lsh")
