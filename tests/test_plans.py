@@ -847,12 +847,26 @@ def test_ivf_mmr_candidates_are_cell_routed(spark, sf_dir):
     relevance stage: the query-vs-corpus candidate join must be an
     equi-join keyed on the trained cell id (probes x fassign), never a
     full-corpus nested loop. The remaining nested loops are k-row
-    centroid broadcasts and the 1-row d2 guard — all bounded."""
+    centroid broadcasts and the 1-row d2 guard — all bounded.
+
+    r15: mmr_rerank checkpoints its candidate frame, so the registered
+    query's RETURNED plan starts at the q*C-row LogicalRDD and the
+    cell-routed join lives in the builder-phase shortlist plan — the
+    pin therefore inspects ivf_trained_shortlist (the exact stage the
+    builder runs) plus no-cartesian on the returned tail."""
+    from nrg_etl_airflow_spark_emr_spark.operators.kmeans import (
+        ivf_trained_shortlist,
+    )
+    from nrg_etl_airflow_spark_emr_spark.operators.similarity import MMR_C
+
     plan = _plan(spark, sf_dir, "sim_knn_ivf_mmr")
     assert "CartesianProduct" not in plan
+    short = ivf_trained_shortlist(spark, sf_dir, topn=MMR_C)
+    splan = short._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in splan
     cell_keyed = [
         line
-        for line in plan.splitlines()
+        for line in splan.splitlines()
         if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
         and "[cid" in line
     ]
