@@ -794,7 +794,10 @@ def maintain_ivf_index(
     misrouting). Versioned segments make the read-while-rewrite safe:
     the trainer scans the old manifest's dirs while writing fresh ones.
     Returns {rebuilt, k, max_share, threshold, healed_batches} for the
-    maintenance log."""
+    maintenance log. healed_batches is a LOWER BOUND at detection time
+    (ADVICE r14): it counts the post-publish listing made here, while
+    the compaction it hands off to re-lists and may fold batches that
+    committed in between."""
     from ..operators.kmeans import cell_balance
 
     m = _require(path, "ivf")
@@ -1240,7 +1243,8 @@ def maintain_twolevel_index(
     re-listed after the publish and healed immediately through
     compact_twolevel_index's re-route under the rebuilt centroids.
     Returns {rebuilt, n_buckets, max_share, threshold,
-    healed_batches}."""
+    healed_batches} — healed_batches is a lower bound at detection
+    time, same caveat as maintain_ivf_index (ADVICE r14)."""
     from ..operators.kmeans import cell_balance
 
     m = _require(path, "twolevel")
