@@ -48,6 +48,24 @@ ITERS_DEFAULT = 5
 IVF_TRAIN_ITERS = 2  # unrolled quantized-Lloyd rounds in sim_knn_ivf_trained
 
 
+def _trainer_boundary(cent: DataFrame) -> DataFrame:
+    """Materialize a trained centroid/codebook frame and TRUNCATE its
+    plan (eager ``localCheckpoint``) — the r15 corpus/MMR mechanism
+    applied to the fixed-iteration trainers (guide §3.3: materialise an
+    intermediate to truncate a huge plan).
+
+    ``cache()`` shortcuts *execution* but never the *logical plan*:
+    every consumer of the cached centroids (final assignment, probe
+    routing, ADC lookup tables) re-embeds the entire unrolled Lloyd
+    tree, and single-threaded Catalyst analysis walks every copy — the
+    driver-side cost that dominated these rows at fixture scale. The
+    checkpoint replaces all copies with a LogicalRDD over k (or k*M)
+    centroid rows — bounded state at any corpus scale, so the
+    fault-tolerance trade (checkpointed blocks cannot be recomputed
+    from lineage on executor loss) is k rows, not O(corpus)."""
+    return cent.localCheckpoint()
+
+
 
 def _long_d2_guard(vectors: DataFrame, col: str = "q") -> DataFrame:
     """Derived-exactness guard for _assign's long accumulator (same
@@ -189,11 +207,14 @@ def lloyd_fit_grouped_quantized(
       in both engines);
     - a cell that loses all members vanishes.
 
-    Unlike lloyd_fit_grouped there is NO driver loop state: the whole
-    trainer is one lazy declarative plan (iters is small and fixed).
+    Unlike lloyd_fit_grouped there is NO driver loop state: the trainer
+    is one declarative plan (iters is small and fixed), materialized at
+    the trainer boundary (_trainer_boundary: eager localCheckpoint of
+    the k*M centroid rows) so downstream search plans start from a
+    LogicalRDD instead of re-embedding the unroll per consumer.
     Returns (codes: gid/vec_id/cid/d2 under the FINAL centroids — d2 is
     the exact integer distance to the winning centroid,
-    cent: gid/cid/c_q — cached, k*M rows)."""
+    cent: gid/cid/c_q — checkpointed, k*M rows)."""
     def assign(cent: DataFrame) -> DataFrame:
         return pq_assign(subs, cent)
 
@@ -242,7 +263,7 @@ def lloyd_fit_grouped_quantized(
             )
             .select("gid", F.col("cell").alias("cid"), "c_q")
         )
-    cent = cent.cache()
+    cent = _trainer_boundary(cent)
     codes = assign(cent).select("gid", "vec_id", "cid", "d2")
     return codes, cent
 
@@ -570,7 +591,7 @@ def ivf_train(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The trained-IVF *build* step, factored out of the search so the
     index can be PERSISTED (sources/ann_index.py) instead of re-trained
     per query: quantized-Lloyd centroids plus the final cell assignment
-    of every vector. Returns ``(cent: cid/c_q — cached, k rows,
+    of every vector. Returns ``(cent: cid/c_q — checkpointed, k rows,
     fassign: vec_id/fe/nrm/cid)``. Same arithmetic law as
     lloyd_fit_grouped_quantized (exact BIGINT assignment, floor-integer
     means), so the artifact round-trips through parquet bit-exactly."""
@@ -612,12 +633,14 @@ def ivf_train(v: DataFrame) -> tuple[DataFrame, DataFrame]:
             .select(F.col("cell").alias("cid"), "c_q")
         )
     # The trained centroid frame (k rows) feeds BOTH the final assignment
-    # and the probe routing; cache it so the two consumers share one
-    # materialization of the trainer instead of each inlining both
-    # Lloyd rounds into their subplan (ReuseExchange would usually
-    # collapse the identical broadcasts, but the pin should not depend
-    # on an optimizer rule firing).
-    cent = cent.cache()
+    # and the probe routing. r15 cached it so the two consumers share one
+    # materialization; r16 upgrades the boundary to an eager
+    # localCheckpoint (_trainer_boundary) because cache() never truncates
+    # the LOGICAL plan — each consumer still re-embedded both unrolled
+    # Lloyd rounds and Catalyst re-analyzed every copy (the corpus-chain
+    # finding). Post-checkpoint, every search plan starts the trainer at
+    # a k-row LogicalRDD.
+    cent = _trainer_boundary(cent)
     return cent, assign(cent)
 
 

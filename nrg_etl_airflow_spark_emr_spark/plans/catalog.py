@@ -240,6 +240,24 @@ _EVIDENCE_VOID_BEFORE: dict[str, int] = {
     "qc_twolevel_index_balance": 15,
     # - write_partitioned_parquet REBALANCE sizing (sources/readers.py):
     "snk_partitioned_parquet": 15,
+    # r16 optimization round: trainer-boundary eager localCheckpoint in
+    # operators/kmeans.py (_trainer_boundary — ivf_train +
+    # lloyd_fit_grouped_quantized). Every row whose returned plan or
+    # builder path runs one of the two trainers needs post-change
+    # driver evidence:
+    "sim_knn_pq": 16,
+    "sim_knn_ivf_trained": 16,
+    "sim_knn_ivf_mmr": 16,
+    "sim_knn_ivf_persisted": 16,
+    "sim_knn_ivf_upsert": 16,
+    "sim_knn_pq_persisted": 16,
+    "sim_knn_pq_upsert": 16,
+    "sim_knn_ivfpq": 16,
+    "sim_kmeans_cells": 16,
+    "qc_ivf_index_balance": 16,
+    "qc_twolevel_index_balance": 16,
+    "dedup_embedding_twolevel": 16,
+    "dedup_embedding_twolevel_persisted": 16,
 }
 
 

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Capture .explain('formatted') for named catalog queries into plans/r15/.
+"""Capture .explain('formatted') for named catalog queries into
+plans/$SPARK_GRAFT_PLAN_ROUND/ (default r16).
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
   suffix: 'before' or 'after' (file name suffix)
@@ -24,7 +25,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-capture")

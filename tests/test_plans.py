@@ -797,10 +797,12 @@ def test_trained_ivf_candidates_keyed_and_trainer_shared(spark, sf_dir):
     """sim_knn_ivf_trained's scale contract: candidate generation is a
     cid-KEYED join between probes and the final assignment (never a
     cartesian over vectors — the only nested-loop joins allowed are the
-    k-row centroid broadcasts and the 1-row exactness guard), and both
-    the vector table and the trained centroid frame come from cache, so
-    the two consumers of the trainer (final assignment + probe routing)
-    share one materialization instead of re-running the Lloyd rounds."""
+    k-row centroid broadcasts and the 1-row exactness guard); the vector
+    table is cache-backed (assignment + queries + guard share one scan),
+    and the trained centroid frame is CHECKPOINT-backed (r16
+    _trainer_boundary: the two consumers of the trainer — final
+    assignment and probe routing — read the k-row LogicalRDD instead of
+    each re-embedding the unrolled Lloyd plan)."""
     spark.catalog.clearCache()
     plan = _plan(spark, sf_dir, "sim_knn_ivf_trained")
     assert "CartesianProduct" not in plan
@@ -814,7 +816,11 @@ def test_trained_ivf_candidates_keyed_and_trainer_shared(spark, sf_dir):
     ]
     assert keyed, "candidate joins lost their equi-join keys:\n" + plan[:2000]
     assert plan.count("InMemoryTableScan") >= 2, (
-        "vectors and trained centroids must both be cache-backed"
+        "vector-table consumers must share the cache"
+    )
+    assert "ExistingRDD" in plan, (
+        "trained centroids must enter as the checkpointed LogicalRDD, "
+        "not re-embed the Lloyd unroll per consumer"
     )
 
 
