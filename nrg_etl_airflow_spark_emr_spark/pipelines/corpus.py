@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import dedup_clusters
 from ..operators.text import text_langid, text_quality_score  # noqa: F401 (survival_stats)
-from ..operators._util import t
+from ..operators._util import spread, t
 from ..plans.catalog import register
 
 QUALITY_THRESHOLD = 0.55
@@ -292,14 +292,38 @@ def _e2e_frame(
     its 32-core execution, with multi-10-second outliers. Truncating the
     plan at the boundaries (guide §3.3) fixed both the median and the
     tail; value identity is pinned by the unchanged oracle. This is the
-    in-memory analog of corpus_pipeline_run's durable parquet hand-offs."""
-    cleaned = (
-        clean_corpus(spark, sf_dir, candidates=candidates)
-        .select("doc_id", "text")
-        .localCheckpoint()
+    in-memory analog of corpus_pipeline_run's durable parquet hand-offs.
+
+    FAULT-TOLERANCE TRADE (VERDICT r15 finding 1): unlike cache(), a
+    localCheckpoint's blocks CANNOT be recomputed from lineage — the
+    boundary frames here are O(corpus) executor-stored state, so losing
+    an executor (or a dynamic-allocation decommission) past a boundary
+    ABORTS the query instead of recovering. That is acceptable on a
+    single-node/local deployment; at 100 TB with executor churn either
+    run the chain through corpus_pipeline_run (durable parquet
+    hand-offs — the stated scale path) or set
+    ``spark.nrg.corpus.boundaryCheckpoint=reliable``, which switches
+    the boundaries to reliable ``checkpoint()`` into the session's
+    checkpoint dir (caller must ``setCheckpointDir`` to durable
+    storage; contract pinned in tests/test_corpus_pipeline.py)."""
+    cleaned = _boundary(
+        clean_corpus(spark, sf_dir, candidates=candidates).select("doc_id", "text")
     )
-    lined = _stage_lined(cleaned).localCheckpoint()
+    lined = _boundary(_stage_lined(cleaned))
     return _stage_manifest(_stage_kept(lined))
+
+
+def _boundary(df: DataFrame) -> DataFrame:
+    """One e2e stage boundary: eager plan-truncating materialization.
+    Default = localCheckpoint (fast, executor-local, NOT recomputable —
+    see _e2e_frame's fault-tolerance note); conf
+    ``spark.nrg.corpus.boundaryCheckpoint=reliable`` = reliable
+    checkpoint() into the session checkpoint dir for deployments where
+    executor loss mid-query is routine."""
+    mode = df.sparkSession.conf.get("spark.nrg.corpus.boundaryCheckpoint", "local")
+    if mode == "reliable":
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def corpus_pipeline_run(
@@ -1071,8 +1095,23 @@ def _table_profile_approx(spark: SparkSession, sf_dir: str, hasher) -> DataFrame
         # Render first (named projection), THEN stack on the rendered
         # names: stack() takes SQL text, and rendered-expression strings
         # would couple this builder to Column.toString round-trips.
-        rendered = d.select(
-            *[_render_spark(kind, F.col(c)).alias(f"sv_{c}") for c, kind in cols]
+        #
+        # spread() BELOW the stack (r16): the fixture's five scans union
+        # to ~7 input splits, so the md5 register hash — the profile's
+        # dominant stage — ran on 7 of 32 cores (measured 4.7 s of the
+        # row). Spreading the narrow rendered projection BEFORE stack
+        # moves the k-way row fan-out and the per-value md5+conv work
+        # behind a round-robin exchange that carries one row per SOURCE
+        # row (not per stacked value), so the hash runs on every core.
+        # The r15 attempt spread the post-stack 3.4 M-row frame and the
+        # exchange ate the win; this one ships ~n rows of short strings.
+        # Scale-adaptive per spread()'s partition-count guard: a 100 TB
+        # scan already has thousands of splits and this is a no-op, so
+        # the O(columns x 1024) register-shuffle story is unchanged.
+        rendered = spread(
+            d.select(
+                *[_render_spark(kind, F.col(c)).alias(f"sv_{c}") for c, kind in cols]
+            )
         )
         branches = ", ".join(f"'{c}', sv_{c}" for c, _ in cols)
         val_frames.append(

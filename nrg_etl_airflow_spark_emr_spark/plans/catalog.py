@@ -258,6 +258,14 @@ _EVIDENCE_VOID_BEFORE: dict[str, int] = {
     "qc_twolevel_index_balance": 16,
     "dedup_embedding_twolevel": 16,
     "dedup_embedding_twolevel_persisted": 16,
+    # - spread() below the profile stack (pipelines/corpus.py —
+    #   parallelizes the md5 register pass; shared by the xx twin):
+    "qc_table_profile_approx": 16,
+    "qc_table_profile_approx_xx": 16,
+    # - _boundary() conf hook refactor of the e2e stage boundaries
+    #   (default path identical; builder code changed):
+    "corpus_pipeline_e2e": 16,
+    "corpus_pipeline_e2e_lsh": 16,
 }
 
 
