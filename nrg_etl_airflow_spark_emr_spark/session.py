@@ -61,6 +61,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Generated-class cache sized for this engine's plan diversity
+        # (r16 driver-stall forensics, scripts/stall_probe.py + SCALE.md
+        # "Driver JIT-compilation pressure"): the 100-entry default
+        # thrashes on the ANN/corpus plans' many codegen units, so every
+        # run re-compiles (janino) and re-JITs (C2) the same classes —
+        # measured 3.9 s of HotSpot compile time per repeat of one query,
+        # dropping to 1.2 s at 1024 entries with wall median 5.0 -> 3.9 s.
+        # JVM-side and core-count-independent (not a local[32] tune);
+        # memory bound is entries x generated-class size (KBs each).
+        .config("spark.sql.codegen.cache.maxEntries", "1024")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
